@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import OpsUtil._
+
+/** Network-analytics pack — SURVEY.md §2.5-2.6: degree distribution + CCDF
+  * (A9/W6), power-law γ MLE (A10), co-occurrence pair counting (A11),
+  * min-max normalization with missing indicator (A6), frequency tables (A7).
+  *
+  * CCDF is computed from integer cumulative counts (window over an ordered
+  * integer sum) and divided once at the end — double cumulative sums would
+  * not hash-match across engines.
+  */
+object AnalyticsPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Degree of each customer in the order graph. */
+  private def degrees(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+
+  val queries: Map[String, Q] = Map(
+    // A9/W6 — degree distribution + CCDF via cumulative window
+    // (ref notebook cell 87: value_counts → pdf → 1 - cumsum.shift(1)).
+    "ana_degree_ccdf" -> ((s, d) => {
+      val dist = degrees(s, d).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dist
+        .withColumn("cum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("k"), col("cnt"),
+          (lit(1.0) - col("cum_prev").cast("double") / col("total").cast("double")).as("ccdf"))
+        .orderBy(col("k"))
+    }),
+
+    // A10 — power-law exponent MLE (Clauset et al.; ref notebook cell 89):
+    // γ = 1 + n / Σ ln(k_i / (k_min − 0.5)), degrees ≥ k_min. Pure built-in
+    // aggregate composition — no UDAF. Rounded: log sums are order-dependent
+    // in the last bits.
+    "ana_powerlaw_gamma" -> ((s, d) => {
+      val kmin = 3
+      degrees(s, d).filter(col("k") >= kmin)
+        .agg(
+          count(lit(1)).as("n_tail"),
+          round(lit(1.0) + count(lit(1)) / sum(log(col("k") / lit(kmin - 0.5))), 6).as("gamma"))
+    }),
+
+    // A11 — co-occurrence pair counting (ref notebook cells 109, 112):
+    // parts co-ordered in the same order; explode→self-join with a<b →
+    // count → top-20. The self-join shuffles on the order key once; the
+    // a<b predicate halves the pair space.
+    "ana_cooccurrence_pairs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
+      val a = li.select(col("okey"), col("pk").as("p1"))
+      val b = li.select(col("okey"), col("pk").as("p2"))
+      a.join(b, Seq("okey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_cooc"))
+        .orderBy(col("n_cooc").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
+    }),
+
+    // A6 — min-max normalization + missing indicator (ref data_processor.py:122-139);
+    // exact percentile for the median so both engines interpolate identically.
+    "ana_minmax_normalize" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("med"))
+      o.crossJoin(broadcast(stats))
+        .select(col("o_orderkey"),
+          round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6).as("price_norm"),
+          col("o_totalprice").isNull.cast("double").as("is_missing"),
+          col("med"))
+        .orderBy(col("o_orderkey")).limit(1000)
+    }),
+
+    // A7 — frequency table / top-k categories (ref notebook cells 78, 100).
+    "ana_freq_event_types" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc)
+        .limit(10)
+    }),
+
+    // A12 — in-degree per node over the bipartite order graph
+    // (ref predicter.py:54-75 bincount).
+    "ana_indegree_suppliers" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("in_degree"))
+        .orderBy(col("l_suppkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ana_degree_ccdf" ->
+      """WITH deg AS (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY o_custkey),
+        |dist AS (SELECT k, COUNT(*) AS cnt FROM deg GROUP BY k)
+        |SELECT k, cnt,
+        |  1.0 - CAST(COALESCE(SUM(cnt) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / CAST(SUM(cnt) OVER () AS DOUBLE) AS ccdf
+        |FROM dist ORDER BY k""".stripMargin,
+
+    "ana_powerlaw_gamma" ->
+      """WITH deg AS (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY o_custkey)
+        |SELECT COUNT(*) AS n_tail,
+        |  round(1.0 + COUNT(*) / SUM(ln(k / 2.5)), 6) AS gamma
+        |FROM deg WHERE k >= 3""".stripMargin,
+
+    "ana_cooccurrence_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_cooc
+        |FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY n_cooc DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+
+    "ana_minmax_normalize" ->
+      """WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS med FROM orders)
+        |SELECT o_orderkey,
+        |  round((o_totalprice - mn) / (mx - mn), 6) AS price_norm,
+        |  CAST(o_totalprice IS NULL AS DOUBLE) AS is_missing,
+        |  med
+        |FROM orders, stats ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "ana_freq_event_types" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10""".stripMargin,
+
+    "ana_indegree_suppliers" ->
+      """SELECT l_suppkey, COUNT(*) AS in_degree FROM lineitem
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+  )
+}

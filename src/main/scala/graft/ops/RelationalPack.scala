@@ -1,0 +1,316 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import OpsUtil._
+
+/** Relational/ETL operator pack — SURVEY.md §2.2 (projection/filter),
+  * §2.3 (dedup), §2.4 (joins), §2.5 (aggregation), §2.6 (window/top-k).
+  *
+  * Each entry is a pure DataFrame program: filters sit next to the scan so
+  * Catalyst pushes them into parquet, small dimension sides are broadcast,
+  * and compared outputs are deterministic sets (exact decimal sums, explicit
+  * tie-breaks on every top-k).
+  */
+object RelationalPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1+A5 — pricing summary (the reference's degree/stat aggregations
+    // re-expressed on lineitem; ref notebook cells 83-84).
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1+J4+W1 — top-10 hubs: degree per customer, enrich with name, top-k
+    // with deterministic tie-break (ref notebook cells 95, 97).
+    "hub_top10_customers" -> ((s, d) => {
+      val deg = Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("degree"))
+      deg.join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("degree"))
+        .orderBy(col("degree").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+
+    // P2/P3/P7/P8/P9 — cleaning: regex id extraction, scrub, empty→null,
+    // cast-with-coercion (ref transformer.py:171,201,207-213).
+    "etl_clean_project" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("bigint").as("name_id"),
+          trim(regexp_replace(col("c_mktsegment"), "[\\r\\n\\t]+", " ")).as("segment_clean"),
+          when(col("c_mktsegment") === "", lit(null)).otherwise(col("c_mktsegment")).as("segment_nn"),
+          lower(col("c_name")).as("name_norm"))
+        .filter(col("c_name").isNotNull && col("c_name") =!= "")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P4/P5 — conjunctive regex validity filter + disjunctive garbage drop
+    // (ref transformer.py:219-233): keep rows whose name matches the
+    // Customer#NNN shape and whose segment is not itself an id-like token.
+    "etl_regex_filter" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_name").rlike("^Customer#[0-9]+$"))
+        .filter(!col("c_mktsegment").rlike("^[0-9]+$"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // D2 — keyed dedup audit (ref transformer.py:241).
+    "dedup_keyed" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_distinct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // D3 — canonical undirected-edge dedup via least/greatest
+    // (ref transformer.py:116-134: (min,max,rel) key collapses A→B/B→A).
+    "dedup_canonical_edges" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          least(col("l_orderkey"), col("l_suppkey")).as("k1"),
+          greatest(col("l_orderkey"), col("l_suppkey")).as("k2"),
+          col("l_returnflag").as("rel"))
+        .distinct()
+        .groupBy(col("rel")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("rel"))
+    }),
+
+    // D4 — node id universe: union of both edge endpoints, distinct
+    // (ref notebook cell 35).
+    "node_universe" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("id"))
+      val l = Tables.lineitem(s, d).select(col("l_suppkey").as("id"))
+      o.union(l).distinct().orderBy(col("id"))
+    }),
+
+    // A2 — distinct ordered string-agg (ref join_unique, transformer.py:192-197);
+    // array kept sorted so both engines agree on order.
+    "agg_string_interests" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(", ", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+             count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // A3/A4 — cardinality + null audit (ref transformer.py:203-206, nb 66-68).
+    "agg_null_audit" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        sum(col("o_totalprice").isNull.cast("bigint")).as("null_totalprice"),
+        sum((col("o_orderpriority").isNull || col("o_orderpriority") === "").cast("bigint")).as("empty_priority"))
+    }),
+
+    // A8 — histogram: 1000-wide buckets of order totalprice (ref nb cell 92).
+    "agg_histogram_price" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 1000) * 1000).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // S3-analog — year-partitioned aggregate: Catalyst prunes on the date
+    // predicate the reference spliced into SPARQL (extractor.py:136-137).
+    "agg_orders_by_year" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("order_year"))
+    }),
+
+    // J1/J2/J3 — multi-hop dimension enrichment with broadcast joins.
+    "join_enrich_region" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, col("c_nationkey") === col("n_nationkey"), "left")
+        .join(r, col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J6 anti — customers with no orders (taboo-check semantics,
+    // ref ai_service.py:136-147).
+    "join_anti_inactive" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J6 semi — existence check per segment.
+    "join_semi_active" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A13/J5 — per-type dense sequence id (the reference's pyg_id,
+    // transformer.py:173): row_number over (partition, stable order).
+    "win_grouped_seqnum" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          (row_number().over(w) - 1).cast("bigint").as("pyg_id"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
+    // W3 — per-group top-k with deterministic tie-break (ref predicter.py:277-291).
+    "win_topk_per_segment" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // P13 — composite string key synthesis (ref notebook cell 31).
+    "etl_composite_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(concat_ws("_",
+          least(col("l_orderkey"), col("l_suppkey")),
+          greatest(col("l_orderkey"), col("l_suppkey")),
+          col("l_returnflag")).as("edge_key"))
+        .groupBy(col("edge_key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("edge_key")).limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "hub_top10_customers" ->
+      """SELECT c_custkey, c_name, degree FROM (
+        |  SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey
+        |) d JOIN customer ON o_custkey = c_custkey
+        |ORDER BY degree DESC, c_custkey ASC LIMIT 10""".stripMargin,
+
+    "etl_clean_project" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
+        |  trim(regexp_replace(c_mktsegment, '[\r\n\t]+', ' ', 'g')) AS segment_clean,
+        |  CASE WHEN c_mktsegment = '' THEN NULL ELSE c_mktsegment END AS segment_nn,
+        |  lower(c_name) AS name_norm
+        |FROM customer WHERE c_name IS NOT NULL AND c_name <> ''
+        |ORDER BY c_custkey""".stripMargin,
+
+    "etl_regex_filter" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE regexp_matches(c_name, '^Customer#[0-9]+$')
+        |  AND NOT regexp_matches(c_mktsegment, '^[0-9]+$')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "dedup_keyed" ->
+      """SELECT l_returnflag, COUNT(*) AS n_distinct FROM (
+        |  SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+        |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "dedup_canonical_edges" ->
+      """SELECT rel, COUNT(*) AS n_edges FROM (
+        |  SELECT DISTINCT least(l_orderkey, l_suppkey) AS k1,
+        |         greatest(l_orderkey, l_suppkey) AS k2,
+        |         l_returnflag AS rel FROM lineitem
+        |) GROUP BY rel ORDER BY rel""".stripMargin,
+
+    "node_universe" ->
+      """SELECT DISTINCT id FROM (
+        |  SELECT o_custkey AS id FROM orders
+        |  UNION ALL SELECT l_suppkey AS id FROM lineitem
+        |) ORDER BY id""".stripMargin,
+
+    "agg_string_interests" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ', ' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "agg_null_audit" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_custkeys,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_priority
+        |FROM orders""".stripMargin,
+
+    "agg_histogram_price" ->
+      """SELECT CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "agg_orders_by_year" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "join_enrich_region" ->
+      s"""SELECT r_name,
+         |  COUNT(*) AS n_customers,
+         |  ${dsumSql("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "join_anti_inactive" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_semi_active" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "win_grouped_seqnum" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS BIGINT) AS pyg_id
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "win_topk_per_segment" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rk
+        |  FROM customer
+        |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "etl_composite_key" ->
+      """SELECT concat_ws('_', least(l_orderkey, l_suppkey),
+        |    greatest(l_orderkey, l_suppkey), l_returnflag) AS edge_key,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY edge_key LIMIT 100""".stripMargin
+  )
+}
