@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{DFGraphAlgs, GraphAlgs}
+
+/** Micro-graph goldens for the graph algorithms (SURVEY.md §5: the
+  * reference has no tests; Pregel-style ops are not DuckDB-expressible
+  * beyond the unrolled oracles, so hand-computed goldens pin semantics)
+  * plus DataFrame-vs-GraphX agreement.
+  *
+  * Micro graph (undirected, as symmetric directed edges):
+  *   1 -- 2 (w 1.0)   2 -- 3 (w 2.0)   1 -- 3 (w 4.0)   3 -- 4 (w 1.0)
+  *   5 isolated-ish: 5 -- 6 (w 1.0)  (disconnected from 1-4)
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val undirected = Seq(
+    (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 4.0), (3L, 4L, 1.0), (5L, 6L, 1.0))
+  private def edgeDF = {
+    val fwd = undirected.toDF("src", "dst", "w")
+    fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
+  }
+
+  test("shortestPaths: hand-computed weighted distances from vertex 1") {
+    val got = DFGraphAlgs.shortestPaths(edgeDF, 1L, 6)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    // 1->2 = 1; 1->3 = min(4, 1+2) = 3; 1->4 = 3+1 = 4; 5,6 unreachable
+    assert(got(1L).contains(0.0))
+    assert(got(2L).contains(1.0))
+    assert(got(3L).contains(3.0))
+    assert(got(4L).contains(4.0))
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+  }
+
+  test("BFS hops: w=1 shortestPaths gives hop counts") {
+    val got = DFGraphAlgs.shortestPaths(edgeDF.withColumn("w", lit(1.0)), 1L, 6)
+      .filter($"dist".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 2.0))
+  }
+
+  test("pageRank: symmetric 2-cycle converges to rank 1 per vertex") {
+    // On 5--6 (symmetric pair), outdeg=1 each: rank stays exactly 1.0.
+    val pair = Seq((5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val got = DFGraphAlgs.pageRank(pair, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(5L) === 1.0 && got(6L) === 1.0)
+  }
+
+  test("pageRank: ranks sum to n when graph has no dangling mass loss") {
+    val got = DFGraphAlgs.pageRank(edgeDF, 5)
+    val total = got.agg(sum($"rank")).collect()(0).getDouble(0)
+    // Symmetric graph: every vertex has outdeg >= 1, total mass preserved.
+    assert(math.abs(total - 6.0) < 1e-9)
+  }
+
+  test("GraphX Pregel SSSP agrees with DataFrame shortestPaths") {
+    val g = GraphAlgs.fromEdgeDF(edgeDF)
+    val gx = GraphAlgs.sssp(g, 1L, 6).filter(_._2 < Double.PositiveInfinity)
+      .collect().toMap
+    val df = DFGraphAlgs.shortestPaths(edgeDF, 1L, 6).filter($"dist".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx == df)
+  }
+
+  test("GraphX pageRank agrees with DataFrame pageRank") {
+    val g = GraphAlgs.fromEdgeDF(edgeDF)
+    val gx = GraphAlgs.pageRank(g, 5).collect().toMap
+    val df = DFGraphAlgs.pageRank(edgeDF, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == df.keySet)
+    gx.foreach { case (id, r) => assert(math.abs(r - df(id)) < 1e-9, s"vertex $id") }
+  }
+
+  test("GraphX BFS agrees with DataFrame hop counts") {
+    val g = GraphAlgs.fromEdgeDF(edgeDF)
+    val gx = GraphAlgs.bfs(g, 1L, 6).collect().toMap
+    val df = DFGraphAlgs.shortestPaths(edgeDF.withColumn("w", lit(1.0)), 1L, 6)
+      .filter($"dist".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1).toInt).toMap
+    assert(gx == df)
+  }
+
+  test("degrees: undirected degree on micro graph") {
+    val got = DFGraphAlgs.degrees(edgeDF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 6L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
+  }
+}
