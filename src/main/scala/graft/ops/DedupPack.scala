@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import TextHash._
+
+/** Deduplication pack over the `documents` table — the training-data
+  * pipeline operators the reference lacks but a 100 TB corpus needs:
+  * exact hash dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  * (Embedding-cosine near-dup lives in SimilarityPack.)
+  *
+  * All hashing is the cross-engine MD5 scheme in [[TextHash]], so every
+  * stage — signatures, bands, candidate pairs, verified pairs — is
+  * DuckDB-oracle-checkable, not just row-counted.
+  *
+  * Scale design: the LSH path is the one that survives 100 TB — shingle
+  * explode is per-row map work; signatures are one groupBy(doc); the
+  * band-bucket join only pairs documents sharing a bucket (no all-pairs
+  * product); exact Jaccard verification runs only on LSH candidates.
+  * The plain `dedup_ngram_jaccard` all-pairs variant exists as the small-
+  * data oracle of record for what Jaccard should be.
+  */
+object DedupPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 16
+  private val BandSize  = 4   // 4 bands × 4 rows
+
+  /** (doc_id, shingle) distinct word-3-gram rows. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .distinct()
+
+  private val shingleRowsSql =
+    s"""sh AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("text")}) AS sh
+       |  FROM documents)""".stripMargin
+
+  /** MinHash signatures: (doc_id, j, mh) for j in 0..15. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
+      .withColumn("h", h28(col("sh")))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"), col("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(affine(col("h"), col("j"))).as("mh"))
+
+  private val signaturesSql =
+    s"""$shingleRowsSql,
+       |sig AS (SELECT doc_id, j, MIN(${affineSql(h28Sql("sh"), "j")}) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS j)
+       |  GROUP BY doc_id, j)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup audit: hash-groupBy over full text (the 100 TB form —
+    // never compares strings, only 128-bit digests).
+    "dedup_exact_docs" -> ((s, d) => {
+      val h = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+      h.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_distinct_texts"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+          sum(col("n") - 1).as("n_redundant_docs"))
+    }),
+
+    // MinHash signature summary — per-j minimum over all docs, a compact
+    // fixed-size digest of the signature matrix that exercises shingling,
+    // hashing, and the per-(doc,j) min end to end.
+    "dedup_minhash_signatures" -> ((s, d) => {
+      signatures(s, d)
+        .groupBy(col("j"))
+        .agg(min(col("mh")).as("global_min"),
+             countDistinct(col("mh")).as("n_distinct_mh"))
+        .orderBy(col("j"))
+    }),
+
+    // MinHash + LSH near-dup pairs: band signatures into 4 buckets of 4
+    // rows, candidate-pair only docs sharing a bucket, verify candidates
+    // with exact shingle Jaccard >= 0.8, report estimate vs exact.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sig = signatures(s, d)
+      // Order-independent band bucket: Σ (j%4+1)·mh over the band's rows.
+      val bands = sig
+        .groupBy(col("doc_id"), (col("j") / BandSize).cast("int").as("band"))
+        .agg(sum((col("j") % BandSize + 1) * col("mh")).as("bucket"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      // Signature-match estimate: fraction of the 16 minhashes that agree.
+      // (cand's pair columns renamed ci/cj — both cand and sig carry a
+      // column named j otherwise.)
+      val est = cand.select(col("i").as("ci"), col("j").as("cj"))
+        .join(sig.as("si"), col("ci") === col("si.doc_id"))
+        .join(sig.as("sj"), col("cj") === col("sj.doc_id") && col("si.j") === col("sj.j"))
+        .groupBy(col("ci").as("i"), col("cj").as("j"))
+        .agg((sum(when(col("si.mh") === col("sj.mh"), 1).otherwise(0)) /
+          lit(NumHashes.toDouble)).as("est_jaccard"))
+      // Exact verification on candidates only.
+      val ds = shingleRows(s, d)
+      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(ds.as("x"), col("i") === col("x.doc_id"))
+        .join(ds.as("y"), col("j") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      est.join(inter, Seq("i", "j"))
+        .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .select(col("i"), col("j"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("c") / (col("ni") + col("nj") - col("c")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // All-pairs n-gram Jaccard (the small-scale oracle of record): every
+    // pair sharing >= 1 shingle, Jaccard >= 0.8.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val ds = shingleRows(s, d)
+      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = ds.as("x").join(ds.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .select(col("i"), col("j"),
+          round(col("c") / (col("ni") + col("nj") - col("c")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // SimHash: 32-bit fingerprint from distinct-token hashes; near-dup =
+    // pairs within Hamming distance 6. Bit j of the fingerprint is the
+    // sign of Σ_tokens (±1 by bit j of the token hash).
+    "dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .distinct()
+        .withColumn("h", h28(col("t")))
+      // Pure integer bit math on both engines — double-based bit
+      // extraction is a trap: DuckDB CAST(double AS BIGINT) rounds to
+      // nearest while Spark's cast truncates.
+      val bits = tok
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("bit"))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
+          .otherwise(-1)).as("balance"))
+      val fp = bits
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("balance") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(0L)).as("simhash"))
+      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy(col("i"), col("j"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_docs" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |g AS (SELECT h, COUNT(*) AS n FROM h GROUP BY h)
+        |SELECT COUNT(*) AS n_distinct_texts,
+        |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+        |  SUM(n - 1) AS n_redundant_docs
+        |FROM g""".stripMargin,
+
+    "dedup_minhash_signatures" ->
+      s"""WITH $signaturesSql
+         |SELECT j, MIN(mh) AS global_min, COUNT(DISTINCT mh) AS n_distinct_mh
+         |FROM sig GROUP BY j ORDER BY j""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $signaturesSql,
+         |bands AS (SELECT doc_id, CAST(j // $BandSize AS INT) AS band,
+         |    SUM((j % $BandSize + 1) * mh) AS bucket
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.i, c.j,
+         |    SUM(CASE WHEN si.mh = sj.mh THEN 1 ELSE 0 END) / ${NumHashes.toDouble} AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig si ON si.doc_id = c.i
+         |  JOIN sig sj ON sj.doc_id = c.j AND si.j = sj.j
+         |  GROUP BY c.i, c.j),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.i, c.j, COUNT(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.i
+         |  JOIN sh y ON y.doc_id = c.j AND x.sh = y.sh
+         |  GROUP BY c.i, c.j)
+         |SELECT e.i, e.j, round(e.est_jaccard, 6) AS est_jaccard,
+         |  round(iv.c * 1.0 / (sx.n + sy.n - iv.c), 6) AS jaccard
+         |FROM est e
+         |JOIN inter iv ON iv.i = e.i AND iv.j = e.j
+         |JOIN sz sx ON sx.doc_id = e.i
+         |JOIN sz sy ON sy.doc_id = e.j
+         |WHERE iv.c * 1.0 / (sx.n + sy.n - iv.c) >= 0.8
+         |ORDER BY e.i, e.j""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleRowsSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS i, y.doc_id AS j, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, round(c * 1.0 / (sx.n + sy.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sx ON sx.doc_id = i
+         |JOIN sz sy ON sy.doc_id = j
+         |WHERE c * 1.0 / (sx.n + sy.n - c) >= 0.8
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${h28Sql("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id, bt,
+         |    SUM(CASE WHEN (h >> bt) & 1 = 1 THEN 1 ELSE -1 END) AS balance
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bt)
+         |  GROUP BY doc_id, bt),
+         |fp AS (SELECT doc_id,
+         |    SUM(CASE WHEN balance > 0 THEN (CAST(1 AS BIGINT) << bt) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY i, j""".stripMargin
+  )
+}

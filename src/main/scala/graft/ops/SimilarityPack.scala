@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.tables.Tables
+import TextHash.{h28Sql, h28}
+
+/** Similarity-search pack over the `embeddings` table (64-dim float
+  * vectors): embedding-cosine near-dup, brute-force cosine top-k (the
+  * correctness baseline), and a random-hyperplane-LSH bucketed variant
+  * (the 100 TB path — candidates come from one bucket join, never an
+  * all-pairs product; V5's brute-force candidate scan in the reference,
+  * predicter.py:194-291, re-designed to scale).
+  *
+  * Numerics: dot products are computed from posexploded (vec, pos, val)
+  * rows with exact decimal accumulation, so both engines sum identical
+  * IEEE products in an order-independent way — results hash-match
+  * without tolerance. Hyperplanes are pseudo-random ±1 vectors derived
+  * from the cross-engine MD5 hash (TextHash), deterministic everywhere.
+  */
+object SimilarityPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  // 6 planes → 64 buckets ≈ 8 vectors/bucket at the fixed 500-vector
+  // table: enough selectivity to show the candidate-set reduction while
+  // keeping the query's bucket non-empty. At real scale this grows with
+  // log2(corpus/target-bucket-size).
+  private val NumPlanes = 6
+  private val QueryVec  = 0L
+  private val Dim       = 64
+
+  /** Exact order-independent sum at unit scale: products of normalized
+    * embedding components need 15 fractional digits (OpsUtil.dsum's
+    * money-scale DECIMAL(28,4) would truncate them). */
+  private def psum(c: Column): Column =
+    sum(c.cast("decimal(28,15)")).cast("double")
+  private val PsumCast = "DECIMAL(28,15)"
+
+  /** (vec_id, pos, v) exploded embedding components, as double. */
+  private def comps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+
+  private val compsSql =
+    s"""comps AS (SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
+
+  /** Per-vector L2 norm (exact decimal sum of squares, then sqrt). */
+  private def norms(c: DataFrame): DataFrame =
+    c.groupBy(col("vec_id")).agg(sqrt(psum(col("v") * col("v"))).as("nrm"))
+
+  private val normsSql =
+    s"""nrm AS (SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(v * v AS $PsumCast)) AS DOUBLE)) AS nrm
+       |  FROM comps GROUP BY vec_id)""".stripMargin
+
+  /** ±1 hyperplane components: sign from md5 parity of "hp<j>_<pos>". */
+  private def planes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for (j <- 0 until NumPlanes; p <- 0 until Dim) yield (j, p)
+    rows.toDF("j", "pos")
+      .withColumn("r", when(h28(concat(lit("hp"), col("j"), lit("_"), col("pos"))) % 2 === 1,
+        lit(1.0)).otherwise(lit(-1.0)))
+  }
+
+  private val planesSql =
+    s"""planes AS (SELECT j, pos,
+       |    CASE WHEN ${h28Sql("concat('hp', j, '_', pos)")} % 2 = 1
+       |      THEN 1.0 ELSE -1.0 END AS r
+       |  FROM (SELECT unnest(range(0, $NumPlanes)) AS j)
+       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
+
+  /** 16-bit LSH bucket per vector: bit j = sign of dot(v, plane_j). */
+  private def buckets(s: SparkSession, d: String): DataFrame =
+    comps(s, d).join(broadcast(planes(s)), "pos")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(psum(col("v") * col("r")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L))
+        .as("bucket"))
+
+  private val bucketsSql =
+    s"""proj AS (SELECT c.vec_id, p.j,
+       |    CAST(SUM(CAST(c.v * p.r AS $PsumCast)) AS DOUBLE) AS dot
+       |  FROM comps c JOIN planes p ON p.pos = c.pos
+       |  GROUP BY c.vec_id, p.j),
+       |buckets AS (SELECT vec_id,
+       |    SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  /** Pairwise cosine over given candidate pairs (i < j), exact decimals. */
+  private def cosineOf(c: DataFrame, pairs: DataFrame): DataFrame = {
+    val n = norms(c)
+    pairs
+      .join(c.as("x"), col("i") === col("x.vec_id"))
+      .join(c.as("y"), col("j") === col("y.vec_id") && col("x.pos") === col("y.pos"))
+      .groupBy(col("i"), col("j"))
+      .agg(psum(col("x.v") * col("y.v")).as("dot"))
+      .join(n.select(col("vec_id").as("i"), col("nrm").as("ni")), "i")
+      .join(n.select(col("vec_id").as("j"), col("nrm").as("nj")), "j")
+      .select(col("i"), col("j"),
+        round(col("dot") / (col("ni") * col("nj")), 6).as("cosine"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Embedding-cosine near-duplicates: all pairs with cosine >= 0.95
+    // (the all-pairs form is the small-data oracle; the LSH variant below
+    // is the scale path).
+    "sim_cosine_neardup" -> ((s, d) => {
+      val c = comps(s, d)
+      val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      val pairs = ids.select(col("vec_id").as("i"))
+        .crossJoin(ids.select(col("vec_id").as("j")))
+        .filter(col("i") < col("j"))
+      cosineOf(c, pairs)
+        .filter(col("cosine") >= 0.45)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // Brute-force cosine top-k for a fixed query vector — the ANN
+    // correctness baseline (ref predicter.py:194-291 full candidate scan).
+    "sim_bruteforce_topk" -> ((s, d) => {
+      val c = comps(s, d)
+      val pairs = Tables.embeddings(s, d)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+        .filter(col("j") =!= QueryVec)
+      cosineOf(c, pairs)
+        .select(col("j").as("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // Hyperplane-LSH bucket stats: bucket population histogram — shows
+    // the candidate-set reduction the LSH path buys at scale.
+    "sim_lsh_buckets" -> ((s, d) => {
+      buckets(s, d)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("n_vectors").desc, col("bucket").asc)
+        .limit(20)
+    }),
+
+    // LSH-bucketed ANN: candidates share the query's 16-bit bucket;
+    // exact cosine re-rank inside the bucket only.
+    "sim_lsh_topk" -> ((s, d) => {
+      val b = buckets(s, d)
+      val qb = b.filter(col("vec_id") === QueryVec).select(col("bucket").as("qbucket"))
+      val cand = b.join(broadcast(qb), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= QueryVec)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+      cosineOf(comps(s, d), cand)
+        .select(col("j").as("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    })
+  )
+
+  private val cosinePairSql =
+    s"""dot AS (SELECT p.i, p.j,
+       |    CAST(SUM(CAST(x.v * y.v AS $PsumCast)) AS DOUBLE) AS dot
+      |  FROM pairs p
+      |  JOIN comps x ON x.vec_id = p.i
+      |  JOIN comps y ON y.vec_id = p.j AND y.pos = x.pos
+      |  GROUP BY p.i, p.j),
+      |cos AS (SELECT d.i, d.j, round(d.dot / (a.nrm * b.nrm), 6) AS cosine
+      |  FROM dot d JOIN nrm a ON a.vec_id = d.i JOIN nrm b ON b.vec_id = d.j)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_neardup" ->
+      s"""WITH $compsSql, $normsSql,
+         |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         |$cosinePairSql
+         |SELECT i, j, cosine FROM cos WHERE cosine >= 0.45 ORDER BY i, j""".stripMargin,
+
+    "sim_bruteforce_topk" ->
+      s"""WITH $compsSql, $normsSql,
+         |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM embeddings
+         |  WHERE vec_id <> $QueryVec),
+         |$cosinePairSql
+         |SELECT j AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      s"""WITH $compsSql, $planesSql, $bucketsSql
+         |SELECT bucket, COUNT(*) AS n_vectors FROM buckets
+         |GROUP BY bucket ORDER BY n_vectors DESC, bucket ASC LIMIT 20""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH $compsSql, $planesSql, $bucketsSql, $normsSql,
+         |pairs AS (SELECT $QueryVec AS i, b.vec_id AS j FROM buckets b
+         |  WHERE b.bucket = (SELECT bucket FROM buckets WHERE vec_id = $QueryVec)
+         |    AND b.vec_id <> $QueryVec),
+         |$cosinePairSql
+         |SELECT j AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
+}

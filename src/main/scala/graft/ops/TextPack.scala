@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import TextHash._
+
+/** Text-analysis pack over `documents` — the training-data pipeline
+  * columns a 100 TB corpus build needs: token statistics, quality
+  * scoring (length/stopword ratios), stopword-marker language ID, and
+  * polynomial rolling-hash document fingerprints.
+  *
+  * Everything is built-in expressions (split/aggregate/array ops) —
+  * per-row map work inside whole-stage codegen, no shuffle except the
+  * final summaries, so these columns cost one pass over the corpus.
+  */
+object TextPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val StopwordsSqlList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting + basic stats per doc (whitespace tokenizer; a
+    // BPE-ish subword proxy = ceil(chars/4), the usual tokens≈chars/4).
+    "text_token_stats" -> ((s, d) => {
+      val ws = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ws).as("n_tokens"),
+          size(array_distinct(ws)).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars"),
+          ceil(length(col("text")) / 4.0).cast("long").as("n_subwords_est"),
+          round(length(col("text")) / size(ws).cast("double"), 6).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio, type-token ratio, length band —
+    // the heuristics corpus filters gate on.
+    "text_quality_score" -> ((s, d) => {
+      val ws = tokens(col("text"))
+      val nTok = size(ws).cast("double")
+      val stopRatio = size(array_intersect(ws, array(Stopwords.map(lit): _*))) / nTok
+      val ttr = size(array_distinct(ws)) / nTok
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(ttr, 6).as("type_token_ratio"),
+          when(length(col("text")) < 100, "short")
+            .when(length(col("text")) > 400, "long")
+            .otherwise("medium").as("len_band"),
+          round((lit(0.5) * ttr + lit(0.5) * least(stopRatio * 10, lit(1.0))), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-marker language ID vs the labeled lang column → confusion
+    // counts. (n-gram-profile LID reduced to its marker-set core so the
+    // oracle stays SQL; the text corpus is English-word soup, which the
+    // confusion matrix makes visible.)
+    "text_lang_id" -> ((s, d) => {
+      val ws = tokens(col("text"))
+      val enRatio = size(array_intersect(ws, array(Stopwords.map(lit): _*))) /
+        size(ws).cast("double")
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(enRatio >= 0.02, "en").otherwise("unknown").as("predicted"))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Rolling-hash fingerprint: left fold h = (h*131 + h28(token)) mod P
+    // over the ordered token stream — order-sensitive by design (catches
+    // permuted near-dups that bag-of-words hashing misses).
+    "text_fingerprint" -> ((s, d) => {
+      val hs = transform(tokens(col("text")), t => h28(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(hs, lit(0L), (acc, h) => (acc * B + h) % P).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fingerprint-based exact-ordered-dup audit (groups sharing a
+    // fingerprint), the scalable "same content, same order" check.
+    "text_fingerprint_dups" -> ((s, d) => {
+      val hs = transform(tokens(col("text")), t => h28(t))
+      Tables.documents(s, d)
+        .select(aggregate(hs, lit(0L), (acc, h) => (acc * B + h) % P).as("fingerprint"))
+        .groupBy(col("fingerprint")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_distinct_fp"),
+             sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+        |  round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |m AS (SELECT doc_id, text,
+         |    len(list_intersect(ws, $StopwordsSqlList)) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+         |    len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr
+         |  FROM t)
+         |SELECT doc_id,
+         |  round(stop_ratio, 6) AS stopword_ratio,
+         |  round(ttr, 6) AS type_token_ratio,
+         |  CASE WHEN length(text) < 100 THEN 'short'
+         |       WHEN length(text) > 400 THEN 'long'
+         |       ELSE 'medium' END AS len_band,
+         |  round(0.5 * ttr + 0.5 * least(stop_ratio * 10, 1.0), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT lang,
+         |    len(list_intersect(string_split(text, ' '), $StopwordsSqlList))
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_ratio
+         |  FROM documents)
+         |SELECT lang, CASE WHEN en_ratio >= 0.02 THEN 'en' ELSE 'unknown' END AS predicted,
+         |  COUNT(*) AS n
+         |FROM t GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ' '), t -> ${h28Sql("t")})),
+         |    (acc, h) -> (acc * $B + h) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint_dups" ->
+      s"""WITH fp AS (SELECT
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '), t -> ${h28Sql("t")})),
+         |      (acc, h) -> (acc * $B + h) % $P) AS fingerprint
+         |  FROM documents),
+         |g AS (SELECT fingerprint, COUNT(*) AS n FROM fp GROUP BY fingerprint)
+         |SELECT COUNT(*) AS n_distinct_fp,
+         |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+         |FROM g""".stripMargin
+  )
+}

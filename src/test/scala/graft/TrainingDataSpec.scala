@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.{DedupPack, SimilarityPack, TextPack}
+
+/** Cross-operator invariants for the training-data pipeline packs on the
+  * sf0.001 fixtures (the per-value correctness is the DuckDB oracle's
+  * job; these pin the relationships BETWEEN operators).
+  */
+class TrainingDataSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    DedupPack.queries(name)(spark, sf())
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH near-dup pairs = all-pairs Jaccard near-dup pairs (recall 1 here)") {
+    val lsh = pairs("dedup_minhash_lsh")
+    val exact = pairs("dedup_ngram_jaccard")
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    // Both filter on exact jaccard >= 0.8; LSH can only lose candidates.
+    assert(lsh.subsetOf(exact))
+    // With 0.99-jaccard planted dups and 4x4 bands, recall should be total.
+    assert(lsh == exact)
+  }
+
+  test("simhash near-dups overlap shingle-Jaccard near-dups") {
+    val sim = pairs("dedup_simhash")
+    val exact = pairs("dedup_ngram_jaccard")
+    assert(sim.nonEmpty)
+    assert(exact.intersect(sim).nonEmpty,
+      "hamming<=1 fingerprint pairs should include planted near-dups")
+  }
+
+  test("LSH ANN results are a subset of brute-force ranking universe") {
+    val bf = SimilarityPack.queries("sim_bruteforce_topk")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = SimilarityPack.queries("sim_lsh_topk")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lsh.nonEmpty, "query vector's bucket should have candidates")
+    // Any candidate both return must carry the identical exact cosine.
+    lsh.keySet.intersect(bf.keySet).foreach { id => assert(lsh(id) == bf(id)) }
+  }
+
+  test("fingerprint is order-sensitive where minhash is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextHash._
+    val docs = Seq((1L, "a b c d e f"), (2L, "f e d c b a")).toDF("doc_id", "text")
+    val fp = docs.select(
+      aggregate(transform(tokens(col("text")), t => h28(t)), lit(0L),
+        (acc, h) => (acc * B + h) % P).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) != fp(1), "reversed token order must change the rolling hash")
+  }
+
+  test("text stats: quality components stay in [0, 1]") {
+    val q = TextPack.queries("text_quality_score")(spark, sf())
+    import org.apache.spark.sql.functions._
+    val bad = q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+      col("type_token_ratio") <= 0 || col("type_token_ratio") > 1 ||
+      col("quality") < 0 || col("quality") > 1).count()
+    assert(bad == 0)
+  }
+}
