@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AnalyticsPack, DedupPack, GraphPack, RelationalPack, SimilarityPack, TextPack}
+import graft.ops.{AnalyticsPack, DedupPack, GraphPack, RelationalPack, SearchPack, SimilarityPack, TextPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalPack.queries ++ AnalyticsPack.queries ++ GraphPack.queries ++
-      DedupPack.queries ++ SimilarityPack.queries ++ TextPack.queries
+      DedupPack.queries ++ SimilarityPack.queries ++ TextPack.queries ++
+      SearchPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalPack.oracle ++ AnalyticsPack.oracle ++ GraphPack.oracle ++
-      DedupPack.oracle ++ SimilarityPack.oracle ++ TextPack.oracle
+      DedupPack.oracle ++ SimilarityPack.oracle ++ TextPack.oracle ++
+      SearchPack.oracle
 }

@@ -16,6 +16,7 @@ object Verify {
       // type for; read as epoch-nanos long (Tables.events re-derives a
       // micros timestamp column).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,20 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.AccentFold
+
+/** Session extensions registering graft's native Catalyst functions.
+  * Activate with .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+  * — then `call_function("accent_fold", col)` / SQL `accent_fold(x)` work
+  * everywhere, fully codegen'd.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("accent_fold"),
+      new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
+      (children: Seq[Expression]) => AccentFold(children.head)))
+  }
+}
