@@ -1,0 +1,264 @@
+package graft.ops
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import TextHash.{h28, h28Sql}
+
+/** ML pipeline pack — SURVEY.md §2.10 re-designed per the BASELINE north
+  * star: GraphX/DataFrame structural features + MLlib classifier instead
+  * of the reference's GNN (ref gnn_architecture.py, train_model.py).
+  *
+  * The reference's random machinery (RandomLinkSplit, negative sampling,
+  * random pair sampling — train_model.py:203-212,344-402) is re-based on
+  * the deterministic MD5 hash so splits and samples are reproducible AND
+  * DuckDB-oracle-checkable; only the actual MLlib fit (ml_train_eval) is
+  * a rows-only check, since LBFGS float accumulation is not
+  * bit-reproducible across engines by design.
+  *
+  * Link universe: the bipartite customer–supplier co-purchase graph;
+  * "link prediction" = predict co-purchasing from structural features
+  * (common neighbors, Adamic-Adar, preferential attachment — the
+  * standard feature set, Liben-Nowell & Kleinberg 2003).
+  */
+object MLPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct customer→supplier edges. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+
+  private val edgesSql =
+    """edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+
+  /** Deterministic customer pair sample: (c, c+delta) for delta 1..5 —
+    * the reference's random-pair experiment (notebook cell 147) with a
+    * reproducible grid instead of np.random (SURVEY.md §2.7 G11). */
+  private def pairSample(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey").as("id"))
+    val deltas = s.range(1, 6).select(col("id").as("delta"))
+    c.crossJoin(deltas)
+      .select(col("id").as("c1"), (col("id") + col("delta")).as("c2"))
+      .join(c.select(col("id").as("c2")), "c2")
+      .select(col("c1"), col("c2"))
+  }
+
+  private val pairSampleSql =
+    """pairs AS (SELECT a.c_custkey AS c1, a.c_custkey + delta AS c2
+      |  FROM customer a
+      |  CROSS JOIN (SELECT unnest(range(1, 6)) AS delta)
+      |  WHERE EXISTS (SELECT 1 FROM customer b WHERE b.c_custkey = a.c_custkey + delta))""".stripMargin
+
+  /** Pair features over a (c1, c2) pair table: common neighbors,
+    * Adamic-Adar, preferential attachment, same-nation flag. */
+  private def pairFeatures(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+    val ew = e.join(deg, "p")
+    val cn = pairs
+      .join(ew.select(col("c").as("c1"), col("p"), col("pdeg")), "c1")
+      .join(ew.select(col("c").as("c2"), col("p").as("p2")), "c2")
+      .filter(col("p") === col("p2"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)).as("adamic_adar"))
+    val cdeg = e.groupBy(col("c")).agg(count(lit(1)).as("cdeg"))
+    val nat = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    pairs
+      .join(cn, Seq("c1", "c2"), "left")
+      .join(cdeg.select(col("c").as("c1"), col("cdeg").as("deg1")), Seq("c1"), "left")
+      .join(cdeg.select(col("c").as("c2"), col("cdeg").as("deg2")), Seq("c2"), "left")
+      .join(nat.select(col("c_custkey").as("c1"), col("c_nationkey").as("n1")), "c1")
+      .join(nat.select(col("c_custkey").as("c2"), col("c_nationkey").as("n2")), "c2")
+      .select(col("c1"), col("c2"),
+        coalesce(col("common_neighbors"), lit(0L)).as("common_neighbors"),
+        round(coalesce(col("adamic_adar"), lit(0.0)), 6).as("adamic_adar"),
+        (coalesce(col("deg1"), lit(0L)) * coalesce(col("deg2"), lit(0L))).as("pref_attachment"),
+        (col("n1") === col("n2")).cast("int").as("same_nation"))
+  }
+
+  private val pairFeaturesSql =
+    s"""pdeg AS (SELECT p, COUNT(*) AS pdeg FROM edges GROUP BY p),
+       |cn AS (SELECT pr.c1, pr.c2, COUNT(*) AS common_neighbors,
+       |    CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE) AS adamic_adar
+       |  FROM pairs pr
+       |  JOIN edges e1 ON e1.c = pr.c1
+       |  JOIN edges e2 ON e2.c = pr.c2 AND e2.p = e1.p
+       |  JOIN pdeg d ON d.p = e1.p
+       |  GROUP BY pr.c1, pr.c2),
+       |cdeg AS (SELECT c, COUNT(*) AS cdeg FROM edges GROUP BY c),
+       |feat AS (SELECT pr.c1, pr.c2,
+       |    COALESCE(cn.common_neighbors, 0) AS common_neighbors,
+       |    round(COALESCE(cn.adamic_adar, 0.0), 6) AS adamic_adar,
+       |    COALESCE(d1.cdeg, 0) * COALESCE(d2.cdeg, 0) AS pref_attachment,
+       |    CAST(x.c_nationkey = y.c_nationkey AS INT) AS same_nation
+       |  FROM pairs pr
+       |  LEFT JOIN cn ON cn.c1 = pr.c1 AND cn.c2 = pr.c2
+       |  LEFT JOIN cdeg d1 ON d1.c = pr.c1
+       |  LEFT JOIN cdeg d2 ON d2.c = pr.c2
+       |  JOIN customer x ON x.c_custkey = pr.c1
+       |  JOIN customer y ON y.c_custkey = pr.c2)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // M1 — deterministic link split with canonical-key rev-edge exclusion
+    // (ref train_model.py:344-402): hash-bucket 80/10/10 on the canonical
+    // pair so an edge and its reverse always land in the same split.
+    "ml_link_split" -> ((s, d) => {
+      val e = edges(s, d)
+      val bucket = h28(concat_ws("_",
+        least(col("c"), col("p")), greatest(col("c"), col("p")))) % 100
+      e.select(
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("split"))
+    }),
+
+    // M2 — negative sampling: deterministic pseudo-random candidate pairs
+    // anti-joined against real edges (ref train_model.py:203-212,
+    // neg_sampling_ratio semantics without torch RNG).
+    "ml_neg_sampling" -> ((s, d) => {
+      val e = edges(s, d)
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("c"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey").as("p"))
+      val cand = cust.crossJoin(supp)
+        .filter(h28(concat_ws("_", col("c"), col("p"))) % 20 === 0)
+      val neg = cand.join(e, Seq("c", "p"), "left_anti")
+      neg.agg(count(lit(1)).as("n_negatives"),
+        countDistinct(col("c")).as("n_customers"),
+        countDistinct(col("p")).as("n_suppliers"))
+    }),
+
+    // Pair features for the deterministic pair sample — the GraphX-side
+    // feature table the classifier consumes (V1 assembly; Liben-Nowell
+    // common-neighbor family).
+    "ml_pair_features" -> ((s, d) => {
+      pairFeatures(s, d, pairSample(s, d))
+        .orderBy(col("c1"), col("c2")).limit(5000)
+    }),
+
+    // V5+V7 — constrained top-k recommendation: candidates = 2-hop
+    // neighbors, minus existing partners (taboo anti-join), scored by
+    // Adamic-Adar with the reference's hub penalty score/(log(deg)+1)
+    // (predicter.py:194-291; ai_service.py:87-147), bucketed (V8).
+    "ml_recommend_topk" -> ((s, d) => {
+      val QueryCust = 1L
+      val e = edges(s, d)
+      val deg = e.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+      val mySupps = e.filter(col("c") === QueryCust).select(col("p"))
+      val cand = e.join(mySupps, "p")                    // others sharing my suppliers
+        .filter(col("c") =!= QueryCust)
+        .join(deg, "p")
+        .groupBy(col("c").as("cand"))
+        .agg(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)).as("aa"))
+      val cdeg = e.groupBy(col("c").as("cand")).agg(count(lit(1)).as("cdeg"))
+      cand.join(cdeg, "cand")
+        .select(col("cand"),
+          round(col("aa") / (log(col("cdeg") + 1) + 1), 6).as("score"))
+        .withColumn("confidence",
+          when(col("score") > 0.8, "high").when(col("score") > 0.5, "medium").otherwise("low"))
+        .orderBy(col("score").desc, col("cand").asc)
+        .limit(10)
+    }),
+
+    // M4/M7 — the actual MLlib pipeline: features from one hash-half of
+    // the graph predict co-purchase links observed in the other half;
+    // logistic regression + ROC-AUC (ref README 0.76 AUC bar). Not
+    // SQL-expressible (LBFGS) — rows-only driver check.
+    "ml_train_eval" -> ((s, d) => {
+      val e = edges(s, d)
+      val parity = h28(concat_ws("_", col("c"), col("p"))) % 2
+      val eA = e.filter(parity === 0)                    // feature graph
+      val eB = e.filter(parity === 1)                    // label graph
+      // Labels: pair sample labeled by sharing a supplier in half B.
+      val pairs = pairSample(s, d)
+      val posB = eB.as("x").join(eB.as("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("c1"), col("y.c").as("c2")).distinct()
+        .withColumn("label", lit(1.0))
+      val labeled = pairs.join(posB, Seq("c1", "c2"), "left")
+        .na.fill(0.0, Seq("label"))
+      // Features: computed from half A only (no leakage).
+      val degA = eA.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+      val ewA = eA.join(degA, "p")
+      val cn = labeled.select(col("c1"), col("c2"))
+        .join(ewA.select(col("c").as("c1"), col("p"), col("pdeg")), "c1")
+        .join(ewA.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(count(lit(1)).cast("double").as("cn"),
+          sum(lit(1.0) / log(col("pdeg") + 1)).as("aa"))
+      val data = labeled.join(cn, Seq("c1", "c2"), "left")
+        .na.fill(0.0, Seq("cn", "aa"))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("cn", "aa")).setOutputCol("features")
+        .transform(data)
+      val split = h28(concat_ws("_", col("c1"), col("c2"))) % 10
+      val train = assembled.filter(split < 8)
+      val test = assembled.filter(split >= 8)
+      val model = new LogisticRegression()
+        .setMaxIter(20).setRegParam(0.01)
+        .setLabelCol("label").setFeaturesCol("features")
+        .fit(train)
+      val auc = new BinaryClassificationEvaluator()
+        .setLabelCol("label").setMetricName("areaUnderROC")
+        .evaluate(model.transform(test))
+      import s.implicits._
+      Seq(
+        ("areaUnderROC", auc),
+        ("train_rows", train.count().toDouble),
+        ("test_rows", test.count().toDouble)).toDF("metric", "value")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ml_link_split" ->
+      s"""WITH $edgesSql,
+         |b AS (SELECT CASE
+         |    WHEN ${h28Sql("concat(least(c, p), '_', greatest(c, p))")} % 100 < 80 THEN 'train'
+         |    WHEN ${h28Sql("concat(least(c, p), '_', greatest(c, p))")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM edges)
+         |SELECT split, COUNT(*) AS n_edges FROM b GROUP BY split ORDER BY split""".stripMargin,
+
+    "ml_neg_sampling" ->
+      s"""WITH $edgesSql,
+         |cand AS (SELECT c_custkey AS c, s_suppkey AS p
+         |  FROM customer CROSS JOIN supplier
+         |  WHERE ${h28Sql("concat(c_custkey, '_', s_suppkey)")} % 20 = 0),
+         |neg AS (SELECT * FROM cand WHERE NOT EXISTS (
+         |  SELECT 1 FROM edges e WHERE e.c = cand.c AND e.p = cand.p))
+         |SELECT COUNT(*) AS n_negatives,
+         |  COUNT(DISTINCT c) AS n_customers,
+         |  COUNT(DISTINCT p) AS n_suppliers
+         |FROM neg""".stripMargin,
+
+    "ml_pair_features" ->
+      s"""WITH $edgesSql, $pairSampleSql, $pairFeaturesSql
+         |SELECT c1, c2, common_neighbors, adamic_adar, pref_attachment, same_nation
+         |FROM feat ORDER BY c1, c2 LIMIT 5000""".stripMargin,
+
+    "ml_recommend_topk" ->
+      s"""WITH $edgesSql,
+         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM edges GROUP BY p),
+         |my AS (SELECT p FROM edges WHERE c = 1),
+         |cand AS (SELECT e.c AS cand,
+         |    CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE) AS aa
+         |  FROM edges e JOIN my ON my.p = e.p
+         |  JOIN pdeg d ON d.p = e.p
+         |  WHERE e.c <> 1 GROUP BY e.c),
+         |cdeg AS (SELECT c AS cand, COUNT(*) AS cdeg FROM edges GROUP BY c)
+         |SELECT c.cand, round(c.aa / (ln(g.cdeg + 1) + 1), 6) AS score,
+         |  CASE WHEN round(c.aa / (ln(g.cdeg + 1) + 1), 6) > 0.8 THEN 'high'
+         |       WHEN round(c.aa / (ln(g.cdeg + 1) + 1), 6) > 0.5 THEN 'medium'
+         |       ELSE 'low' END AS confidence
+         |FROM cand c JOIN cdeg g ON g.cand = c.cand
+         |ORDER BY score DESC, c.cand ASC LIMIT 10""".stripMargin
+  )
+}

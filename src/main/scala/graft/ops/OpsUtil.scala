@@ -20,6 +20,10 @@ object OpsUtil {
   /** Exact, order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Exact sum at unit scale (15 fractional digits) — for ratios, ranks,
+    * and similarity scores where DECIMAL(28,4) would truncate. */
+  def rsum(c: Column): Column = sum(c.cast("decimal(28,15)")).cast("double")
+
   /** Exact average: decimal sum divided (in double space) by count. */
   def davg(c: Column): Column = sum(c.cast(Dec)).cast("double") / count(lit(1))
 
