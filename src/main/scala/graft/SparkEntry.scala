@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AnalyticsPack, DedupPack, GraphPack, MLPack, RelationalPack, SearchPack, SimilarityPack, TextPack}
+import graft.ops.{AnalyticsPack, DedupPack, EventsPack, GraphPack, MLPack, RelationalPack, SearchPack, SimilarityPack, StreamingPack, TextPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalPack.queries ++ AnalyticsPack.queries ++ GraphPack.queries ++
       DedupPack.queries ++ SimilarityPack.queries ++ TextPack.queries ++
-      SearchPack.queries ++ MLPack.queries
+      SearchPack.queries ++ MLPack.queries ++ EventsPack.queries ++
+      StreamingPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalPack.oracle ++ AnalyticsPack.oracle ++ GraphPack.oracle ++
       DedupPack.oracle ++ SimilarityPack.oracle ++ TextPack.oracle ++
-      SearchPack.oracle ++ MLPack.oracle
+      SearchPack.oracle ++ MLPack.oracle ++ EventsPack.oracle ++
+      StreamingPack.oracle
 }

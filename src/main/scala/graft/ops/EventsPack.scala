@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Event-log pack over `events` — the reference's append-only activity
+  * log (S13) grown into the event-time operators a production pipeline
+  * needs: tumbling-window aggregation, gap-based sessionization (the SQL
+  * islands form of session_window), JSON property flattening (S7's
+  * nested-JSON projection on a column), and per-user top-k.
+  *
+  * `ts` arrives as epoch-nanos LongType (TIMESTAMP(NANOS) parquet via
+  * nanosAsLong); all window arithmetic is integer micros so both engines
+  * agree exactly. StreamingPack runs the same window aggregation as a
+  * Structured Streaming query and must produce identical results.
+  */
+object EventsPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 6-hour tumbling window, in micros, aligned to the epoch. */
+  val WindowUs: Long = 6L * 3600 * 1000000
+  /** Session gap: 30 minutes (micros). */
+  val GapUs: Long = 30L * 60 * 1000000
+
+  /** events with an integer-micros event-time column. */
+  def withMicros(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling-window counts per event type (the batch twin of
+    // stream_window_counts — StreamingSpec asserts equality).
+    "events_window_counts" -> ((s, d) => {
+      withMicros(s, d)
+        .groupBy((expr(s"ts_us div $WindowUs") * WindowUs).as("window_start_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), OpsUtil.dsum(col("value")).as("total_value"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // Gap-based sessionization (islands): a session breaks when the gap
+    // to the previous event of the same user exceeds 30 min. Summary per
+    // user: sessions, events, longest session (exact integer micros).
+    "events_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sess = withMicros(s, d)
+        .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("brk", (col("prev").isNull || col("ts_us") - col("prev") > GapUs).cast("int"))
+        .withColumn("sid", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("dur_us")).as("max_session_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // JSON property extraction (S7 nested projection on a string column).
+    "events_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-user event-type top-k (W3 shape on the activity log).
+    "events_top_users" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id").asc)
+        .limit(25)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_window_counts" ->
+      s"""SELECT (epoch_ns(ts) // 1000 // $WindowUs) * $WindowUs AS window_start_us,
+         |  event_type, COUNT(*) AS n,
+         |  ${OpsUtil.dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |l AS (SELECT user_id, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+         |  FROM e),
+         |b AS (SELECT user_id, ts_us,
+         |    CASE WHEN prev IS NULL OR ts_us - prev > $GapUs THEN 1 ELSE 0 END AS brk
+         |  FROM l),
+         |sid AS (SELECT user_id, ts_us,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM b),
+         |per AS (SELECT user_id, sid, COUNT(*) AS n_events,
+         |    MAX(ts_us) - MIN(ts_us) AS dur_us
+         |  FROM sid GROUP BY user_id, sid)
+         |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+         |  MAX(dur_us) AS max_session_us
+         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_top_users" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 25""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.EventsPack
+
+/** Structured Streaming over the events log — the reference has no
+  * streams (SURVEY.md §7.3), but an activity log at 100 TB IS a stream;
+  * this is the readStream → event-time window + watermark → sink path.
+  *
+  * The windowed aggregation is the same computation as the batch
+  * events_window_counts query; StreamingPack's query runs it with
+  * Trigger.AvailableNow over the parquet file source and must produce
+  * byte-identical results (asserted by the DuckDB oracle AND
+  * StreamingSpec's batch-vs-stream comparison).
+  */
+object StreamOps {
+
+  /** events schema as stored (ts read as epoch-nanos long). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet. The file source needs a
+    * directory of its own (the fixture dir holds every table), so the
+    * events file is staged into a scratch dir via symlink — at real scale
+    * this is just the events/ landing directory. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_events_stream")
+    tmp.toFile.deleteOnExit()
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    s.readStream.schema(eventsSchema).parquet(tmp.toString)
+  }
+
+  /** Event-time tumbling-window counts with a watermark — works on any
+    * events-shaped frame, batch or streaming (identical plan surface). */
+  def windowCounts(events: DataFrame): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    withTime
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the materialized result. Complete mode: with a
+    * one-shot trigger, append mode would hold every window open behind
+    * the watermark and emit nothing. */
+  def runToMemory(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

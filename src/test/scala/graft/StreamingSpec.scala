@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.ops.EventsPack
+
+/** Streaming semantics: the streaming window aggregation must converge
+  * to the batch answer, and watermark/append behavior is pinned with a
+  * MemoryStream micro-fixture.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source stream converges to the batch window counts") {
+    val batch = EventsPack.queries("events_window_counts")(spark, sf())
+      .select("window_start_us", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.windowCounts(StreamOps.eventsStream(spark, sf())), "spec_wc")
+      .select("window_start_us", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("MemoryStream: late rows beyond the watermark are dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("ts_ms", "event_type", "value")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = df.writeStream.format("memory").queryName("spec_late")
+      .outputMode("append").start()
+    val H = 3600L * 1000
+    // Batch 1: two events in hour-window 0, advance watermark far past it.
+    mem.addData((10L * 60 * 1000, "a", 1.0), (20L * 60 * 1000, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData((5L * H, "a", 1.0))       // watermark -> ~4:50
+    q.processAllAvailable()
+    // Batch 3: a late event for window 0 — behind the watermark, dropped.
+    mem.addData((30L * 60 * 1000, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData((10L * H, "a", 1.0))      // push watermark to close window 5
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spec_late")
+      .select(unix_millis(col("window.start")).as("ws"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) == 2L, "window 0 must close with the 2 on-time events only")
+    assert(rows(5L * H) == 1L)
+  }
+}
