@@ -89,6 +89,40 @@ object AnalyticsPack {
         .limit(10)
     }),
 
+    // A3 — cardinality audit: exact count-distinct per column
+    // (ref notebook cells 66, 68 nunique). At 100 TB the exact form
+    // is one shuffle per column via expand; approx_count_distinct (HLL)
+    // is the scale path and is asserted within 5% in the spec suite.
+    "ana_count_distinct" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+    }),
+
+    // A5 — basic stats + mean imputation (ref transformer.py:345
+    // mean-imputes birth_year). The fixtures have no nulls, so
+    // missingness is injected deterministically (hash-bucket 1-in-10)
+    // and the mean of the observed values fills the gaps — the
+    // scalar-subquery-broadcast pattern; exact decimal mean so both
+    // engines agree bitwise.
+    "ana_impute_mean" -> ((s, d) => {
+      import TextHash.h28
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(h28(col("c_name")) % 10 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"))
+      val mean = c.agg(
+        round((sum(col("bal").cast("decimal(28,4)")) / count(col("bal"))).cast("double"), 2)
+          .as("mean_bal"))
+      c.crossJoin(broadcast(mean))
+        .select(col("c_custkey"),
+          col("bal").isNull.cast("int").as("was_missing"),
+          coalesce(col("bal"), col("mean_bal")).as("bal_imputed"))
+        .orderBy(col("c_custkey")).limit(1000)
+    }),
+
     // A12 — in-degree per node over the bipartite order graph
     // (ref predicter.py:54-75 bincount).
     "ana_indegree_suppliers" -> ((s, d) => {
@@ -128,6 +162,24 @@ object AnalyticsPack {
         |  CAST(o_totalprice IS NULL AS DOUBLE) AS is_missing,
         |  med
         |FROM orders, stats ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "ana_count_distinct" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_custkeys,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders""".stripMargin,
+
+    "ana_impute_mean" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |    CASE WHEN ${TextHash.h28Sql("c_name")} % 10 = 0 THEN NULL
+         |         ELSE c_acctbal END AS bal
+         |  FROM customer),
+         |m AS (SELECT round(CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+         |    / COUNT(bal), 2) AS mean_bal FROM c)
+         |SELECT c_custkey, CAST(bal IS NULL AS INT) AS was_missing,
+         |  COALESCE(bal, mean_bal) AS bal_imputed
+         |FROM c, m ORDER BY c_custkey LIMIT 1000""".stripMargin,
 
     "ana_freq_event_types" ->
       """SELECT event_type, COUNT(*) AS n FROM events

@@ -167,6 +167,87 @@ object MLPack {
         .limit(10)
     }),
 
+    // V6 — relation scan (ref predicter.py:126-175 scan_relationship):
+    // score a fixed node pair across every candidate relation type,
+    // "strict" = only relations both endpoints participate in (the
+    // schema-allowed set), argmax tracked like the reference's best_rel.
+    // Relations ≈ p_type; score = Jaccard overlap of the pair's
+    // per-relation supplier sets. All joins after the per-relation
+    // grouping are on the tiny relation dimension — broadcast territory.
+    "ml_relation_scan" -> ((s, d) => {
+      val (c1, c2) = (1L, 2L)
+      val t = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(col("o_custkey").isin(c1, c2))
+        .select(col("o_custkey").as("c"), col("p_type").as("rel"),
+          col("l_suppkey").as("p"))
+        .distinct()
+      val s1 = t.filter(col("c") === c1).select(col("rel"), col("p"))
+      val s2 = t.filter(col("c") === c2).select(col("rel"), col("p"))
+      val n1 = s1.groupBy(col("rel")).agg(count(lit(1)).as("n1"))
+      val n2 = s2.groupBy(col("rel")).agg(count(lit(1)).as("n2"))
+      val common = s1.join(s2, Seq("rel", "p")).groupBy(col("rel"))
+        .agg(count(lit(1)).as("n_common"))
+      val scored = n1.join(n2, "rel")                    // strict: both sides active
+        .join(common, Seq("rel"), "left")
+        .select(col("rel"), col("n1"), col("n2"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("score", round(col("n_common") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"), 6))
+      val best = scored.agg(max(col("score")).as("best"))
+      scored.crossJoin(broadcast(best))
+        .select(col("rel"), col("n1"), col("n2"), col("n_common"), col("score"),
+          (col("score") === col("best")).cast("int").as("is_best"))
+        .orderBy(col("rel"))
+    }),
+
+    // V7 — constrained recommendation (ref ai_service.py:87-147): overfetch
+    // top-100 candidates, halve the score of pairs whose account-balance
+    // gap exceeds 5000 (the age-gap analog), anti-join the taboo set
+    // (candidates sharing ≥3 returned-goods suppliers with the query
+    // customer ≈ existing-family-edge exclusion), re-rank, top-10.
+    "ml_constrained_recommend" -> ((s, d) => {
+      val QueryCust = 1L
+      val e = edges(s, d)
+      val deg = e.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+      val mySupps = e.filter(col("c") === QueryCust).select(col("p"))
+      val cdeg = e.groupBy(col("c").as("cand")).agg(count(lit(1)).as("cdeg"))
+      val base = e.join(mySupps.hint("broadcast"), "p")
+        .filter(col("c") =!= QueryCust)
+        .join(deg, "p")
+        .groupBy(col("c").as("cand"))
+        .agg(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)).as("aa"))
+        .join(cdeg, "cand")
+        .select(col("cand"),
+          round(col("aa") / (log(col("cdeg") + 1) + 1), 6).as("score"))
+        .orderBy(col("score").desc, col("cand").asc)
+        .limit(100)                                      // overfetch
+      val balQ = Tables.customer(s, d).filter(col("c_custkey") === QueryCust)
+        .select(col("c_acctbal").as("bal_q"))
+      val balC = Tables.customer(s, d)
+        .select(col("c_custkey").as("cand"), col("c_acctbal").as("bal_c"))
+      val rEdges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+      val tabooCand = rEdges
+        .join(rEdges.filter(col("c") === QueryCust).select(col("p")).hint("broadcast"), "p")
+        .filter(col("c") =!= QueryCust)
+        .groupBy(col("c").as("cand")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3).select(col("cand"))
+      base.crossJoin(broadcast(balQ))
+        .join(balC, "cand")
+        .withColumn("score_adj",
+          round(when(abs(col("bal_c") - col("bal_q")) > 5000, col("score") * 0.5)
+            .otherwise(col("score")), 6))
+        .join(tabooCand, Seq("cand"), "left_anti")
+        .select(col("cand"), col("score"), col("score_adj"))
+        .orderBy(col("score_adj").desc, col("cand").asc)
+        .limit(10)
+    }),
+
     // M4/M7 — the actual MLlib pipeline: features from one hash-half of
     // the graph predict co-purchase links observed in the other half;
     // logistic regression + ROC-AUC (ref README 0.76 AUC bar). Not
@@ -243,6 +324,54 @@ object MLPack {
       s"""WITH $edgesSql, $pairSampleSql, $pairFeaturesSql
          |SELECT c1, c2, common_neighbors, adamic_adar, pref_attachment, same_nation
          |FROM feat ORDER BY c1, c2 LIMIT 5000""".stripMargin,
+
+    "ml_relation_scan" ->
+      """WITH t AS (SELECT DISTINCT o_custkey AS c, p_type AS rel, l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE o_custkey IN (1, 2)),
+        |s1 AS (SELECT rel, p FROM t WHERE c = 1),
+        |s2 AS (SELECT rel, p FROM t WHERE c = 2),
+        |n1 AS (SELECT rel, COUNT(*) AS n1 FROM s1 GROUP BY rel),
+        |n2 AS (SELECT rel, COUNT(*) AS n2 FROM s2 GROUP BY rel),
+        |cm AS (SELECT s1.rel, COUNT(*) AS n_common
+        |  FROM s1 JOIN s2 ON s1.rel = s2.rel AND s1.p = s2.p GROUP BY s1.rel),
+        |sc AS (SELECT n1.rel, n1.n1, n2.n2, COALESCE(cm.n_common, 0) AS n_common,
+        |    round(COALESCE(cm.n_common, 0) /
+        |      CAST(n1.n1 + n2.n2 - COALESCE(cm.n_common, 0) AS DOUBLE), 6) AS score
+        |  FROM n1 JOIN n2 ON n1.rel = n2.rel
+        |  LEFT JOIN cm ON cm.rel = n1.rel)
+        |SELECT rel, n1, n2, n_common, score,
+        |  CAST(score = (SELECT MAX(score) FROM sc) AS INT) AS is_best
+        |FROM sc ORDER BY rel""".stripMargin,
+
+    "ml_constrained_recommend" ->
+      s"""WITH $edgesSql,
+         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM edges GROUP BY p),
+         |my AS (SELECT p FROM edges WHERE c = 1),
+         |cdeg AS (SELECT c AS cand, COUNT(*) AS cdeg FROM edges GROUP BY c),
+         |base AS (SELECT e.c AS cand,
+         |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE)
+         |      / (ln(g.cdeg + 1) + 1), 6) AS score
+         |  FROM edges e JOIN my ON my.p = e.p
+         |  JOIN pdeg d ON d.p = e.p
+         |  JOIN cdeg g ON g.cand = e.c
+         |  WHERE e.c <> 1 GROUP BY e.c, g.cdeg
+         |  ORDER BY score DESC, e.c ASC LIMIT 100),
+         |redges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_returnflag = 'R'),
+         |taboo AS (SELECT r.c AS cand FROM redges r
+         |  JOIN (SELECT p FROM redges WHERE c = 1) q ON q.p = r.p
+         |  WHERE r.c <> 1 GROUP BY r.c HAVING COUNT(*) >= 3)
+         |SELECT b.cand, b.score,
+         |  round(CASE WHEN abs(cc.c_acctbal - qq.c_acctbal) > 5000
+         |    THEN b.score * 0.5 ELSE b.score END, 6) AS score_adj
+         |FROM base b
+         |JOIN customer cc ON cc.c_custkey = b.cand
+         |JOIN customer qq ON qq.c_custkey = 1
+         |WHERE b.cand NOT IN (SELECT cand FROM taboo)
+         |ORDER BY score_adj DESC, b.cand ASC LIMIT 10""".stripMargin,
 
     "ml_recommend_topk" ->
       s"""WITH $edgesSql,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Source/sink pack — SURVEY.md §2.1: the reference's landing-zone formats
+  * as real Spark sources and sinks, checked by round-tripping fixture
+  * tables so the DuckDB oracle can verify the result against the
+  * originals.
+  *
+  * - S6/S7 (ref extractor.py:150-169, transformer.py:91-114): the
+  *   SPARQL-result shape — nested `{head, binding}` records — written as
+  *   JSON and read back with schema inference, then flattened by nested
+  *   struct projection (`col("binding.name")`), the Spark form of
+  *   `pd.json_normalize` + `.value`-suffix projection.
+  * - S8 (ref transformer.py:16-49): a directory of per-partition files
+  *   where part of the schema lives in the file PATH, not the file body —
+  *   Spark's Hive-style partition discovery recovers `r_regionkey` from
+  *   the `r_regionkey=K/` directory names exactly as the reference parses
+  *   `object_type` out of file names.
+  *
+  * Scale notes: JSON is the landing format only — everything downstream
+  * is parquet. Both queries write through the normal committer (atomic
+  * rename, safe under speculative execution) and read back with
+  * parallelism = file count; at 100 TB the same code reads a whole
+  * landing directory because `spark.read.json(dir)` takes directories.
+  */
+object SourcesPack {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scratch dir for sink round-trips, keyed so sf dirs don't collide. */
+  private def scratch(d: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sources/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  val queries: Map[String, Q] = Map(
+    // S6+S7 — JSON sink then scan+flatten: nation rows nested into the
+    // SPARQL-binding shape, written as JSON lines, schema-inferred back,
+    // flattened via nested struct projection.
+    "src_json_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "nation_json")
+      Tables.nation(s, d)
+        .select(
+          struct(col("n_nationkey").as("key")).as("head"),
+          struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("binding"))
+        .write.mode(SaveMode.Overwrite).json(out)
+      s.read.json(out)
+        .select(
+          col("head.key").cast("int").as("n_nationkey"),
+          col("binding.name").as("n_name"),
+          col("binding.region").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // S8 — multi-file scan with path-derived column: region written as
+    // JSON partitioned by r_regionkey (one directory per key), read back
+    // through partition discovery.
+    "src_multifile_union" -> ((s, d) => {
+      val out = scratch(d, "region_parts")
+      Tables.region(s, d)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("r_regionkey").json(out)
+      s.read.json(out)
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "src_json_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_multifile_union" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
+  )
+}

@@ -21,11 +21,22 @@ object StreamingPack {
       val res = StreamOps.runToMemory(s,
         StreamOps.windowCounts(StreamOps.eventsStream(s, d)), name)
       res.orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // Native session_window sessionization run as a stream, rolled up to
+    // the batch events_sessionize shape — stream must equal batch.
+    "stream_sessionize" -> ((s, d) => {
+      val name = s"graft_stream_sess_${counter.incrementAndGet()}"
+      val sess = StreamOps.runToMemoryComplete(s,
+        StreamOps.sessionize(StreamOps.eventsStream(s, d)), name)
+      StreamOps.sessionRollup(sess, EventsPack.GapUs)
+        .orderBy(col("user_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
-    // Same oracle as events_window_counts: streaming must equal batch.
-    "stream_window_counts" -> EventsPack.oracle("events_window_counts")
+    // Same oracles as the batch twins: streaming must equal batch.
+    "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
+    "stream_sessionize"    -> EventsPack.oracle("events_sessionize")
   )
 }

@@ -53,6 +53,51 @@ object StreamOps {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Event-time gap sessionization with Spark's native session_window —
+    * the streaming form of EventsPack.events_sessionize's islands SQL.
+    * A session's window is [first, last + gap), so duration = end − start
+    * − gap, exact in integer micros. Built-in stateful operator — no
+    * custom mapGroupsWithState needed (Spark-first preference order).
+    * Boundary semantics: an event exactly `gap` after the previous one
+    * starts a NEW session here but extends the session in the batch
+    * islands form (strict `>`); the fixtures contain no exact-gap pairs,
+    * and the spec pins both behaviors on a micro fixture. */
+  def sessionize(events: DataFrame): DataFrame = {
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+  }
+
+  /** Per-user rollup of materialized sessions to the events_sessionize
+    * output shape (n_sessions, n_events, max_session_us). */
+  def sessionRollup(sessions: DataFrame, gapUs: Long): DataFrame =
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("end_us") - col("start_us") - gapUs).as("max_session_us"))
+
+  /** Run a session-window (or other complete-capable stateful) stream
+    * into a memory sink; one AvailableNow batch over a bounded source
+    * emits the final state exactly once. Spark 4 session-window
+    * aggregation allows append/complete but not update; append would
+    * hold every session behind the watermark on a one-shot run. */
+  def runToMemoryComplete(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Complete mode: with a
     * one-shot trigger, append mode would hold every window open behind

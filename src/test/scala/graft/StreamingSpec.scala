@@ -25,6 +25,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("session_window stream rollup equals the batch islands sessionization") {
+    val batch = EventsPack.queries("events_sessionize")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sess = StreamOps.runToMemoryComplete(spark,
+      StreamOps.sessionize(StreamOps.eventsStream(spark, sf())), "spec_sess")
+    val streamed = StreamOps.sessionRollup(sess, EventsPack.GapUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session_window boundary: event exactly at gap starts a new session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]            // (ts_us, user)
+    val df = mem.toDF().toDF("ts_us", "user_id")
+      .withColumn("ts", col("ts_us") * 1000)        // sessionize expects nanos
+    val q = StreamOps.sessionize(df)
+      .writeStream.format("memory").queryName("spec_sess_edge")
+      .outputMode("complete").start()
+    val Gap = EventsPack.GapUs
+    mem.addData((0L, 1L), (Gap - 1, 1L), (2 * Gap, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("spec_sess_edge")
+      .select("start_us", "n_events").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0, Gap-1] coalesce into one session; 2*Gap = (Gap-1) + Gap + 1 is
+    // past the gap and opens a second one.
+    assert(sessions == Map(0L -> 2L, 2 * Gap -> 1L))
+  }
+
   test("MemoryStream: late rows beyond the watermark are dropped in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
