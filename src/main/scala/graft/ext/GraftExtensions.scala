@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.AccentFold
+import graft.functions.{AccentFold, CosineSim}
 
 /** Session extensions registering graft's native Catalyst functions.
   * Activate with .config("spark.sql.extensions", "graft.ext.GraftExtensions")
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("accent_fold"),
       new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
       (children: Seq[Expression]) => AccentFold(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
   }
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity of two numeric array columns as a native Catalyst
+  * expression — the hot-path form of the similarity operators (ref
+  * predicter.py:177-192 pairwise scoring, re-designed for Spark).
+  *
+  * SimilarityPack's posexplode + exact-decimal formulation is the
+  * oracle-of-record (order-independent, engine-exact); this expression is
+  * what a 100 TB ANN scan actually wants in the loop: one codegen'd pass
+  * per row over both arrays, double accumulation, no explode, no shuffle,
+  * stays inside whole-stage codegen (doGenCode below, no UDF boxing).
+  *
+  * Accumulation is sequential in index order, so results are
+  * deterministic row-to-row and run-to-run (IEEE addition is fixed-order
+  * here, unlike a shuffled SUM). Returns null if either side is null or
+  * lengths differ; both float and double element types are accepted.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = if (lt == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rt == FloatType) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = (double) $a.$lGet($i);
+         |    double y = (double) $b.$rGet($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}

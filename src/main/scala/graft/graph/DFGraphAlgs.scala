@@ -12,6 +12,18 @@ import org.apache.spark.storage.StorageLevel
   * no data ever reaches the driver. Rank sums go through exact decimals so
   * results are shuffle-order-independent (see graft.ops.OpsUtil).
   *
+  * Iteration discipline: every frame referenced more than once — the
+  * edge/contribution tables read every round, and a state referenced
+  * twice per round (SSSP's least(dist, reach)) — is persisted LAZILY.
+  * Within the caller's single action each cached subtree then computes
+  * exactly once; without the persist, a doubly-referenced state doubles
+  * the plan every iteration (2^k subplan copies by round k). Lazy caching
+  * beats eager per-round count() materialization: same dedup, but no k
+  * extra job launches (~2s/round overhead at sf0.1, measured). Caches are
+  * NOT unpersisted before the caller's action — an evicted-but-referenced
+  * cache recomputes through its also-evicted parents recursively (the
+  * blowup again); the vertex-sized frames are left to LRU eviction.
+  *
   * Semantics match graft.graph.GraphAlgs (GraphX/Pregel) round for round;
   * GraphSpec asserts agreement on micro-graphs.
   */
@@ -20,17 +32,20 @@ object DFGraphAlgs {
   private def rsum(c: Column): Column =
     sum(c.cast("decimal(28,15)")).cast("double")
 
+  /** Lazily persist a multiply-referenced frame. */
+  private def cached(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Fixed-iteration PageRank over a directed edge list (src, dst):
     * r0 = 1; r_{k+1} = 0.15 + 0.85 * Σ_in r_k(src)/outdeg(src).
     * Returns (id, rank). Ref data_processor.py:56-78 (damping 0.85). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = cached(edges.select(col("src"), col("dst")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val contrib = cached(e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg")))
+    val nodes = cached(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val msgs = contrib.join(rank, contrib("src") === rank("id"))
@@ -43,22 +58,53 @@ object DFGraphAlgs {
     rank
   }
 
+  /** Per-relation ("multi-view") PageRank in ONE BSP job: vertices are
+    * (rel, id) composite keys, so all relation subgraphs iterate together
+    * — the 100 TB form of the reference's loop over ~44 per-relation
+    * igraph PageRanks (ref data_processor.py:35-107). A driver loop of
+    * 44 jobs re-reads and re-shuffles the edge list 44 times; composite
+    * keys do it once, and skew across relations is absorbed by the
+    * normal shuffle partitioning of (rel, id).
+    * Input: (rel, src, dst). Returns (rel, id, rank). */
+  def pageRankByRel(edges: DataFrame, iters: Int): DataFrame = {
+    val e = cached(edges.select(col("rel"), col("src"), col("dst")))
+    val outdeg = e.groupBy(col("rel"), col("src")).agg(count(lit(1)).as("deg"))
+    val contrib = cached(e.join(outdeg, Seq("rel", "src"))
+      .select(col("rel"), col("src"), col("dst"), col("deg")))
+    val nodes = cached(e.select(col("rel"), col("src").as("id"))
+      .union(e.select(col("rel"), col("dst").as("id"))).distinct())
+    var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val msgs = contrib.join(rank,
+          contrib("rel") === rank("rel") && contrib("src") === rank("id"))
+        .select(contrib("rel").as("rel"), col("dst").as("id"),
+          (col("rank") / col("deg")).as("m"))
+        .groupBy(col("rel"), col("id")).agg(rsum(col("m")).as("msum"))
+      rank = nodes.join(msgs, Seq("rel", "id"), "left")
+        .select(col("rel"), col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+
   /** Fixed-round min-plus relaxation over weighted edges (src, dst, w)
     * from one source. Returns (id, dist) with unreached = null.
-    * With w ≡ 1 this is BFS hop count. Ref bfs.py:91-147. */
+    * With w ≡ 1 this is BFS hop count. Ref bfs.py:91-147.
+    * `dist` is read twice per round (relaxation + least-merge), so each
+    * round's state is cached — see the iteration-discipline note above. */
   def shortestPaths(edges: DataFrame, source: Long, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"),
-      coalesce(col("w"), lit(1.0)).as("w")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = cached(edges.select(col("src"), col("dst"),
+      coalesce(col("w"), lit(1.0)).as("w")))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    var dist = nodes.select(col("id"),
-      when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
+    var dist = cached(nodes.select(col("id"),
+      when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
     for (_ <- 1 to iters) {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .filter(col("dist").isNotNull)
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
-      dist = dist.join(relaxed, Seq("id"), "left")
-        .select(col("id"), least(col("dist"), col("reach")).as("dist"))
+      dist = cached(dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), col("reach")).as("dist")))
     }
     dist
   }

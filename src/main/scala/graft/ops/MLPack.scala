@@ -122,13 +122,17 @@ object MLPack {
 
     // M2 — negative sampling: deterministic pseudo-random candidate pairs
     // anti-joined against real edges (ref train_model.py:203-212,
-    // neg_sampling_ratio semantics without torch RNG).
+    // neg_sampling_ratio semantics without torch RNG). The sampler is a
+    // Knuth-style integer mix — pure int64 arithmetic both engines
+    // compute identically, and ~100× cheaper per row than hashing a
+    // concatenated string (this filter runs over the full |C|×|S| cross
+    // product, so per-row cost IS the query cost).
     "ml_neg_sampling" -> ((s, d) => {
       val e = edges(s, d)
       val cust = Tables.customer(s, d).select(col("c_custkey").as("c"))
       val supp = Tables.supplier(s, d).select(col("s_suppkey").as("p"))
       val cand = cust.crossJoin(supp)
-        .filter(h28(concat_ws("_", col("c"), col("p"))) % 20 === 0)
+        .filter((col("c") * 2654435761L + col("p") * 40503L) % 1000003L % 20 === 0)
       val neg = cand.join(e, Seq("c", "p"), "left_anti")
       neg.agg(count(lit(1)).as("n_negatives"),
         countDistinct(col("c")).as("n_customers"),
@@ -258,10 +262,16 @@ object MLPack {
       val eA = e.filter(parity === 0)                    // feature graph
       val eB = e.filter(parity === 1)                    // label graph
       // Labels: pair sample labeled by sharing a supplier in half B.
+      // Existence is checked by joining the SAMPLE against half B — never
+      // by materializing all co-purchase pairs first (that intermediate
+      // is Σ_p deg(p)² ≈ 180M rows at sf0.1 and quadratic in hub degree
+      // at scale; the sample-side join is |sample|·avg-degree).
       val pairs = pairSample(s, d)
-      val posB = eB.as("x").join(eB.as("y"),
-          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .select(col("x.c").as("c1"), col("y.c").as("c2")).distinct()
+      val posB = pairs
+        .join(eB.select(col("c").as("c1"), col("p")), "c1")
+        .join(eB.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .select(col("c1"), col("c2")).distinct()
         .withColumn("label", lit(1.0))
       val labeled = pairs.join(posB, Seq("c1", "c2"), "left")
         .na.fill(0.0, Seq("label"))
@@ -277,9 +287,12 @@ object MLPack {
           sum(lit(1.0) / log(col("pdeg") + 1)).as("aa"))
       val data = labeled.join(cn, Seq("c1", "c2"), "left")
         .na.fill(0.0, Seq("cn", "aa"))
+      // The feature pipeline above is a wide join DAG that fit/transform/
+      // count would otherwise each recompute — materialize it once.
       val assembled = new VectorAssembler()
         .setInputCols(Array("cn", "aa")).setOutputCol("features")
         .transform(data)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val split = h28(concat_ws("_", col("c1"), col("c2"))) % 10
       val train = assembled.filter(split < 8)
       val test = assembled.filter(split >= 8)
@@ -291,10 +304,12 @@ object MLPack {
         .setLabelCol("label").setMetricName("areaUnderROC")
         .evaluate(model.transform(test))
       import s.implicits._
-      Seq(
+      val out = Seq(
         ("areaUnderROC", auc),
         ("train_rows", train.count().toDouble),
         ("test_rows", test.count().toDouble)).toDF("metric", "value")
+      assembled.unpersist(false)
+      out
     })
   )
 
@@ -312,7 +327,7 @@ object MLPack {
       s"""WITH $edgesSql,
          |cand AS (SELECT c_custkey AS c, s_suppkey AS p
          |  FROM customer CROSS JOIN supplier
-         |  WHERE ${h28Sql("concat(c_custkey, '_', s_suppkey)")} % 20 = 0),
+         |  WHERE (c_custkey * 2654435761 + s_suppkey * 40503) % 1000003 % 20 = 0),
          |neg AS (SELECT * FROM cand WHERE NOT EXISTS (
          |  SELECT 1 FROM edges e WHERE e.c = cand.c AND e.p = cand.p))
          |SELECT COUNT(*) AS n_negatives,

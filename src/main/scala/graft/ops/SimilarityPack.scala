@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 import graft.tables.Tables
@@ -29,6 +30,9 @@ object SimilarityPack {
   private val NumPlanes = 6
   private val QueryVec  = 0L
   private val Dim       = 64
+  /** IVF coarse-quantizer pivot ids (data vectors doubling as centroids —
+    * at real scale these come from a k-means fit, here a fixed seed set). */
+  private val Pivots    = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
 
   /** Exact order-independent sum at unit scale: products of normalized
     * embedding components need 15 fractional digits (OpsUtil.dsum's
@@ -105,16 +109,23 @@ object SimilarityPack {
   }
 
   val queries: Map[String, Q] = Map(
-    // Embedding-cosine near-duplicates: all pairs with cosine >= 0.95
-    // (the all-pairs form is the small-data oracle; the LSH variant below
-    // is the scale path).
+    // Embedding-cosine near-duplicates, two-phase: (1) all pairs scanned
+    // with the native codegen'd cosine_sim expression (one tight loop per
+    // pair, no explode — this is what makes the all-pairs scan feasible),
+    // keeping pairs above threshold−1e-4 as candidates; (2) the exact
+    // decimal cosine recomputed on the few survivors so the reported
+    // values and the final >= threshold cut are engine-exact. The same
+    // approximate-prefilter + exact-verify shape as the LSH/IVF paths —
+    // phase 1's margin (~1e-15 actual double-vs-decimal drift) makes
+    // phase 2's exact filter the only one that decides.
     "sim_cosine_neardup" -> ((s, d) => {
-      val c = comps(s, d)
-      val ids = Tables.embeddings(s, d).select(col("vec_id"))
-      val pairs = ids.select(col("vec_id").as("i"))
-        .crossJoin(ids.select(col("vec_id").as("j")))
-        .filter(col("i") < col("j"))
-      cosineOf(c, pairs)
+      val emb = Tables.embeddings(s, d)
+      val cand = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
+        .join(emb.select(col("vec_id").as("j"), col("embedding").as("vb")),
+          col("i") < col("j"))
+        .filter(call_function("cosine_sim", col("va"), col("vb")) >= 0.45 - 1e-4)
+        .select(col("i"), col("j"))
+      cosineOf(comps(s, d), cand)
         .filter(col("cosine") >= 0.45)
         .orderBy(col("i"), col("j"))
     }),
@@ -132,6 +143,23 @@ object SimilarityPack {
         .limit(10)
     }),
 
+    // Brute-force top-k through the native cosine_sim Catalyst expression
+    // (graft.functions.CosineSim) — the hot-path form: one codegen'd pass
+    // per row over the arrays, no explode, broadcast query vector. Must
+    // return exactly what the posexplode/decimal oracle returns after
+    // 6-place rounding (double accumulation is sequential in index order;
+    // TrainingDataSpec pins agreement with the exact form at 1e-9).
+    "sim_native_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === QueryVec).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= QueryVec)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(call_function("cosine_sim", col("embedding"), col("qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Hyperplane-LSH bucket stats: bucket population histogram — shows
     // the candidate-set reduction the LSH path buys at scale.
     "sim_lsh_buckets" -> ((s, d) => {
@@ -139,6 +167,33 @@ object SimilarityPack {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("n_vectors").desc, col("bucket").asc)
         .limit(20)
+    }),
+
+    // IVF-style ANN: assign every vector to its nearest of 8 fixed pivot
+    // vectors (the coarse quantizer — k-means centroids at real scale),
+    // probe only the query's cell, exact cosine re-rank inside the cell.
+    // Assignment uses the same exact-decimal cosine as the re-rank so
+    // both engines pick identical cells (no float-argmax drift).
+    "sim_ivf_topk" -> ((s, d) => {
+      val c = comps(s, d)
+      val allIds = Tables.embeddings(s, d).select(col("vec_id"))
+      val assignPairs = allIds.select(col("vec_id").as("j"))
+        .crossJoin(allIds.filter(col("vec_id").isin(Pivots: _*))
+          .select(col("vec_id").as("i")))
+      val assign = cosineOf(c, assignPairs)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("j")).orderBy(col("cosine").desc, col("i").asc)))
+        .filter(col("rn") === 1)
+        .select(col("j").as("vec_id"), col("i").as("pivot"))
+      val qcell = assign.filter(col("vec_id") === QueryVec)
+        .select(col("pivot").as("qpivot"))
+      val cand = assign.join(broadcast(qcell), col("pivot") === col("qpivot"))
+        .filter(col("vec_id") =!= QueryVec)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+      cosineOf(c, cand)
+        .select(col("j").as("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
     }),
 
     // LSH-bucketed ANN: candidates share the query's 16-bit bucket;
@@ -181,6 +236,42 @@ object SimilarityPack {
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Same oracle as the exact brute-force form: the native expression
+    // must agree after rounding.
+    "sim_native_topk" ->
+      s"""WITH $compsSql, $normsSql,
+         |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM embeddings
+         |  WHERE vec_id <> $QueryVec),
+         |$cosinePairSql
+         |SELECT j AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_ivf_topk" -> {
+      val pivotList = Pivots.mkString(", ")
+      s"""WITH $compsSql, $normsSql,
+         |apairs AS (SELECT p.vec_id AS i, v.vec_id AS j
+         |  FROM embeddings v CROSS JOIN embeddings p
+         |  WHERE p.vec_id IN ($pivotList)),
+         |adot AS (SELECT p.i, p.j,
+         |    CAST(SUM(CAST(x.v * y.v AS $PsumCast)) AS DOUBLE) AS dot
+         |  FROM apairs p
+         |  JOIN comps x ON x.vec_id = p.i
+         |  JOIN comps y ON y.vec_id = p.j AND y.pos = x.pos
+         |  GROUP BY p.i, p.j),
+         |acos AS (SELECT d.i, d.j, round(d.dot / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM adot d JOIN nrm a ON a.vec_id = d.i JOIN nrm b ON b.vec_id = d.j),
+         |assign AS (SELECT j AS vec_id, i AS pv FROM (
+         |    SELECT i, j, row_number() OVER (
+         |      PARTITION BY j ORDER BY cosine DESC, i ASC) AS rn
+         |    FROM acos) WHERE rn = 1),
+         |pairs AS (SELECT $QueryVec AS i, a.vec_id AS j FROM assign a
+         |  WHERE a.pv = (SELECT pv FROM assign WHERE vec_id = $QueryVec)
+         |    AND a.vec_id <> $QueryVec),
+         |$cosinePairSql
+         |SELECT j AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "sim_lsh_buckets" ->
       s"""WITH $compsSql, $planesSql, $bucketsSql

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AnalyticsPack
+
+/** Property-style invariants SURVEY.md §5 calls for: the relationships an
+  * operator must preserve on ANY input, checked on seeded generated
+  * micro-data — complementing the DuckDB oracle's fixed-fixture value
+  * checks.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  test("approx_count_distinct (HLL) is within 5% of exact on orders") {
+    val o = graft.tables.Tables.orders(spark, sf("sf0.01"))
+    val r = o.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.01).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"HLL estimate $approx vs exact $exact")
+  }
+
+  test("canonical-edge dedup is invariant under edge flip (D3 symmetry)") {
+    for (_ <- 1 to 5) {
+      val pairs = List.fill(40)((rng.nextLong(8) + 1, rng.nextLong(8) + 1))
+      val df = pairs.toDF("a", "b")
+      val flipped = df.select(col("b").as("a"), col("a").as("b"))
+      def canon(d: org.apache.spark.sql.DataFrame) = d
+        .select(least(col("a"), col("b")).as("k1"),
+          greatest(col("a"), col("b")).as("k2"))
+        .dropDuplicates("k1", "k2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(canon(df) == canon(flipped))
+    }
+  }
+
+  test("dedup is idempotent: dropDuplicates twice = once") {
+    for (_ <- 1 to 3) {
+      val xs = List.fill(30)(rng.nextLong(6))
+      val once = xs.toDF("x").dropDuplicates("x")
+      assert(once.dropDuplicates("x").count() == once.count())
+    }
+  }
+
+  test("CCDF is monotone non-increasing and starts at 1") {
+    val rows = AnalyticsPack.queries("ana_degree_ccdf")(spark, sf())
+      .select("ccdf").collect().map(_.getDouble(0))
+    assert(rows.nonEmpty && math.abs(rows.head - 1.0) < 1e-12)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-12)
+      case _           =>
+    }
+  }
+
+  test("minhash signature depends on the shingle set, not document order") {
+    import graft.ops.TextHash._
+    def sigOf(texts: Seq[String]): Map[Int, Long] =
+      texts.toDF("text")
+        .select(explode(shingles(col("text"), 3)).as("sh")).distinct()
+        .withColumn("h", h28(col("sh")))
+        .select(explode(sequence(lit(0), lit(15))).as("j"), col("h"))
+        .groupBy("j").agg(min(affine(col("h"), col("j"))).as("mh"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fwd = sigOf(Seq("a b c d e", "f g h i j"))
+    val rev = sigOf(Seq("f g h i j", "a b c d e"))
+    assert(fwd == rev)
+  }
+}

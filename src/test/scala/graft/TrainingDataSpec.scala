@@ -40,6 +40,33 @@ class TrainingDataSpec extends SparkSpec {
     lsh.keySet.intersect(bf.keySet).foreach { id => assert(lsh(id) == bf(id)) }
   }
 
+  test("native cosine_sim matches the exact posexplode cosine to 1e-9") {
+    val native = SimilarityPack.queries("sim_native_topk")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = SimilarityPack.queries("sim_bruteforce_topk")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native.keySet == exact.keySet,
+      "same top-10 ids through the native expression and the exact form")
+    native.foreach { case (id, c) => assert(math.abs(c - exact(id)) <= 1e-9) }
+  }
+
+  test("cosine_sim: nulls, length mismatch, and zero vectors return null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical → 1.0
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f)),   // orthogonal → 0.0
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)))   // zero norm → null
+      .toDF("a", "b")
+    val got = df.select(call_function("cosine_sim", col("a"), col("b"))).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1).getDouble(0)) < 1e-12)
+    assert(got(2).isNullAt(0))
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b"))).collect()
+    assert(mismatch(0).isNullAt(0))
+  }
+
   test("fingerprint is order-sensitive where minhash is not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
