@@ -52,6 +52,37 @@ object SourcesPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Bucketed sink + co-located join (the §4 shuffle-elimination story):
+    // both sides written bucketed on the join key with the same bucket
+    // count, so the fact-fact join runs with NO exchange on either side —
+    // at 100 TB this is the difference between joining in place and
+    // re-shuffling the lake. PlanSpec asserts the join-key exchanges are
+    // absent from the physical plan.
+    "etl_bucketed_join" -> ((s, d) => {
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (liT, ordT) = (s"graft_li_$sfx", s"graft_ord_$sfx")
+      // Drop catalog entries AND stale warehouse dirs (the in-memory
+      // catalog forgets tables between sessions; the directories remain).
+      Seq(liT, ordT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath + "/" + t)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+      s.table(ordT)
+        .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(OpsUtil.dsum(col("l_extendedprice")).as("total_spend"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_custkey")).limit(1000)
+    }),
+
     // S8 — multi-file scan with path-derived column: region written as
     // JSON partitioned by r_regionkey (one directory per key), read back
     // through partition discovery.
@@ -72,6 +103,12 @@ object SourcesPack {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "src_multifile_union" ->
-      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "etl_bucketed_join" ->
+      s"""SELECT o_custkey, ${OpsUtil.dsumSql("l_extendedprice")} AS total_spend,
+         |  COUNT(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000""".stripMargin
   )
 }

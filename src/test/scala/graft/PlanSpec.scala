@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.{AnalyticsPack, RelationalPack, SearchPack}
+
+/** Physical-plan shape regressions: the scan must prune and push down,
+  * dimension joins must broadcast, and nothing may fall back to a
+  * cartesian product. These are the properties that decide whether a
+  * query survives a 100× scale-up — checked on the plan, not the wall
+  * clock, so they hold at any SF.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("hub_top10_customers broadcasts the customer dimension") {
+    val p = planOf(RelationalPack.queries("hub_top10_customers")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("agg_orders_by_year pushes the date filter into the parquet scan") {
+    val p = planOf(RelationalPack.queries("agg_orders_by_year")(spark, sf()))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("q1_pricing_summary scan reads only the needed columns") {
+    val p = planOf(RelationalPack.queries("q1_pricing_summary")(spark, sf()))
+    // lineitem has 11 columns; the scan schema must not include the keys
+    // the query never touches.
+    assert(!p.contains("l_partkey"), "column pruning lost: l_partkey read")
+    assert(!p.contains("l_suppkey"), "column pruning lost: l_suppkey read")
+  }
+
+  test("search_fuzzy_topk plans a TakeOrderedAndProject, not a global sort") {
+    val p = planOf(SearchPack.queries("search_fuzzy_topk")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed co-located join has no exchange on the join keys") {
+    // Disable auto-broadcast so the join can't dodge the question at
+    // micro scale — the property under test is that BUCKETING removes
+    // the shuffle, which is what holds when both sides are 50 TB.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val p = planOf(graft.ops.SourcesPack.queries("etl_bucketed_join")(spark, sf()))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(p.contains("Bucketed: true"), "scan did not use the bucket layout")
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+        "orders side re-shuffled despite bucketing")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+        "lineitem side re-shuffled despite bucketing")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
+  test("co-occurrence self-join is an equi-join, not a cartesian product") {
+    val p = planOf(AnalyticsPack.queries("ana_cooccurrence_pairs")(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}
