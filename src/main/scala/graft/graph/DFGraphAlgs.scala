@@ -109,6 +109,31 @@ object DFGraphAlgs {
     dist
   }
 
+  /** One-to-many batch shortest paths from MULTIPLE sources in one BSP
+    * run — the reference's 100k-pair six-degrees experiment shape
+    * (ref bfs.py:119-147, analysis_service.py:223-263: group pairs by
+    * source, one multi-target Dijkstra per source, process pool). Here
+    * the state is the REACHED set of (s0, id, dist) triples — sparse in
+    * early rounds and never nodes×sources — and all sources advance in
+    * the same synchronous rounds: one job, no driver loop, no pool.
+    * Input: weighted edges (src, dst, w). Returns (s0, id, dist). */
+  def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = cached(edges.select(col("src"), col("dst"),
+      coalesce(col("w"), lit(1.0)).as("w")))
+    var dist = cached(sources.toDF("s0")
+      .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
+    for (_ <- 1 to iters) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .groupBy(col("s0"), col("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("reach"))
+      dist = cached(dist.join(relaxed, Seq("s0", "id"), "full")
+        .select(col("s0"), col("id"), least(col("dist"), col("reach")).as("dist")))
+    }
+    dist
+  }
+
   /** Undirected total degree per vertex. Ref data_processor.py:83-93. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

@@ -27,23 +27,29 @@ object DedupPack {
   private val NumHashes = 16
   private val BandSize  = 4   // 4 bands × 4 rows
 
-  /** (doc_id, shingle) distinct word-3-gram rows. */
+  /** (doc_id, shingle) distinct word-3-gram rows (session-cached: the
+    * LSH, signature, and Jaccard queries all start here). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-      .distinct()
+    DFCache.cached(s, s"dedup.shingles:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+        .distinct()
+    }
 
   private val shingleRowsSql =
     s"""sh AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("text")}) AS sh
        |  FROM documents)""".stripMargin
 
-  /** MinHash signatures: (doc_id, j, mh) for j in 0..15. */
+  /** MinHash signatures: (doc_id, j, mh) for j in 0..15 (session-cached:
+    * shared by the signature digest and the LSH band join). */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
-      .withColumn("h", h28(col("sh")))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"), col("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(affine(col("h"), col("j"))).as("mh"))
+    DFCache.cached(s, s"dedup.signatures:$d") {
+      shingleRows(s, d)
+        .withColumn("h", h28(col("sh")))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"), col("h"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(affine(col("h"), col("j"))).as("mh"))
+    }
 
   private val signaturesSql =
     s"""$shingleRowsSql,

@@ -27,12 +27,15 @@ import TextHash.{h28, h28Sql}
 object MLPack {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct customer→supplier edges. */
+  /** Distinct customer→supplier edges (session-cached: every ML query
+    * starts from this same link universe). */
   private def edges(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .distinct()
+    DFCache.cached(s, s"ml.edges:$d") {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+    }
 
   private val edgesSql =
     """edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p

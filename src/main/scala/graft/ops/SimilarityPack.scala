@@ -41,11 +41,14 @@ object SimilarityPack {
     sum(c.cast("decimal(28,15)")).cast("double")
   private val PsumCast = "DECIMAL(28,15)"
 
-  /** (vec_id, pos, v) exploded embedding components, as double. */
+  /** (vec_id, pos, v) exploded embedding components, as double
+    * (session-cached: every exact-cosine query re-reads this). */
   private def comps(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    DFCache.cached(s, s"sim.comps:$d") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    }
 
   private val compsSql =
     s"""comps AS (SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v

@@ -34,6 +34,19 @@ class GraphSpec extends SparkSpec {
     assert(got(5L).isEmpty && got(6L).isEmpty)
   }
 
+  test("multiSourceShortestPaths agrees with per-source shortestPaths") {
+    val sources = Seq(1L, 3L, 5L)
+    val multi = DFGraphAlgs.multiSourceShortestPaths(edgeDF, sources, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sources.foreach { s0 =>
+      val single = DFGraphAlgs.shortestPaths(edgeDF, s0, 6)
+        .filter($"dist".isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val mine = multi.collect { case ((s, id), dd) if s == s0 => id -> dd }.toMap
+      assert(mine == single, s"source $s0: $mine != $single")
+    }
+  }
+
   test("BFS hops: w=1 shortestPaths gives hop counts") {
     val got = DFGraphAlgs.shortestPaths(edgeDF.withColumn("w", lit(1.0)), 1L, 6)
       .filter($"dist".isNotNull)
