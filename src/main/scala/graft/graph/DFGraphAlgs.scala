@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** DataFrame-native synchronous graph algorithms (fixed-round BSP).
   *
@@ -12,17 +11,18 @@ import org.apache.spark.storage.StorageLevel
   * no data ever reaches the driver. Rank sums go through exact decimals so
   * results are shuffle-order-independent (see graft.ops.OpsUtil).
   *
-  * Iteration discipline: every frame referenced more than once — the
-  * edge/contribution tables read every round, and a state referenced
-  * twice per round (SSSP's least(dist, reach)) — is persisted LAZILY.
-  * Within the caller's single action each cached subtree then computes
-  * exactly once; without the persist, a doubly-referenced state doubles
-  * the plan every iteration (2^k subplan copies by round k). Lazy caching
-  * beats eager per-round count() materialization: same dedup, but no k
-  * extra job launches (~2s/round overhead at sf0.1, measured). Caches are
-  * NOT unpersisted before the caller's action — an evicted-but-referenced
-  * cache recomputes through its also-evicted parents recursively (the
-  * blowup again); the vertex-sized frames are left to LRU eviction.
+  * Iteration discipline: each round's state is LOCAL-CHECKPOINTED —
+  * materialized and its LOGICAL lineage truncated to an RDD scan.
+  * persist() alone is not enough: the physical data dedups, but every
+  * downstream action still re-ANALYZES the full k-round join tree on the
+  * driver, which dominates wall time (measured ~35 s of pure planning
+  * for a fully-cached 6-round BFS at sf0.1 — execution itself was
+  * milliseconds). Truncating the plan per round keeps analysis O(1) per
+  * round; GraphX's Pregel does the equivalent RDD materialization
+  * internally. localCheckpoint is executor-local (fine on local[*] and
+  * for driver-session lifetimes; a long-lived cluster job that must
+  * survive executor loss would use reliable checkpoint() to a
+  * fault-tolerant store instead).
   *
   * Semantics match graft.graph.GraphAlgs (GraphX/Pregel) round for round;
   * GraphSpec asserts agreement on micro-graphs.
@@ -32,19 +32,19 @@ object DFGraphAlgs {
   private def rsum(c: Column): Column =
     sum(c.cast("decimal(28,15)")).cast("double")
 
-  /** Lazily persist a multiply-referenced frame. */
-  private def cached(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+  /** Materialize a frame and truncate its logical lineage. */
+  private def mat(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
 
   /** Fixed-iteration PageRank over a directed edge list (src, dst):
     * r0 = 1; r_{k+1} = 0.15 + 0.85 * Σ_in r_k(src)/outdeg(src).
     * Returns (id, rank). Ref data_processor.py:56-78 (damping 0.85). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = cached(edges.select(col("src"), col("dst")))
+    val e = mat(edges.select(col("src"), col("dst")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = cached(e.join(outdeg, "src")
+    val contrib = mat(e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg")))
-    val nodes = cached(e.select(col("src").as("id"))
+    val nodes = mat(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
@@ -67,11 +67,11 @@ object DFGraphAlgs {
     * normal shuffle partitioning of (rel, id).
     * Input: (rel, src, dst). Returns (rel, id, rank). */
   def pageRankByRel(edges: DataFrame, iters: Int): DataFrame = {
-    val e = cached(edges.select(col("rel"), col("src"), col("dst")))
+    val e = mat(edges.select(col("rel"), col("src"), col("dst")))
     val outdeg = e.groupBy(col("rel"), col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = cached(e.join(outdeg, Seq("rel", "src"))
+    val contrib = mat(e.join(outdeg, Seq("rel", "src"))
       .select(col("rel"), col("src"), col("dst"), col("deg")))
-    val nodes = cached(e.select(col("rel"), col("src").as("id"))
+    val nodes = mat(e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct())
     var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
@@ -93,17 +93,17 @@ object DFGraphAlgs {
     * `dist` is read twice per round (relaxation + least-merge), so each
     * round's state is cached — see the iteration-discipline note above. */
   def shortestPaths(edges: DataFrame, source: Long, iters: Int): DataFrame = {
-    val e = cached(edges.select(col("src"), col("dst"),
+    val e = mat(edges.select(col("src"), col("dst"),
       coalesce(col("w"), lit(1.0)).as("w")))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    var dist = cached(nodes.select(col("id"),
+    var dist = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
     for (_ <- 1 to iters) {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .filter(col("dist").isNotNull)
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
-      dist = cached(dist.join(relaxed, Seq("id"), "left")
+      dist = mat(dist.join(relaxed, Seq("id"), "left")
         .select(col("id"), least(col("dist"), col("reach")).as("dist")))
     }
     dist
@@ -120,15 +120,15 @@ object DFGraphAlgs {
   def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = cached(edges.select(col("src"), col("dst"),
+    val e = mat(edges.select(col("src"), col("dst"),
       coalesce(col("w"), lit(1.0)).as("w")))
-    var dist = cached(sources.toDF("s0")
+    var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
     for (_ <- 1 to iters) {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("reach"))
-      dist = cached(dist.join(relaxed, Seq("s0", "id"), "full")
+      dist = mat(dist.join(relaxed, Seq("s0", "id"), "full")
         .select(col("s0"), col("id"), least(col("dist"), col("reach")).as("dist")))
     }
     dist
