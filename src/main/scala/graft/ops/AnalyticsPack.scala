@@ -123,6 +123,23 @@ object AnalyticsPack {
         .orderBy(col("c_custkey")).limit(1000)
     }),
 
+    // Skew-safe salted aggregation (SURVEY §4 physical-execution note:
+    // the reference's degree distribution has a γ≈3.4 hub tail, so hot
+    // keys are real): phase 1 groups by (key, salt) spreading each hot
+    // key over 16 reducers, phase 2 merges partials per key. Partial
+    // sums STAY decimal between phases so the merged total is exactly
+    // the direct groupBy's answer — which is what the oracle computes.
+    "ana_salted_hub_degrees" -> ((s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).as("ps"))
+      partial.groupBy(col("l_suppkey"))
+        .agg(sum(col("pn")).as("n_items"),
+          sum(col("ps")).cast("double").as("total_price"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // A12 — in-degree per node over the bipartite order graph
     // (ref predicter.py:54-75 bincount).
     "ana_indegree_suppliers" -> ((s, d) => {
@@ -187,6 +204,12 @@ object AnalyticsPack {
 
     "ana_indegree_suppliers" ->
       """SELECT l_suppkey, COUNT(*) AS in_degree FROM lineitem
-        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // The salted two-phase form must equal the direct aggregation.
+    "ana_salted_hub_degrees" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

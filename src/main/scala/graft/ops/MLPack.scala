@@ -209,6 +209,42 @@ object MLPack {
         .orderBy(col("rel"))
     }),
 
+    // V6 loose — zero-shot relation scan (ref predicter.py:137-143: loose
+    // mode tries EVERY decoder, not just schema-allowed relations): score
+    // the pair across the full relation dimension, absent sides count 0,
+    // and the reference's score > 0.001 keep-gate becomes a flag.
+    "ml_relation_scan_loose" -> ((s, d) => {
+      val (c1, c2) = (1L, 2L)
+      val t = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(col("o_custkey").isin(c1, c2))
+        .select(col("o_custkey").as("c"), col("p_type").as("rel"),
+          col("l_suppkey").as("p"))
+        .distinct()
+      val rels = Tables.part(s, d).select(col("p_type").as("rel")).distinct()
+      val s1 = t.filter(col("c") === c1).select(col("rel"), col("p"))
+      val s2 = t.filter(col("c") === c2).select(col("rel"), col("p"))
+      val n1 = s1.groupBy(col("rel")).agg(count(lit(1)).as("n1"))
+      val n2 = s2.groupBy(col("rel")).agg(count(lit(1)).as("n2"))
+      val common = s1.join(s2, Seq("rel", "p")).groupBy(col("rel"))
+        .agg(count(lit(1)).as("n_common"))
+      rels
+        .join(n1, Seq("rel"), "left")
+        .join(n2, Seq("rel"), "left")
+        .join(common, Seq("rel"), "left")
+        .select(col("rel"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("score",
+          when(col("n1") + col("n2") - col("n_common") === 0, lit(0.0))
+            .otherwise(round(col("n_common") /
+              (col("n1") + col("n2") - col("n_common")).cast("double"), 6)))
+        .withColumn("kept", (col("score") > 0.001).cast("int"))
+        .orderBy(col("rel"))
+    }),
+
     // V7 — constrained recommendation (ref ai_service.py:87-147): overfetch
     // top-100 candidates, halve the score of pairs whose account-balance
     // gap exceeds 5000 (the age-gap analog), anti-join the taboo set
@@ -361,6 +397,32 @@ object MLPack {
         |  LEFT JOIN cm ON cm.rel = n1.rel)
         |SELECT rel, n1, n2, n_common, score,
         |  CAST(score = (SELECT MAX(score) FROM sc) AS INT) AS is_best
+        |FROM sc ORDER BY rel""".stripMargin,
+
+    "ml_relation_scan_loose" ->
+      """WITH t AS (SELECT DISTINCT o_custkey AS c, p_type AS rel, l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE o_custkey IN (1, 2)),
+        |rels AS (SELECT DISTINCT p_type AS rel FROM part),
+        |s1 AS (SELECT rel, p FROM t WHERE c = 1),
+        |s2 AS (SELECT rel, p FROM t WHERE c = 2),
+        |n1 AS (SELECT rel, COUNT(*) AS n1 FROM s1 GROUP BY rel),
+        |n2 AS (SELECT rel, COUNT(*) AS n2 FROM s2 GROUP BY rel),
+        |cm AS (SELECT s1.rel, COUNT(*) AS n_common
+        |  FROM s1 JOIN s2 ON s1.rel = s2.rel AND s1.p = s2.p GROUP BY s1.rel),
+        |sc AS (SELECT r.rel,
+        |    COALESCE(n1.n1, 0) AS n1, COALESCE(n2.n2, 0) AS n2,
+        |    COALESCE(cm.n_common, 0) AS n_common
+        |  FROM rels r
+        |  LEFT JOIN n1 ON n1.rel = r.rel
+        |  LEFT JOIN n2 ON n2.rel = r.rel
+        |  LEFT JOIN cm ON cm.rel = r.rel)
+        |SELECT rel, n1, n2, n_common,
+        |  CASE WHEN n1 + n2 - n_common = 0 THEN 0.0
+        |       ELSE round(n_common / CAST(n1 + n2 - n_common AS DOUBLE), 6) END AS score,
+        |  CAST((CASE WHEN n1 + n2 - n_common = 0 THEN 0.0
+        |       ELSE round(n_common / CAST(n1 + n2 - n_common AS DOUBLE), 6) END) > 0.001 AS INT) AS kept
         |FROM sc ORDER BY rel""".stripMargin,
 
     "ml_constrained_recommend" ->

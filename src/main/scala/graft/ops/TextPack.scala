@@ -19,16 +19,25 @@ object TextPack {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   private val StopwordsSqlList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  /** GPT-2-style pre-tokenizer split, reduced to the RE2-compatible core
+    * (no lookahead): optional leading space + letter run / digit run /
+    * punctuation run. */
+  private val BpeIshPattern = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"""
 
   val queries: Map[String, Q] = Map(
-    // Token counting + basic stats per doc (whitespace tokenizer; a
-    // BPE-ish subword proxy = ceil(chars/4), the usual tokens≈chars/4).
+    // Token counting + basic stats per doc: whitespace tokenizer, a
+    // BPE-ish pre-tokenizer regex (word / number / punctuation runs with
+    // leading space, the GPT-2-style split reduced to RE2-compatible
+    // form so both engines count identically), and the usual chars/4
+    // subword estimate.
     "text_token_stats" -> ((s, d) => {
       val ws = tokens(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(ws).as("n_tokens"),
           size(array_distinct(ws)).as("n_distinct_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)))
+            .as("n_bpe_tokens"),
           length(col("text")).as("n_chars"),
           ceil(length(col("text")) / 4.0).cast("long").as("n_subwords_est"),
           round(length(col("text")) / size(ws).cast("double"), 6).as("avg_token_len"))
@@ -93,9 +102,10 @@ object TextPack {
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '$BpeIshPattern')) AS INT) AS n_bpe_tokens,
         |  CAST(length(text) AS INT) AS n_chars,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
         |  round(length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
