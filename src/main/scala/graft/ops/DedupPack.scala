@@ -41,14 +41,18 @@ object DedupPack {
        |  FROM documents)""".stripMargin
 
   /** MinHash signatures: (doc_id, j, mh) for j in 0..15 (session-cached:
-    * shared by the signature digest and the LSH band join). */
+    * shared by the signature digest and the LSH band join). Computed by
+    * the one-pass MinHashSketch aggregate (graft.functions) — identical
+    * values to the explode×16 formulation the DuckDB oracle runs, but
+    * the shuffle carries one 16-slot buffer per doc instead of 16× the
+    * shingle rows (map-side combine does the work). */
   private def signatures(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.signatures:$d") {
       shingleRows(s, d)
         .withColumn("h", h28(col("sh")))
-        .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"), col("h"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(affine(col("h"), col("j"))).as("mh"))
+        .groupBy(col("doc_id"))
+        .agg(call_function("minhash_sketch", col("h")).as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
     }
 
   private val signaturesSql =

@@ -20,6 +20,9 @@ object TextHash {
   val P = 2147483647L
   /** Polynomial rolling-hash base (document fingerprints). */
   val B = 131L
+  /** Signature width shared by the explode-based minhash pipeline and
+    * the one-pass MinHashSketch aggregate (graft.functions). */
+  val NumSketchHashes = 16
 
   /** 28-bit MD5-derived hash of a string column. */
   def h28(c: Column): Column =

@@ -55,6 +55,24 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("one-pass minhash_sketch aggregate equals the explode-based min") {
+    import graft.ops.TextHash._
+    val docs = Seq((1L, "alpha beta gamma delta eps"), (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .withColumn("h", h28(col("sh")))
+    val viaAgg = docs.groupBy(col("doc_id"))
+      .agg(call_function("minhash_sketch", col("h")).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaExplode = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(affine(col("h"), col("j"))).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaExplode)
+  }
+
   test("minhash signature depends on the shingle set, not document order") {
     import graft.ops.TextHash._
     def sigOf(texts: Seq[String]): Map[Int, Long] =
