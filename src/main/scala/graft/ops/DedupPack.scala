@@ -61,6 +61,26 @@ object DedupPack {
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS j)
        |  GROUP BY doc_id, j)""".stripMargin
 
+  /** 32-bit simhash per doc (session-cached; integer bit math only —
+    * DuckDB CAST(double AS BIGINT) rounds where Spark truncates, so
+    * doubles never touch the bit pipeline). */
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"dedup.simhash:$d") {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .distinct()
+        .withColumn("h", h28(col("t")))
+      tok
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("bit"))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
+          .otherwise(-1)).as("balance"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("balance") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(0L)).as("simhash"))
+    }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup audit: hash-groupBy over full text (the 100 TB form —
     // never compares strings, only 128-bit digests).
@@ -145,26 +165,33 @@ object DedupPack {
     // pairs within Hamming distance 6. Bit j of the fingerprint is the
     // sign of Σ_tokens (±1 by bit j of the token hash).
     "dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .distinct()
-        .withColumn("h", h28(col("t")))
-      // Pure integer bit math on both engines — double-based bit
-      // extraction is a trap: DuckDB CAST(double AS BIGINT) rounds to
-      // nearest while Spark's cast truncates.
-      val bits = tok
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("bit"))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
-          .otherwise(-1)).as("balance"))
-      val fp = bits
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("balance") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(0L)).as("simhash"))
+      val fp = simhashFingerprints(s, d)
       fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
           expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // SimHash, banded (the 100 TB form): for Hamming ≤ 1 the differing
+    // bit lies in exactly one of two 16-bit halves, so every qualifying
+    // pair shares at least one half EXACTLY (pigeonhole) — candidates
+    // come from two equality band-joins instead of the all-pairs
+    // product, then the exact Hamming check keeps true matches. Output
+    // is provably identical to dedup_simhash's scan, and the oracle IS
+    // dedup_simhash's all-pairs SQL.
+    "dedup_simhash_banded" -> ((s, d) => {
+      val fp = simhashFingerprints(s, d)
+        .withColumn("b0", expr("simhash & 65535"))
+        .withColumn("b1", expr("shiftright(simhash, 16)"))
+      def bandJoin(band: String) =
+        fp.as("a").join(fp.as("b"),
+            col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+            col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      bandJoin("b0").union(bandJoin("b1")).distinct()
+        .select(col("i"), col("j"),
+          expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
         .filter(col("hamming") <= 1)
         .orderBy(col("i"), col("j"))
     })
@@ -227,6 +254,25 @@ object DedupPack {
          |ORDER BY i, j""".stripMargin,
 
     "dedup_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${h28Sql("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id, bt,
+         |    SUM(CASE WHEN (h >> bt) & 1 = 1 THEN 1 ELSE -1 END) AS balance
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bt)
+         |  GROUP BY doc_id, bt),
+         |fp AS (SELECT doc_id,
+         |    SUM(CASE WHEN balance > 0 THEN (CAST(1 AS BIGINT) << bt) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY i, j""".stripMargin,
+
+    // Pigeonhole equivalence: the banded form must return exactly what
+    // the all-pairs scan returns.
+    "dedup_simhash_banded" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
          |  FROM documents),
          |th AS (SELECT doc_id, ${h28Sql("t")} AS h FROM tok),

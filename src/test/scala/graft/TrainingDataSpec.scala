@@ -22,6 +22,15 @@ class TrainingDataSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("banded simhash equals the all-pairs scan (pigeonhole, hamming<=1)") {
+    val allPairs = DedupPack.queries("dedup_simhash")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = DedupPack.queries("dedup_simhash_banded")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == allPairs)
+    assert(banded.nonEmpty)
+  }
+
   test("simhash near-dups overlap shingle-Jaccard near-dups") {
     val sim = pairs("dedup_simhash")
     val exact = pairs("dedup_ngram_jaccard")
