@@ -62,4 +62,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("banded simhash candidates come from equality joins, not all-pairs") {
+    val p = planOf(graft.ops.DedupPack.queries("dedup_simhash_banded")(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join must be an equi-join on the band value")
+  }
+
+  test("LSH ANN re-rank never plans an all-pairs product") {
+    val p = planOf(graft.ops.SimilarityPack.queries("sim_lsh_topk")(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
