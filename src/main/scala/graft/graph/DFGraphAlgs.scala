@@ -134,6 +134,41 @@ object DFGraphAlgs {
     dist
   }
 
+  /** Fixed-round SSSP with PREDECESSOR tracking — the path-recovery form
+    * (SURVEY §7.4 risk 1: Pregel gives distances cheaply, paths need a
+    * predecessor per vertex, reconstructed by ≤ iters backward joins).
+    * Tie-breaks are fully deterministic: each round's best relaxation per
+    * vertex is chosen by (new-dist, pred-id) lexicographic order, and an
+    * equal-distance rediscovery never replaces the incumbent (strict <),
+    * so both engines converge to the identical predecessor forest.
+    * Returns (id, dist, pred); pred is null for the source/unreached. */
+  def shortestPathsWithPred(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = mat(edges.select(col("src"), col("dst"),
+      coalesce(col("w"), lit(1.0)).as("w")))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var st = mat(nodes.select(col("id"),
+      when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
+      lit(null).cast("long").as("pred")))
+    for (_ <- 1 to iters) {
+      val cand = e.join(st, e("src") === st("id"))
+        .filter(col("dist").isNotNull)
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"),
+          col("src").as("cand_pred"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("nd"), col("cand_pred"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("nd"), col("cand_pred"))
+      val better = col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))
+      st = mat(st.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          when(better, col("nd")).otherwise(col("dist")).as("dist"),
+          when(better, col("cand_pred")).otherwise(col("pred")).as("pred")))
+    }
+    st
+  }
+
   /** Undirected total degree per vertex. Ref data_processor.py:83-93. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

@@ -37,7 +37,7 @@ object DedupPack {
     }
 
   private val shingleRowsSql =
-    s"""sh AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("text")}) AS sh
+    s"""sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(${shingles3Sql("text")}) AS sh
        |  FROM documents)""".stripMargin
 
   /** MinHash signatures: (doc_id, j, mh) for j in 0..15 (session-cached:
@@ -57,7 +57,7 @@ object DedupPack {
 
   private val signaturesSql =
     s"""$shingleRowsSql,
-       |sig AS (SELECT doc_id, j, MIN(${affineSql(h28Sql("sh"), "j")}) AS mh
+       |sig AS MATERIALIZED (SELECT doc_id, j, MIN(${affineSql(h28Sql("sh"), "j")}) AS mh
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS j)
        |  GROUP BY doc_id, j)""".stripMargin
 
@@ -261,7 +261,7 @@ object DedupPack {
          |    SUM(CASE WHEN (h >> bt) & 1 = 1 THEN 1 ELSE -1 END) AS balance
          |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bt)
          |  GROUP BY doc_id, bt),
-         |fp AS (SELECT doc_id,
+         |fp AS MATERIALIZED (SELECT doc_id,
          |    SUM(CASE WHEN balance > 0 THEN (CAST(1 AS BIGINT) << bt) ELSE 0 END) AS simhash
          |  FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS i, b.doc_id AS j,
@@ -280,7 +280,7 @@ object DedupPack {
          |    SUM(CASE WHEN (h >> bt) & 1 = 1 THEN 1 ELSE -1 END) AS balance
          |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bt)
          |  GROUP BY doc_id, bt),
-         |fp AS (SELECT doc_id,
+         |fp AS MATERIALIZED (SELECT doc_id,
          |    SUM(CASE WHEN balance > 0 THEN (CAST(1 AS BIGINT) << bt) ELSE 0 END) AS simhash
          |  FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS i, b.doc_id AS j,

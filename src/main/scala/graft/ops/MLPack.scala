@@ -38,7 +38,7 @@ object MLPack {
     }
 
   private val edgesSql =
-    """edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+    """edges AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
 
   /** Deterministic customer pair sample: (c, c+delta) for delta 1..5 —

@@ -51,7 +51,7 @@ object SimilarityPack {
     }
 
   private val compsSql =
-    s"""comps AS (SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+    s"""comps AS MATERIALIZED (SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
 
   /** Per-vector L2 norm (exact decimal sum of squares, then sqrt). */
@@ -59,7 +59,7 @@ object SimilarityPack {
     c.groupBy(col("vec_id")).agg(sqrt(psum(col("v") * col("v"))).as("nrm"))
 
   private val normsSql =
-    s"""nrm AS (SELECT vec_id,
+    s"""nrm AS MATERIALIZED (SELECT vec_id,
        |    sqrt(CAST(SUM(CAST(v * v AS $PsumCast)) AS DOUBLE)) AS nrm
        |  FROM comps GROUP BY vec_id)""".stripMargin
 
@@ -73,7 +73,7 @@ object SimilarityPack {
   }
 
   private val planesSql =
-    s"""planes AS (SELECT j, pos,
+    s"""planes AS MATERIALIZED (SELECT j, pos,
        |    CASE WHEN ${h28Sql("concat('hp', j, '_', pos)")} % 2 = 1
        |      THEN 1.0 ELSE -1.0 END AS r
        |  FROM (SELECT unnest(range(0, $NumPlanes)) AS j)
@@ -93,7 +93,7 @@ object SimilarityPack {
        |    CAST(SUM(CAST(c.v * p.r AS $PsumCast)) AS DOUBLE) AS dot
        |  FROM comps c JOIN planes p ON p.pos = c.pos
        |  GROUP BY c.vec_id, p.j),
-       |buckets AS (SELECT vec_id,
+       |buckets AS MATERIALIZED (SELECT vec_id,
        |    SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
 
