@@ -185,6 +185,26 @@ object RelationalPack {
         .orderBy(col("c_mktsegment"), col("rk"))
     }),
 
+    // W7 — sortedness validator (ref train_model.py:497-555 verifies
+    // edge_index lexicographic order with diff masks): lag-window check
+    // that lineitem line numbers ascend strictly within each order;
+    // duplicated line numbers surface as violations. The window sort key
+    // is a TOTAL order (the fixture has duplicate line numbers, and a
+    // tie-ambiguous lag would attribute violations to different
+    // returnflags run to run).
+    "win_sortedness_check" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      Tables.lineitem(s, d)
+        .withColumn("prev_ln", lag(col("l_linenumber"), 1).over(w))
+        .select(col("l_returnflag"),
+          (col("prev_ln").isNotNull && col("l_linenumber") <= col("prev_ln"))
+            .cast("int").as("violation"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("violation")).as("n_violations"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // P13 — composite string key synthesis (ref notebook cell 31).
     "etl_composite_key" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -306,6 +326,15 @@ object RelationalPack {
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rk
         |  FROM customer
         |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "win_sortedness_check" ->
+      """WITH l AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    lag(l_linenumber) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS prev_ln
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  SUM(CAST(prev_ln IS NOT NULL AND l_linenumber <= prev_ln AS INT)) AS n_violations
+        |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "etl_composite_key" ->
       """SELECT concat_ws('_', least(l_orderkey, l_suppkey),
