@@ -34,6 +34,21 @@ class GraphSpec extends SparkSpec {
     assert(got(5L).isEmpty && got(6L).isEmpty)
   }
 
+  test("composite-key pageRankByRel equals per-relation pageRank runs") {
+    val relEdges = Seq(
+      ("x", 1L, 2L), ("x", 2L, 1L), ("x", 2L, 3L), ("x", 3L, 2L),
+      ("y", 1L, 2L), ("y", 2L, 3L), ("y", 3L, 1L))
+      .toDF("rel", "src", "dst")
+    val multi = DFGraphAlgs.pageRankByRel(relEdges, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Seq("x", "y").foreach { rel =>
+      val single = DFGraphAlgs.pageRank(relEdges.filter($"rel" === rel), 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val mine = multi.collect { case ((rr, id), v) if rr == rel => id -> v }.toMap
+      assert(mine == single, s"relation $rel diverged")
+    }
+  }
+
   test("multiSourceShortestPaths agrees with per-source shortestPaths") {
     val sources = Seq(1L, 3L, 5L)
     val multi = DFGraphAlgs.multiSourceShortestPaths(edgeDF, sources, 6)
