@@ -58,6 +58,50 @@ class MLSpec extends SparkSpec {
     assert(model.avgMetrics.max > 0.9, s"best AUC ${model.avgMetrics.max}")
   }
 
+  test("S12: PipelineModel save/load round-trip preserves predictions") {
+    // The reference pickles torch state_dicts (model_repo.py:29-33); the
+    // MLlib form is Pipeline persistence — parquet + JSON metadata.
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.PipelineModel
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    import spark.implicits._
+    val data = Seq((1.0, 0.2, 0.0), (0.1, 0.9, 1.0), (0.8, 0.1, 0.0), (0.2, 1.1, 1.0))
+      .toDF("x1", "x2", "label")
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x1", "x2")).setOutputCol("features"),
+      new LogisticRegression().setLabelCol("label").setFeaturesCol("features").setMaxIter(10)))
+    val model = pipe.fit(data)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val a = model.transform(data).select("prediction").collect().map(_.getDouble(0)).toSeq
+    val b = loaded.transform(data).select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
+  test("V2: HashingTF+IDF text-embedding stand-in keeps the Vector contract") {
+    // The reference embeds profile text with SBERT (data_processor.py:
+    // 31-33); no SBERT on Spark, so the engine holds the column contract
+    // (fixed-width Vector per doc) with MLlib HashingTF+IDF — an external
+    // embedder can slot into the same column (SURVEY §2.8 V2).
+    import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+    import org.apache.spark.ml.linalg.Vector
+    val docs = graft.tables.Tables.documents(spark, sf()).limit(50)
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf").setNumFeatures(128)
+    val tfd = tf.transform(tok.transform(docs))
+    val idf = new IDF().setInputCol("tf").setOutputCol("embedding").fit(tfd)
+    val out = idf.transform(tfd).select("doc_id", "embedding").collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getAs[Vector]("embedding").size == 128),
+      "every doc must carry the fixed-width vector contract")
+    // Deterministic: a second pass produces identical vectors.
+    val again = idf.transform(tfd).select("doc_id", "embedding").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Vector](1))).toMap ==
+      again.map(r => (r.getLong(0), r.getAs[Vector](1))).toMap)
+  }
+
   test("ml_link_split: buckets cover all edges, ~80/10/10") {
     val m = MLPack.queries("ml_link_split")(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
