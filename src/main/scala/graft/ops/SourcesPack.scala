@@ -83,6 +83,21 @@ object SourcesPack {
         .orderBy(col("o_custkey")).limit(1000)
     }),
 
+    // P14 — snake_case conversion as the reference implements it: two
+    // regex passes (acronym boundary, then lower/upper boundary) over a
+    // dynamic name column. Runs on the reference's actual raw column
+    // names carried as data; schema-level renames elsewhere apply the
+    // same convention statically.
+    "etl_snake_case" -> ((s, d) => {
+      import s.implicits._
+      CamelCols.toDF("raw")
+        .select(col("raw"),
+          lower(regexp_replace(
+            regexp_replace(col("raw"), "(.)([A-Z][a-z]+)", "$1_$2"),
+            "([a-z0-9])([A-Z])", "$1_$2")).as("snake"))
+        .orderBy(col("raw"))
+    }),
+
     // S8 — multi-file scan with path-derived column: region written as
     // JSON partitioned by r_regionkey (one directory per key), read back
     // through partition discovery.
@@ -97,6 +112,13 @@ object SourcesPack {
     })
   )
 
+  /** The reference's raw SPARQL-projection column names (the inputs its
+    * snake_case pass actually sees — transformer.py:254-269,
+    * tools/rename_columns.py:5-21). */
+  private val CamelCols = Seq(
+    "personLabel", "relationshipLabel", "objectTypeLabel", "birthYear",
+    "personDescription", "subTypeOf", "pygId", "XMLHttpValue")
+
   val oracle: Map[String, String] = Map(
     "src_json_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
@@ -104,6 +126,15 @@ object SourcesPack {
 
     "src_multifile_union" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "etl_snake_case" -> {
+      val values = CamelCols.map(c => s"('$c')").mkString(", ")
+      s"""SELECT raw,
+         |  lower(regexp_replace(
+         |    regexp_replace(raw, '(.)([A-Z][a-z]+)', '\\1_\\2', 'g'),
+         |    '([a-z0-9])([A-Z])', '\\1_\\2', 'g')) AS snake
+         |FROM (VALUES $values) AS t(raw) ORDER BY raw""".stripMargin
+    },
 
     "etl_bucketed_join" ->
       s"""SELECT o_custkey, ${OpsUtil.dsumSql("l_extendedprice")} AS total_spend,
