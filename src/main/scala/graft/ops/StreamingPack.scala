@@ -23,6 +23,21 @@ object StreamingPack {
       res.orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // Streaming exactly-once dedup: the source delivers every event
+    // twice (at-least-once ingestion); dropDuplicates on the event key
+    // collapses the replay, and the per-type aggregate must equal the
+    // batch answer over the ORIGINAL single-copy table.
+    "stream_dedup_events" -> ((s, d) => {
+      val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+      val deduped = StreamOps.runToMemoryAppend(s,
+        StreamOps.dedupEvents(StreamOps.eventsStreamDoubled(s, d)), name)
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          OpsUtil.dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Native session_window sessionization run as a stream, rolled up to
     // the batch events_sessionize shape — stream must equal batch.
     "stream_sessionize" -> ((s, d) => {
@@ -37,6 +52,13 @@ object StreamingPack {
   val oracle: Map[String, String] = Map(
     // Same oracles as the batch twins: streaming must equal batch.
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
-    "stream_sessionize"    -> EventsPack.oracle("events_sessionize")
+    "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
+
+    // The doubled-then-deduped stream must equal the single-copy batch.
+    "stream_dedup_events" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${OpsUtil.dsumSql("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -53,6 +53,41 @@ object StreamOps {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** File-source stream in which every event arrives TWICE (the events
+    * file staged under two names) — the at-least-once delivery a real
+    * ingestion pipeline must assume; stream_dedup_events collapses it
+    * back to exactly-once. */
+  def eventsStreamDoubled(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_events_dup")
+    tmp.toFile.deleteOnExit()
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    Files.createSymbolicLink(tmp.resolve("events_a.parquet"), src)
+    Files.createSymbolicLink(tmp.resolve("events_b.parquet"), src)
+    s.readStream.schema(eventsSchema).parquet(tmp.toString)
+  }
+
+  /** Streaming exact dedup on the event key: each event_id's FIRST
+    * arrival passes, replays are dropped against the dedup state store.
+    * No watermark → state is unbounded; the bounded-ingest form. At an
+    * unbounded 100 TB/day, dropDuplicatesWithinWatermark bounds state
+    * by arrival-time horizon instead. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Run an append-mode stream (stateless or dedup-only) to completion
+    * into a memory sink. */
+  def runToMemoryAppend(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Event-time gap sessionization with Spark's native session_window —
     * the streaming form of EventsPack.events_sessionize's islands SQL.
     * A session's window is [first, last + gap), so duration = end − start

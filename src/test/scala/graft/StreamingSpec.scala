@@ -36,6 +36,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup collapses the doubled source to exactly-once") {
+    val nEvents = graft.tables.Tables.events(spark, sf()).count()
+    val raw = StreamOps.runToMemoryAppend(spark,
+      StreamOps.eventsStreamDoubled(spark, sf()), "spec_dup_raw").count()
+    assert(raw == 2 * nEvents, "the doubled source must actually deliver twice")
+    val deduped = StreamOps.runToMemoryAppend(spark,
+      StreamOps.dedupEvents(StreamOps.eventsStreamDoubled(spark, sf())),
+      "spec_dup_clean").count()
+    assert(deduped == nEvents, "dedup must restore exactly-once")
+  }
+
   test("session_window boundary: event exactly at gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]            // (ts_us, user)
