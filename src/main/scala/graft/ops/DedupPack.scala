@@ -98,7 +98,7 @@ object DedupPack {
     // hashing, and the per-(doc,j) min end to end.
     "dedup_minhash_signatures" -> ((s, d) => {
       signatures(s, d)
-        .groupBy(col("j"))
+        .groupBy(col("j").cast("long").as("j"))
         .agg(min(col("mh")).as("global_min"),
              countDistinct(col("mh")).as("n_distinct_mh"))
         .orderBy(col("j"))
@@ -202,8 +202,8 @@ object DedupPack {
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |g AS (SELECT h, COUNT(*) AS n FROM h GROUP BY h)
         |SELECT COUNT(*) AS n_distinct_texts,
-        |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-        |  SUM(n - 1) AS n_redundant_docs
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(SUM(n - 1) AS BIGINT) AS n_redundant_docs
         |FROM g""".stripMargin,
 
     "dedup_minhash_signatures" ->

@@ -101,13 +101,14 @@ object EventsPack {
          |per AS (SELECT user_id, sid, COUNT(*) AS n_events,
          |    MAX(ts_us) - MIN(ts_us) AS dur_us
          |  FROM sid GROUP BY user_id, sid)
-         |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+         |SELECT user_id, COUNT(*) AS n_sessions,
+         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
          |  MAX(dur_us) AS max_session_us
          |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -44,7 +44,8 @@ object MultimodalPack {
         |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
         |    octet_length(encode(text)) AS n_bytes
         |  FROM documents)
-        |SELECT media_type, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+        |SELECT media_type, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
 

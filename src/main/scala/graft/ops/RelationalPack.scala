@@ -333,7 +333,8 @@ object RelationalPack {
         |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS prev_ln
         |  FROM lineitem)
         |SELECT l_returnflag, COUNT(*) AS n_rows,
-        |  SUM(CAST(prev_ln IS NOT NULL AND l_linenumber <= prev_ln AS INT)) AS n_violations
+        |  CAST(SUM(CAST(prev_ln IS NOT NULL AND l_linenumber <= prev_ln AS INT))
+        |    AS BIGINT) AS n_violations
         |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "etl_composite_key" ->

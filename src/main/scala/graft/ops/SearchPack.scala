@@ -94,7 +94,7 @@ object SearchPack {
           col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
         .filter(levenshtein(col("a.nm"), col("b.nm")) <= 1)
         .select(col("a.id").as("i"), col("b.id").as("j"),
-          levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+          levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
         .orderBy(col("i"), col("j")).limit(5000)
     })
   )

@@ -94,7 +94,8 @@ object SimilarityPack {
        |  FROM comps c JOIN planes p ON p.pos = c.pos
        |  GROUP BY c.vec_id, p.j),
        |buckets AS MATERIALIZED (SELECT vec_id,
-       |    SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+       |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
 
   /** Pairwise cosine over given candidate pairs (i < j), exact decimals. */

@@ -150,7 +150,7 @@ object TextPack {
          |  FROM documents),
          |g AS (SELECT fingerprint, COUNT(*) AS n FROM fp GROUP BY fingerprint)
          |SELECT COUNT(*) AS n_distinct_fp,
-         |  SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+         |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
          |FROM g""".stripMargin
   )
 }

@@ -27,6 +27,25 @@ def canon(rows, cols):
     out.sort()
     return out
 
+# The driver's hasher goes through pandas: HUGEINT/DECIMAL columns become
+# float/object and hash differently from BIGINT even when values are equal
+# (round-1 lesson: SUM(int) in DuckDB returns HUGEINT). Int widths below
+# 128 bits all collapse to the same repr, so they're equivalent.
+def norm_type(t):
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t
+
+def type_mismatch(con, out_dir, name, sql):
+    got = dict((r[0], norm_type(r[1])) for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall())
+    want = dict((r[0], norm_type(r[1])) for r in con.execute(
+        f"DESCRIBE {sql}").fetchall())
+    return {c: (got.get(c), want.get(c))
+            for c in set(got) | set(want) if got.get(c) != want.get(c)}
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,6 +65,11 @@ def main(out_dir, sf_dir):
             continue
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+            n_fail += 1
+            continue
+        tdiff = type_mismatch(con, out_dir, name, sql)
+        if tdiff:
+            print(f"FAIL {name}: type mismatch (spark,oracle): {tdiff}")
             n_fail += 1
             continue
         g, w = canon(got, got_cols), canon(want, want_cols)
