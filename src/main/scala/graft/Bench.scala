@@ -12,6 +12,15 @@ object Bench {
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/shuffle warmup on throwaway data so the first measured
+    // query isn't charged ~5 s of class loading and codegen compilation.
+    // No fixture table is touched — no result data is pre-cached.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+      .write.mode("overwrite").parquet(warmDir)
+    val w = spark.read.parquet(warmDir)
+    w.groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
+    w.join(w.limit(10).hint("broadcast"), "k").count()
     // Local-iteration filter (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -36,6 +36,22 @@ object DFGraphAlgs {
   private def mat(df: DataFrame): DataFrame =
     df.localCheckpoint(true)
 
+  /** Vertex-state row count below which per-round state/message frames are
+    * broadcast into the edge joins instead of shuffled. localCheckpoint
+    * truncates lineage to a bare RDD scan, which loses the size stats AQE
+    * would use to make this call at runtime — so the loop makes the same
+    * size-based decision itself, from the exact count of the materialized
+    * state. ~2M rows ≈ tens of MB serialized: cheap to ship to every
+    * executor, and each round then touches the big edge list with zero
+    * exchanges on it. Above the limit the rounds fall back to plain
+    * shuffle joins — the 1B-vertex shape, where per-vertex state must
+    * never be centralized. */
+  private val StateBroadcastLimit = 2000000L
+
+  /** Hint `df` broadcast-able when the measured state size is bounded. */
+  private def maybeBcast(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   /** Fixed-iteration PageRank over a directed edge list (src, dst):
     * r0 = 1; r_{k+1} = 0.15 + 0.85 * Σ_in r_k(src)/outdeg(src).
     * Returns (id, rank). Ref data_processor.py:56-78 (damping 0.85). */
@@ -46,14 +62,15 @@ object DFGraphAlgs {
       .select(col("src"), col("dst"), col("deg")))
     val nodes = mat(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
-    var rank = nodes.select(col("id"), lit(1.0).as("rank"))
+    val small = nodes.count() <= StateBroadcastLimit
+    var rank = mat(nodes.select(col("id"), lit(1.0).as("rank")))
     for (_ <- 1 to iters) {
-      val msgs = contrib.join(rank, contrib("src") === rank("id"))
+      val msgs = contrib.join(maybeBcast(rank, small), contrib("src") === rank("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("m"))
         .groupBy(col("id")).agg(rsum(col("m")).as("msum"))
-      rank = nodes.join(msgs, Seq("id"), "left")
+      rank = mat(nodes.join(maybeBcast(msgs, small), Seq("id"), "left")
         .select(col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank")))
     }
     rank
   }
@@ -73,16 +90,17 @@ object DFGraphAlgs {
       .select(col("rel"), col("src"), col("dst"), col("deg")))
     val nodes = mat(e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct())
-    var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
+    val small = nodes.count() <= StateBroadcastLimit
+    var rank = mat(nodes.select(col("rel"), col("id"), lit(1.0).as("rank")))
     for (_ <- 1 to iters) {
-      val msgs = contrib.join(rank,
+      val msgs = contrib.join(maybeBcast(rank, small),
           contrib("rel") === rank("rel") && contrib("src") === rank("id"))
         .select(contrib("rel").as("rel"), col("dst").as("id"),
           (col("rank") / col("deg")).as("m"))
         .groupBy(col("rel"), col("id")).agg(rsum(col("m")).as("msum"))
-      rank = nodes.join(msgs, Seq("rel", "id"), "left")
+      rank = mat(nodes.join(maybeBcast(msgs, small), Seq("rel", "id"), "left")
         .select(col("rel"), col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank")))
     }
     rank
   }
@@ -99,11 +117,12 @@ object DFGraphAlgs {
       .union(e.select(col("dst").as("id"))).distinct()
     var dist = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
+    val small = dist.count() <= StateBroadcastLimit
     for (_ <- 1 to iters) {
-      val relaxed = e.join(dist, e("src") === dist("id"))
+      val relaxed = e.join(maybeBcast(dist, small), e("src") === dist("id"))
         .filter(col("dist").isNotNull)
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
-      dist = mat(dist.join(relaxed, Seq("id"), "left")
+      dist = mat(dist.join(maybeBcast(relaxed, small), Seq("id"), "left")
         .select(col("id"), least(col("dist"), col("reach")).as("dist")))
     }
     dist
@@ -125,7 +144,10 @@ object DFGraphAlgs {
     var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
     for (_ <- 1 to iters) {
-      val relaxed = e.join(dist, e("src") === dist("id"))
+      // State grows round over round (up to sources × reached) — re-check
+      // the measured size each round before choosing broadcast.
+      val small = dist.count() <= StateBroadcastLimit
+      val relaxed = e.join(maybeBcast(dist, small), e("src") === dist("id"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("reach"))
       dist = mat(dist.join(relaxed, Seq("s0", "id"), "full")
@@ -143,7 +165,6 @@ object DFGraphAlgs {
     * so both engines converge to the identical predecessor forest.
     * Returns (id, dist, pred); pred is null for the source/unreached. */
   def shortestPathsWithPred(edges: DataFrame, source: Long, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = mat(edges.select(col("src"), col("dst"),
       coalesce(col("w"), lit(1.0)).as("w")))
     val nodes = e.select(col("src").as("id"))
@@ -151,17 +172,20 @@ object DFGraphAlgs {
     var st = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
       lit(null).cast("long").as("pred")))
+    val small = st.count() <= StateBroadcastLimit
     for (_ <- 1 to iters) {
-      val cand = e.join(st, e("src") === st("id"))
+      // Lexicographic min over (nd, pred) as a struct-min hash aggregate:
+      // same deterministic tie-break as a (nd, pred) sort-window, but with
+      // map-side partial aggregation and no per-partition sort.
+      val cand = e.join(maybeBcast(st, small), e("src") === st("id"))
         .filter(col("dist").isNotNull)
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"),
-          col("src").as("cand_pred"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("nd"), col("cand_pred"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("nd"), col("cand_pred"))
+        .select(col("dst").as("id"),
+          struct((col("dist") + col("w")).as("nd"),
+            col("src").as("cand_pred")).as("c"))
+        .groupBy(col("id")).agg(min(col("c")).as("c"))
+        .select(col("id"), col("c.nd").as("nd"), col("c.cand_pred").as("cand_pred"))
       val better = col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))
-      st = mat(st.join(cand, Seq("id"), "left")
+      st = mat(st.join(maybeBcast(cand, small), Seq("id"), "left")
         .select(col("id"),
           when(better, col("nd")).otherwise(col("dist")).as("dist"),
           when(better, col("cand_pred")).otherwise(col("pred")).as("pred")))
