@@ -62,15 +62,18 @@ object DFGraphAlgs {
       .select(col("src"), col("dst"), col("deg")))
     val nodes = mat(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
-    val small = nodes.count() <= StateBroadcastLimit
-    var rank = mat(nodes.select(col("id"), lit(1.0).as("rank")))
+    // rank is a LINEAR recurrence (each round reads the previous rank
+    // exactly once), so the whole fixed-iteration loop stays ONE lazy
+    // plan executed as a single job — no per-round materialization
+    // needed; plan depth grows linearly, not exponentially.
+    var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      val msgs = contrib.join(maybeBcast(rank, small), contrib("src") === rank("id"))
+      val msgs = contrib.join(rank, contrib("src") === rank("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("m"))
         .groupBy(col("id")).agg(rsum(col("m")).as("msum"))
-      rank = mat(nodes.join(maybeBcast(msgs, small), Seq("id"), "left")
+      rank = nodes.join(msgs, Seq("id"), "left")
         .select(col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank")))
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     rank
   }
@@ -90,17 +93,17 @@ object DFGraphAlgs {
       .select(col("rel"), col("src"), col("dst"), col("deg")))
     val nodes = mat(e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct())
-    val small = nodes.count() <= StateBroadcastLimit
-    var rank = mat(nodes.select(col("rel"), col("id"), lit(1.0).as("rank")))
+    // Linear recurrence — one lazy plan, single job (see pageRank).
+    var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      val msgs = contrib.join(maybeBcast(rank, small),
+      val msgs = contrib.join(rank,
           contrib("rel") === rank("rel") && contrib("src") === rank("id"))
         .select(contrib("rel").as("rel"), col("dst").as("id"),
           (col("rank") / col("deg")).as("m"))
         .groupBy(col("rel"), col("id")).agg(rsum(col("m")).as("msum"))
-      rank = mat(nodes.join(maybeBcast(msgs, small), Seq("rel", "id"), "left")
+      rank = nodes.join(msgs, Seq("rel", "id"), "left")
         .select(col("rel"), col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank")))
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     rank
   }

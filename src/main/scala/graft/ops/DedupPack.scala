@@ -32,7 +32,8 @@ object DedupPack {
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.shingles:$d") {
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(shinglesFromWords(col("ws"), 3)).as("sh"))
         .distinct()
     }
 

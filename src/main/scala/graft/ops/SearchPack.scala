@@ -92,9 +92,13 @@ object SearchPack {
         .withColumn("blk", substring(col("nm"), -2, 2))
       names.as("a").join(names.as("b"),
           col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-        .filter(levenshtein(col("a.nm"), col("b.nm")) <= 1)
+        // Bounded edit distance: the 3-arg levenshtein short-circuits once
+        // the running distance exceeds the threshold (returns -1), ~k/|s|
+        // of the full DP cost — per-pair work is the whole cost of a
+        // similarity self-join, so the bound IS the scale path.
         .select(col("a.id").as("i"), col("b.id").as("j"),
-          levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
+          levenshtein(col("a.nm"), col("b.nm"), 1).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy(col("i"), col("j")).limit(5000)
     })
   )

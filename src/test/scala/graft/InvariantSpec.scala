@@ -59,7 +59,8 @@ class InvariantSpec extends SparkSpec {
     import graft.ops.TextHash._
     val docs = Seq((1L, "alpha beta gamma delta eps"), (2L, "zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"), 3)).as("sh"))
       .withColumn("h", h28(col("sh")))
     val viaAgg = docs.groupBy(col("doc_id"))
       .agg(call_function("minhash_sketch", col("h")).as("sig"))
@@ -77,7 +78,8 @@ class InvariantSpec extends SparkSpec {
     import graft.ops.TextHash._
     def sigOf(texts: Seq[String]): Map[Int, Long] =
       texts.toDF("text")
-        .select(explode(shingles(col("text"), 3)).as("sh")).distinct()
+        .select(tokens(col("text")).as("ws"))
+        .select(explode(shinglesFromWords(col("ws"), 3)).as("sh")).distinct()
         .withColumn("h", h28(col("sh")))
         .select(explode(sequence(lit(0), lit(15))).as("j"), col("h"))
         .groupBy("j").agg(min(affine(col("h"), col("j"))).as("mh"))
