@@ -146,6 +146,26 @@ object AnalyticsPack {
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("in_degree"))
         .orderBy(col("l_suppkey"))
+    }),
+
+    // Deterministic stratified sampling — the class-rebalancing step of a
+    // training-data pipeline: per-stratum keep-rates applied by an
+    // integer-mix hash of the row key (no RNG, reproducible across runs
+    // and engines; same sampler family as ml_neg_sampling). Urgent
+    // orders keep everything, high priority half, the bulk 1-in-10.
+    // Pure per-row filter + one aggregation — distributes with the scan.
+    "ana_stratified_sample" -> ((s, d) => {
+      val rate = when(col("o_orderpriority").startsWith("1"), 100)
+        .when(col("o_orderpriority").startsWith("2"), 50)
+        .otherwise(10)
+      val bucket = (col("o_orderkey") * 2654435761L) % 1000003L % 100
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), rate.as("rate"),
+          (bucket < rate).cast("int").as("keep"))
+        .groupBy(col("o_orderpriority"), col("rate"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep")).cast("long").as("n_sampled"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -205,6 +225,19 @@ object AnalyticsPack {
     "ana_indegree_suppliers" ->
       """SELECT l_suppkey, COUNT(*) AS in_degree FROM lineitem
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "ana_stratified_sample" ->
+      """WITH t AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority LIKE '1%' THEN 100
+        |         WHEN o_orderpriority LIKE '2%' THEN 50 ELSE 10 END AS rate,
+        |    CASE WHEN (o_orderkey * 2654435761) % 1000003 % 100 <
+        |        CASE WHEN o_orderpriority LIKE '1%' THEN 100
+        |             WHEN o_orderpriority LIKE '2%' THEN 50 ELSE 10 END
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM orders)
+        |SELECT o_orderpriority, rate, COUNT(*) AS n_total,
+        |  CAST(SUM(keep) AS BIGINT) AS n_sampled
+        |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
 
     // The salted two-phase form must equal the direct aggregation.
     "ana_salted_hub_degrees" ->

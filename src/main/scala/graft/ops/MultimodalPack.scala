@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
+import graft.tables.Tables
 
 /** Query surface for the multimodal pipeline. The byte-level outputs of
   * the stub decoder are oracle-checked through DuckDB char arithmetic
@@ -32,6 +33,28 @@ object MultimodalPack {
           col("byte_sum"), round(col("mean_byte"), 6).as("mean_byte"),
           col("n_frames"), col("n_sampled"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling through the QUERY layer: every SampleEvery-th
+    // FrameBytes-sized slice of the payload as its own row, with offset,
+    // length, and content digest — the listing a downstream captioning /
+    // embedding stage would consume. Pure per-row explode + slice (no
+    // shuffle until the final order), so it distributes with the scan.
+    // Payloads are UTF-8 of ASCII text, so the byte slices are checkable
+    // as string slices in the DuckDB oracle.
+    "mm_frame_sample" -> ((s, d) => {
+      import graft.ops.TextHash.h28
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"),
+          ((length(col("text")) + (FB - 1)) / FB).cast("int").as("nf"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), col("nf") - 1, lit(SE))).as("f"))
+        .select(col("doc_id"), col("f").cast("long").as("f"),
+          (col("f") * FB).cast("long").as("off"),
+          length(col("text").substr(col("f") * FB + 1, lit(FB))).cast("long").as("frame_len"),
+          h28(col("text").substr(col("f") * FB + 1, lit(FB))).as("frame_h"))
+        .orderBy(col("doc_id"), col("f"))
     })
   )
 
@@ -62,6 +85,16 @@ object MultimodalPack {
          |  round(byte_sum / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
          |  CAST((n_bytes + $FB - 1) // $FB AS INT) AS n_frames,
          |  CAST(((n_bytes + $FB - 1) // $FB + $SE - 1) // $SE AS INT) AS n_sampled
-         |FROM b ORDER BY doc_id""".stripMargin
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, text,
+         |    (length(text) + ${FB - 1}) // $FB AS nf
+         |  FROM documents WHERE doc_id < 100),
+         |fr AS (SELECT doc_id, text, unnest(range(0, nf, $SE)) AS f FROM m)
+         |SELECT doc_id, f, f * $FB AS off,
+         |  CAST(length(substr(text, f * $FB + 1, $FB)) AS BIGINT) AS frame_len,
+         |  ${graft.ops.TextHash.h28Sql(s"substr(text, f * $FB + 1, $FB)")} AS frame_h
+         |FROM fr ORDER BY doc_id, f""".stripMargin
   )
 }

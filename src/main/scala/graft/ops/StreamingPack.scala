@@ -38,6 +38,18 @@ object StreamingPack {
         .orderBy(col("event_type"))
     }),
 
+    // Stream-static enrichment: event stream joined to the broadcast
+    // customer dimension (stateless per micro-batch), segment rollup
+    // equal to the batch join.
+    "stream_join_enrich" -> ((s, d) => {
+      val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
+      val dim = graft.tables.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val res = StreamOps.runToMemory(s,
+        StreamOps.joinEnrich(StreamOps.eventsStream(s, d), dim), name)
+      res.orderBy(col("segment"))
+    }),
+
     // Native session_window sessionization run as a stream, rolled up to
     // the batch events_sessionize shape — stream must equal batch.
     "stream_sessionize" -> ((s, d) => {
@@ -53,6 +65,12 @@ object StreamingPack {
     // Same oracles as the batch twins: streaming must equal batch.
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
     "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
+
+    "stream_join_enrich" ->
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+         |  ${OpsUtil.dsumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // The doubled-then-deduped stream must equal the single-copy batch.
     "stream_dedup_events" ->

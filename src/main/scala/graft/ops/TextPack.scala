@@ -88,6 +88,31 @@ object TextPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms per document — the keyword-extraction column of a
+    // corpus pipeline. Document frequency is computed over the FULL
+    // corpus (one groupBy of the per-doc term table), scores ranked by
+    // the rounded value with a term tie-break so the top-3 is a total
+    // order both engines agree on. Per-doc ranking is a bounded
+    // partitioned window, never a global sort.
+    "text_tfidf_topterms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.filter(col("doc_id") < 100)
+        .join(df, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), col("tf"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Fingerprint-based exact-ordered-dup audit (groups sharing a
     // fingerprint), the scalable "same content, same order" check.
     "text_fingerprint_dups" -> ((s, d) => {
@@ -141,6 +166,21 @@ object TextPack {
          |    list_transform(string_split(text, ' '), t -> ${h28Sql("t")})),
          |    (acc, h) -> (acc * $B + h) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf,
+        |    round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
+        |  FROM tf t JOIN df d USING (term) CROSS JOIN n
+        |  WHERE t.doc_id < 100),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, tfidf FROM rk
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "text_fingerprint_dups" ->
       s"""WITH fp AS (SELECT

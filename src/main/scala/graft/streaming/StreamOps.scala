@@ -133,6 +133,19 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Stream-static enrichment join: the event stream against a broadcast
+    * dimension table (users → market segment), rolled up per segment.
+    * Stream-static joins are stateless — each micro-batch probes the
+    * static side, no state store — so this is the 100 TB enrichment
+    * shape: the dimension broadcasts once per executor, the stream never
+    * shuffles. */
+  def joinEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("total_value"))
+
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Complete mode: with a
     * one-shot trigger, append mode would hold every window open behind

@@ -31,6 +31,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame-sample listing agrees with the decoder's sampled-frame count") {
+    import org.apache.spark.sql.functions._
+    val listed = graft.ops.MultimodalPack.queries("mm_frame_sample")(spark, sf())
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = Multimodal.featuresDF(spark, sf())
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_sampled"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(listed.nonEmpty)
+    assert(listed == decoded)
+  }
+
   test("extractFeatures is deterministic across runs") {
     val a = Multimodal.featuresDF(spark, sf()).collect().toSeq.sortBy(_.getLong(0))
     val b = Multimodal.featuresDF(spark, sf()).collect().toSeq.sortBy(_.getLong(0))

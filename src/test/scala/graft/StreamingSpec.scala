@@ -36,6 +36,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join rollup") {
+    val dim = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = StreamOps.joinEnrich(
+        spark.read.schema(StreamOps.eventsSchema).parquet(s"${sf()}/events.parquet"), dim)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.joinEnrich(StreamOps.eventsStream(spark, sf()), dim), "spec_enrich")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup collapses the doubled source to exactly-once") {
     val nEvents = graft.tables.Tables.events(spark, sf()).count()
     val raw = StreamOps.runToMemoryAppend(spark,

@@ -88,6 +88,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(fp(0) != fp(1), "reversed token order must change the rolling hash")
   }
 
+  test("stratified sample keeps every urgent order and ~rate of the rest") {
+    val rows = graft.ops.AnalyticsPack.queries("ana_stratified_sample")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (prio, rate, total, sampled) =>
+      if (rate == 100) assert(sampled == total, s"$prio: keep-all stratum lost rows")
+      else assert(sampled <= total, s"$prio: sampled above total")
+    }
+  }
+
+  test("tfidf top terms: ranks are 1..3 per doc and scores non-increasing") {
+    val rows = TextPack.queries("text_tfidf_topterms")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq, s"doc $doc ranks")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"doc $doc scores increase with rank")
+    }
+  }
+
   test("text stats: quality components stay in [0, 1]") {
     val q = TextPack.queries("text_quality_score")(spark, sf())
     import org.apache.spark.sql.functions._
