@@ -1,0 +1,149 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.TextHash._
+
+/** Generic deduplication operators over ANY corpus frame — the
+  * user-facing library surface (the fixture-bound driver queries in
+  * `graft.ops.DedupPack` are built from these).
+  *
+  * Conventions: `id` names a unique document key column, `text` the
+  * content column. All hashing is the cross-engine MD5 scheme of
+  * [[graft.ops.TextHash]], so results are deterministic across runs,
+  * partitionings, and engines.
+  *
+  * Scale: every operator is per-row map work + hash-partitioned
+  * aggregations/joins; nothing collects to the driver, no all-pairs
+  * product except where the name says so (`allPairsJaccard` exists as
+  * the small-data oracle of record — use `lshNearDupPairs` at scale).
+  */
+object Dedup {
+
+  /** Distinct (id, shingle) word-n-gram rows of a corpus. */
+  def shingleRows(corpus: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    corpus
+      .select(col(id).as("doc_id"), tokens(col(text)).as("ws"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"), n)).as("sh"))
+      .distinct()
+
+  /** Exact-duplicate audit by full-content digest: one row —
+    * (n_distinct_texts, n_dup_groups, n_redundant_docs). Compares only
+    * 128-bit digests, never strings. */
+  def exactDupStats(corpus: DataFrame, text: String): DataFrame =
+    corpus.select(md5(col(text)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum(col("n") - 1).as("n_redundant_docs"))
+
+  /** First-seen keyed dedup: keep the row with the smallest tiebreak per
+    * key (deterministic, unlike dropDuplicates' partition-order pick). */
+  def keyedDedup(df: DataFrame, key: Seq[String], tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(key.map(col): _*).orderBy(col(tiebreak))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signatures (doc_id, j, mh), j in [0, numHashes), via the
+    * one-pass MinHashSketch aggregate — the shuffle carries one
+    * fixed-width buffer per document, not numHashes× the shingle rows.
+    * numHashes is fixed at TextHash.NumSketchHashes (the sketch
+    * aggregate's compiled width). */
+  def minhashSignatures(shingles: DataFrame): DataFrame =
+    shingles
+      .withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(call_function("minhash_sketch", col("h")).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
+
+  /** Band signatures into numHashes/bandSize order-independent buckets. */
+  def lshBands(signatures: DataFrame, bandSize: Int): DataFrame =
+    signatures
+      .groupBy(col("doc_id"), (col("j") / bandSize).cast("int").as("band"))
+      .agg(sum((col("j") % bandSize + 1) * col("mh")).as("bucket"))
+
+  /** Candidate pairs (i < j) sharing at least one LSH band bucket. */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+
+  /** Exact shingle-Jaccard for given candidate pairs (i, j). */
+  def jaccardOf(shingles: DataFrame, pairs: DataFrame): DataFrame = {
+    val sz = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingles.as("x"), col("i") === col("x.doc_id"))
+      .join(shingles.as("y"), col("j") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("c") / (col("ni") + col("nj") - col("c")).cast("double")).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact verification: LSH
+    * candidates, then true Jaccard >= threshold. The 100 TB path. */
+  def lshNearDupPairs(corpus: DataFrame, id: String, text: String,
+      threshold: Double, bandSize: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sh = shingleRows(corpus, id, text, shingleN)
+    val cand = lshCandidates(lshBands(minhashSignatures(sh), bandSize))
+    jaccardOf(sh, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold — the small-data oracle of
+    * record (quadratic in documents sharing a shingle; do NOT run at
+    * scale, use lshNearDupPairs). */
+  def allPairsJaccard(corpus: DataFrame, id: String, text: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = shingleRows(corpus, id, text, shingleN)
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("c") / (col("ni") + col("nj") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint per document from distinct-token hashes:
+    * bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of
+    * the token hash). Integer bit math only (engine-exact). */
+  def simhashFingerprints(corpus: DataFrame, id: String, text: String): DataFrame =
+    corpus
+      .select(col(id).as("doc_id"), explode(tokens(col(text))).as("t"))
+      .distinct()
+      .withColumn("h", h28(col("t")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("balance"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("balance") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs within the given Hamming distance, banded:
+    * for maxHamming+1 bands, any qualifying pair shares >= 1 band
+    * exactly (pigeonhole), so candidates come from equality joins. */
+  def simhashNearDups(fingerprints: DataFrame, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming == 1, "banding below is specialized to hamming <= 1")
+    val fp = fingerprints
+      .withColumn("b0", expr("simhash & 65535"))
+      .withColumn("b1", expr("shiftright(simhash, 16)"))
+    def bandJoin(band: String) =
+      fp.as("a").join(fp.as("b"),
+          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+    bandJoin("b0").union(bandJoin("b1")).distinct()
+      .select(col("i"), col("j"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.TextHash.h28
+
+/** Generic similarity-search operators over ANY embedding frame —
+  * the user-facing surface behind `graft.ops.SimilarityPack`'s driver
+  * queries. Conventions: `id` a unique vector key, `vec` an
+  * `array<float|double>` column.
+  *
+  * Two numeric paths, by design:
+  *  - `cosine_sim(va, vb)` — the native codegen'd expression
+  *    (graft.functions.CosineSim): one tight loop per pair, the FAST
+  *    path for scans and prefilters.
+  *  - exploded components + exact decimal accumulation — the
+  *    ORDER-INDEPENDENT path whose results are bit-stable across
+  *    partitionings (what oracle-checked reports use).
+  */
+object Similarity {
+
+  private def psum(c: Column): Column =
+    sum(c.cast("decimal(28,15)")).cast("double")
+
+  /** (vec_id, pos, v) exploded components as double. */
+  def components(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id).as("vec_id"), posexplode(col(vec)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+
+  /** Per-vector L2 norms (exact decimal sum of squares). */
+  def norms(components: DataFrame): DataFrame =
+    components.groupBy(col("vec_id")).agg(sqrt(psum(col("v") * col("v"))).as("nrm"))
+
+  /** Brute-force cosine top-k against one query vector, via the native
+    * expression — the exact baseline every ANN variant is measured
+    * against. Returns (vec_id, cosine) ordered desc, id tie-break. */
+  def bruteForceTopK(emb: DataFrame, id: String, vec: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(id) === queryId).select(col(vec).as("qv"))
+    emb.filter(col(id) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(id).as("vec_id"),
+        round(call_function("cosine_sim", col(vec), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** ±1 random-hyperplane components (deterministic from the md5 hash):
+    * (j, pos, r) for numPlanes × dim. */
+  def hyperplanes(s: org.apache.spark.sql.SparkSession,
+      numPlanes: Int, dim: Int): DataFrame = {
+    import s.implicits._
+    (for (j <- 0 until numPlanes; p <- 0 until dim) yield (j, p))
+      .toDF("j", "pos")
+      .withColumn("r",
+        when(h28(concat(lit("hp"), col("j"), lit("_"), col("pos"))) % 2 === 1, lit(1.0))
+          .otherwise(lit(-1.0)))
+  }
+
+  /** LSH bucket id per vector: bit j = sign of dot(v, plane_j). One
+    * bucket join replaces the all-pairs product at scale. */
+  def lshBuckets(components: DataFrame, planes: DataFrame): DataFrame =
+    components.join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(psum(col("v") * col("r")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L))
+        .as("bucket"))
+
+  /** IVF coarse assignment: nearest pivot per vector by native cosine
+    * (pivot set from a k-means fit at scale; any seed frame works).
+    * Returns (vec_id, cell). */
+  def ivfAssign(emb: DataFrame, id: String, vec: String, pivots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    emb.crossJoin(broadcast(pivots.select(col("pivot_id"), col("pivot_vec"))))
+      .select(col(id).as("vec_id"), col("pivot_id"),
+        call_function("cosine_sim", col(vec), col("pivot_vec")).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("pivot_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("pivot_id").as("cell"))
+  }
+
+  /** Exact decimal pairwise cosine for given candidate pairs (i, j). */
+  def cosineOf(components: DataFrame, pairs: DataFrame): DataFrame = {
+    val n = norms(components)
+    pairs
+      .join(components.as("x"), col("i") === col("x.vec_id"))
+      .join(components.as("y"), col("j") === col("y.vec_id") && col("x.pos") === col("y.pos"))
+      .groupBy(col("i"), col("j"))
+      .agg(psum(col("x.v") * col("y.v")).as("dot"))
+      .join(n.select(col("vec_id").as("i"), col("nrm").as("ni")), "i")
+      .join(n.select(col("vec_id").as("j"), col("nrm").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("dot") / (col("ni") * col("nj"))).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: native-expression prefilter
+    * over all pairs with a small margin, exact decimal verify on the
+    * survivors (engine-exact results at the threshold). */
+  def cosineNearDups(emb: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val cand = emb.select(col(id).as("i"), col(vec).as("va"))
+      .join(emb.select(col(id).as("j"), col(vec).as("vb")), col("i") < col("j"))
+      .filter(call_function("cosine_sim", col("va"), col("vb")) >= threshold - 1e-4)
+      .select(col("i"), col("j"))
+    cosineOf(components(emb, id, vec), cand)
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -31,10 +31,7 @@ object DedupPack {
     * LSH, signature, and Jaccard queries all start here). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.shingles:$d") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("ws"))
-        .select(col("doc_id"), explode(shinglesFromWords(col("ws"), 3)).as("sh"))
-        .distinct()
+      graft.api.Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
     }
 
   private val shingleRowsSql =
@@ -49,11 +46,7 @@ object DedupPack {
     * shingle rows (map-side combine does the work). */
   private def signatures(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.signatures:$d") {
-      shingleRows(s, d)
-        .withColumn("h", h28(col("sh")))
-        .groupBy(col("doc_id"))
-        .agg(call_function("minhash_sketch", col("h")).as("sig"))
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
+      graft.api.Dedup.minhashSignatures(shingleRows(s, d))
     }
 
   private val signaturesSql =
@@ -67,19 +60,7 @@ object DedupPack {
     * doubles never touch the bit pipeline). */
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.simhash:$d") {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .distinct()
-        .withColumn("h", h28(col("t")))
-      tok
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("bit"))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1)
-          .otherwise(-1)).as("balance"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("balance") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(0L)).as("simhash"))
+      graft.api.Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
     }
 
   val queries: Map[String, Q] = Map(
@@ -111,13 +92,8 @@ object DedupPack {
     "dedup_minhash_lsh" -> ((s, d) => {
       val sig = signatures(s, d)
       // Order-independent band bucket: Σ (j%4+1)·mh over the band's rows.
-      val bands = sig
-        .groupBy(col("doc_id"), (col("j") / BandSize).cast("int").as("band"))
-        .agg(sum((col("j") % BandSize + 1) * col("mh")).as("bucket"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      val bands = graft.api.Dedup.lshBands(sig, BandSize)
+      val cand = graft.api.Dedup.lshCandidates(bands)
       // Signature-match estimate: fraction of the 16 minhashes that agree.
       // (cand's pair columns renamed ci/cj — both cand and sig carry a
       // column named j otherwise.)
@@ -182,18 +158,7 @@ object DedupPack {
     // is provably identical to dedup_simhash's scan, and the oracle IS
     // dedup_simhash's all-pairs SQL.
     "dedup_simhash_banded" -> ((s, d) => {
-      val fp = simhashFingerprints(s, d)
-        .withColumn("b0", expr("simhash & 65535"))
-        .withColumn("b1", expr("shiftright(simhash, 16)"))
-      def bandJoin(band: String) =
-        fp.as("a").join(fp.as("b"),
-            col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-            col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      bandJoin("b0").union(bandJoin("b1")).distinct()
-        .select(col("i"), col("j"),
-          expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
-        .filter(col("hamming") <= 1)
+      graft.api.Dedup.simhashNearDups(simhashFingerprints(s, d), maxHamming = 1)
         .orderBy(col("i"), col("j"))
     })
   )

@@ -45,9 +45,7 @@ object SimilarityPack {
     * (session-cached: every exact-cosine query re-reads this). */
   private def comps(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.comps:$d") {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+      graft.api.Similarity.components(Tables.embeddings(s, d), "vec_id", "embedding")
     }
 
   private val compsSql =
@@ -55,8 +53,7 @@ object SimilarityPack {
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
 
   /** Per-vector L2 norm (exact decimal sum of squares, then sqrt). */
-  private def norms(c: DataFrame): DataFrame =
-    c.groupBy(col("vec_id")).agg(sqrt(psum(col("v") * col("v"))).as("nrm"))
+  private def norms(c: DataFrame): DataFrame = graft.api.Similarity.norms(c)
 
   private val normsSql =
     s"""nrm AS MATERIALIZED (SELECT vec_id,
@@ -64,13 +61,8 @@ object SimilarityPack {
        |  FROM comps GROUP BY vec_id)""".stripMargin
 
   /** ±1 hyperplane components: sign from md5 parity of "hp<j>_<pos>". */
-  private def planes(s: SparkSession): DataFrame = {
-    import s.implicits._
-    val rows = for (j <- 0 until NumPlanes; p <- 0 until Dim) yield (j, p)
-    rows.toDF("j", "pos")
-      .withColumn("r", when(h28(concat(lit("hp"), col("j"), lit("_"), col("pos"))) % 2 === 1,
-        lit(1.0)).otherwise(lit(-1.0)))
-  }
+  private def planes(s: SparkSession): DataFrame =
+    graft.api.Similarity.hyperplanes(s, NumPlanes, Dim)
 
   private val planesSql =
     s"""planes AS MATERIALIZED (SELECT j, pos,
@@ -81,12 +73,7 @@ object SimilarityPack {
 
   /** 16-bit LSH bucket per vector: bit j = sign of dot(v, plane_j). */
   private def buckets(s: SparkSession, d: String): DataFrame =
-    comps(s, d).join(broadcast(planes(s)), "pos")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(psum(col("v") * col("r")).as("dot"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dot") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L))
-        .as("bucket"))
+    graft.api.Similarity.lshBuckets(comps(s, d), planes(s))
 
   private val bucketsSql =
     s"""proj AS (SELECT c.vec_id, p.j,
@@ -98,19 +85,11 @@ object SimilarityPack {
        |      ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
 
-  /** Pairwise cosine over given candidate pairs (i < j), exact decimals. */
-  private def cosineOf(c: DataFrame, pairs: DataFrame): DataFrame = {
-    val n = norms(c)
-    pairs
-      .join(c.as("x"), col("i") === col("x.vec_id"))
-      .join(c.as("y"), col("j") === col("y.vec_id") && col("x.pos") === col("y.pos"))
-      .groupBy(col("i"), col("j"))
-      .agg(psum(col("x.v") * col("y.v")).as("dot"))
-      .join(n.select(col("vec_id").as("i"), col("nrm").as("ni")), "i")
-      .join(n.select(col("vec_id").as("j"), col("nrm").as("nj")), "j")
-      .select(col("i"), col("j"),
-        round(col("dot") / (col("ni") * col("nj")), 6).as("cosine"))
-  }
+  /** Pairwise cosine over given candidate pairs (i < j), exact decimals,
+    * rounded to the report precision. */
+  private def cosineOf(c: DataFrame, pairs: DataFrame): DataFrame =
+    graft.api.Similarity.cosineOf(c, pairs)
+      .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
 
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicates, two-phase: (1) all pairs scanned

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** The user-facing library surface (graft.api.Graft) exercised on plain
+  * synthetic frames — no fixture tables — proving every family works on
+  * arbitrary user data, not just the driver corpus.
+  */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog"),     // near dup of 1
+    (4L, "completely different text about spark engines here"),
+    (5L, "one two three four five six seven eight")
+  ).toDF("doc_id", "text")
+
+  test("dedup: exact stats, LSH near-dups, simhash agree on the planted dups") {
+    val stats = Graft.dedup.exactDupStats(corpus, "text").collect().head
+    assert(stats.getLong(0) == 4)          // 4 distinct texts
+    assert(stats.getLong(1) == 1)          // 1 dup group
+    assert(stats.getLong(2) == 1)          // 1 redundant doc
+
+    val lsh = Graft.dedup.lshNearDupPairs(corpus, "doc_id", "text", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L)), "exact dup pair must survive LSH + verify")
+
+    val all = Graft.dedup.allPairsJaccard(corpus, "doc_id", "text", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == all, "LSH must reach all-pairs recall on this corpus")
+
+    val sh = Graft.dedup.simhashNearDups(
+      Graft.dedup.simhashFingerprints(corpus, "doc_id", "text"))
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 2L)))
+  }
+
+  test("dedup: keyedDedup keeps the smallest tiebreak deterministically") {
+    val df = Seq((1L, "a", 30), (1L, "b", 10), (2L, "c", 5)).toDF("k", "v", "ts")
+    val kept = Graft.dedup.keyedDedup(df, Seq("k"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, "b"), (2L, "c")))
+  }
+
+  test("text: tfidf ranks a distinguishing term first") {
+    val top = Graft.text.tfidfTopTerms(corpus, "doc_id", "text", 1)
+      .filter(col("doc_id") === 4L).select("term").as[String].collect()
+    assert(top.length == 1)
+    // every term of doc 4 is unique to it; top-1 must be one of them
+    assert("completely different text about spark engines here".split(" ").contains(top.head))
+  }
+
+  test("text: fingerprint separates order-permuted content") {
+    val fp = Graft.text.fingerprint(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("similarity: brute-force top-k finds the identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),      // identical to query
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Graft.similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 == 1L && math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top(1)._1 == 3L)
+    val nd = Graft.similarity.cosineNearDups(emb, "vec_id", "embedding", 0.999)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((0L, 1L)))
+  }
+
+  test("sampling: stratified rates, pair split stability, negative pairs") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "s")
+    val kept = Graft.sampling.stratifiedSample(df, col("s"), col("id"),
+      Map("A" -> 100), defaultRate = 0)
+    assert(kept.filter(col("s") === "A").count() == 500)
+    assert(kept.filter(col("s") === "B").count() == 0)
+
+    val pairs = Seq((1L, 9L), (9L, 1L)).toDF("a", "b")
+    val splits = Graft.sampling.pairSplit(pairs, col("a"), col("b"))
+      .select("split").as[String].collect().toSet
+    assert(splits.size == 1, "an edge and its reverse must share a split")
+
+    val pos = Seq((1L, 1L)).toDF("a", "b")
+    val neg = Graft.sampling.negativePairs(
+      (1L to 50L).toDF("a"), (1L to 50L).toDF("b"), pos, "a", "b", oneIn = 5)
+    assert(neg.count() > 0)
+    assert(neg.join(pos, Seq("a", "b")).count() == 0)
+  }
+
+  test("graph: pageRank and shortestPaths run on a user edge list") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val pr = Graft.graph.pageRank(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 3)
+    assert(math.abs(pr.values.sum - 3.0) < 1e-6, "symmetric triangle: ranks sum to N")
+    val dists = Graft.graph.shortestPaths(
+      edges.withColumn("w", lit(1.0)), source = 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toDouble)).toMap
+    assert(dists(1L).contains(0.0) && dists(2L).contains(1.0) && dists(3L).contains(1.0))
+  }
+}
