@@ -31,7 +31,7 @@ package graft.api
   *    canonical pair splits, negative sampling.
   *  - [[graft.graph.DFGraphAlgs]] `Graft.graph` — PageRank (plain +
   *    multi-relation), BFS/SSSP (single/multi-source, with paths),
-  *    degrees; fixed-round BSP DataFrame programs.
+  *    connected components, degrees; fixed-round BSP DataFrame programs.
   *  - [[graft.streaming.StreamOps]] `Graft.streams` — event-time windows,
   *    session windows, exactly-once dedup, stream-static enrichment.
   *  - [[graft.multimodal.Multimodal]] `Graft.media` — binary media

@@ -196,6 +196,27 @@ object DFGraphAlgs {
     st
   }
 
+  /** Fixed-round min-label propagation connected components over a
+    * SYMMETRIC edge list (src, dst): comp0 = id; each round every vertex
+    * takes the min of its own label and its neighbors' labels. After
+    * `iters` rounds labels are exact for components of diameter <= iters
+    * (fixed-round semantics, same discipline as the BFS family — the
+    * oracle unrolls the identical recurrence). Returns (id, comp). */
+  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+    val e = mat(edges.select(col("src"), col("dst")))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var comp = mat(nodes.select(col("id"), col("id").as("comp")))
+    val small = comp.count() <= StateBroadcastLimit
+    for (_ <- 1 to iters) {
+      val better = e.join(maybeBcast(comp, small), e("src") === comp("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
+      comp = mat(comp.join(maybeBcast(better, small), Seq("id"), "left")
+        .select(col("id"), least(col("comp"), col("ncomp")).as("comp")))
+    }
+    comp
+  }
+
   /** Undirected total degree per vertex. Ref data_processor.py:83-93. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

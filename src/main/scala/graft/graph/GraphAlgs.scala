@@ -57,6 +57,12 @@ object GraphAlgs {
     res.vertices
   }
 
+  /** Connected components via GraphX's built-in label propagation —
+    * the RDD twin of DFGraphAlgs.connectedComponents (min vertex id
+    * per component). */
+  def connectedComponents(g: Graph[Unit, Double], maxIters: Int): RDD[(VertexId, VertexId)] =
+    g.connectedComponents(maxIters).vertices
+
   /** Unweighted BFS hop counts from one source (Pregel, fixed rounds). */
   def bfs(g: Graph[Unit, Double], source: VertexId, maxIters: Int): RDD[(VertexId, Int)] = {
     val MaxD = Int.MaxValue / 2

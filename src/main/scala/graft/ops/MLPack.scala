@@ -357,7 +357,7 @@ object MLPack {
       val train = assembled.filter(split < 8)
       val test = assembled.filter(split >= 8)
       val model = new LogisticRegression()
-        .setMaxIter(20).setRegParam(0.01)
+        .setMaxIter(10).setRegParam(0.01)
         .setLabelCol("label").setFeaturesCol("features")
         .fit(train)
       val scored = model.transform(test)

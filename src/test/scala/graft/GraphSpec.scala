@@ -111,6 +111,15 @@ class GraphSpec extends SparkSpec {
     assert(gx == df)
   }
 
+  test("connectedComponents labels the two micro components by min id") {
+    val comps = DFGraphAlgs.connectedComponents(edgeDF, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+    val viaGraphX = GraphAlgs.connectedComponents(GraphAlgs.fromEdgeDF(edgeDF), 4)
+      .collect().toMap
+    assert(viaGraphX == comps)
+  }
+
   test("degrees: undirected degree on micro graph") {
     val got = DFGraphAlgs.degrees(edgeDF)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

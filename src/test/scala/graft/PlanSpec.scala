@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("mm_frame_sample pushes the doc_id bound into the parquet scan") {
+    val p = planOf(graft.ops.MultimodalPack.queries("mm_frame_sample")(spark, sf()))
+    assert(p.contains("LessThan(doc_id,100)"), "doc_id < 100 not pushed to scan")
+  }
+
+  test("tfidf doc filter pushes through the aggregation to the scan") {
+    val p = planOf(graft.ops.TextPack.queries("text_tfidf_topterms")(spark, sf()))
+    assert(p.contains("LessThan(doc_id,100)"), "doc_id < 100 not pushed to scan")
+  }
+
+  test("stratified sample plans no shuffle before the final aggregation") {
+    val p = planOf(graft.ops.AnalyticsPack.queries("ana_stratified_sample")(spark, sf()))
+    // one exchange for the groupBy, nothing else
+    assert(p.split("Exchange").length - 1 <= 2, s"unexpected extra shuffles:\n$p")
+  }
+
   test("co-occurrence self-join is an equi-join, not a cartesian product") {
     val p = planOf(AnalyticsPack.queries("ana_cooccurrence_pairs")(spark, sf()))
     assert(!p.contains("CartesianProduct"))
