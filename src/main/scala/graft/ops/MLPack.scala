@@ -28,12 +28,13 @@ object MLPack {
   type Q = (SparkSession, String) => DataFrame
 
   /** Distinct customer→supplier edges (session-cached: every ML query
-    * starts from this same link universe). */
+    * starts from this same link universe). Projected from GraphPack's
+    * cached (rel, c, p) pass — one orders⋈lineitem scan serves both
+    * packs (the supplier-id offset is undone here). */
   private def edges(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"ml.edges:$d") {
-      Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      GraphPack.relPairs(s, d)
+        .select(col("c"), (col("p") - GraphPack.SuppOffset).as("p"))
         .distinct()
     }
 

@@ -38,6 +38,44 @@ class ApiSpec extends SparkSpec {
     assert(sh.contains((1L, 2L)))
   }
 
+  test("edge cases: null, empty, and sub-shingle-length texts flow through") {
+    val messy = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "two words"),
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+
+    // Shingling: docs with < n words contribute no rows; nulls drop.
+    val sh = Graft.dedup.shingleRows(messy, "doc_id", "text", 3)
+    assert(sh.select("doc_id").distinct().as[Long].collect().toSet == Set(1L))
+
+    // LSH pipeline end-to-end survives the messy corpus.
+    assert(Graft.dedup.lshNearDupPairs(messy, "doc_id", "text", 0.8).count() == 0)
+
+    // Exact dup stats: "" is its own digest group, null text its own
+    // null-key group (groupBy keeps the null key).
+    val stats = Graft.dedup.exactDupStats(messy, "text").collect().head
+    assert(stats.getLong(0) == 5)
+
+    // Fingerprint: null text → null fingerprint; empty string hashes its
+    // single empty token deterministically.
+    val fp = Graft.text.fingerprint(messy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fp(2L).isEmpty)
+    assert(fp(3L).nonEmpty)
+
+    // tfidf: null/empty docs simply contribute no terms.
+    val terms = Graft.text.tfidfTopTerms(messy, "doc_id", "text", 2)
+    assert(!terms.select("doc_id").as[Long].collect().contains(2L))
+
+    // simhash: null text yields no tokens → doc absent from fingerprints.
+    val sh2 = Graft.dedup.simhashFingerprints(messy, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sh2.contains(2L))
+  }
+
   test("dedup: keyedDedup keeps the smallest tiebreak deterministically") {
     val df = Seq((1L, "a", 30), (1L, "b", 10), (2L, "c", 5)).toDF("k", "v", "ts")
     val kept = Graft.dedup.keyedDedup(df, Seq("k"), "ts")
