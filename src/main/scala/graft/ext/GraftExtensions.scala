@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       (children: Seq[Expression]) =>
         MinHashSketch(children.head).toAggregateExpression()))
+    // Optimizer rule: thresholded levenshtein comparisons run the
+    // bounded O(k·n) form instead of the full O(n²) DP (see
+    // BoundedLevenshteinRule).
+    ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
   }
 }
