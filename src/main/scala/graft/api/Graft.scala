@@ -29,6 +29,8 @@ package graft.api
   *    fingerprints, TF-IDF keywords.
   *  - [[Sampling]] `Graft.sampling` — deterministic stratified sampling,
   *    canonical pair splits, negative sampling.
+  *  - [[Search]] `Graft.search` — accent-fold key normalization, WRatio
+  *    fuzzy scoring, index build, fuzzy top-k, blocked sim-join.
   *  - [[graft.graph.DFGraphAlgs]] `Graft.graph` — PageRank (plain +
   *    multi-relation), BFS/SSSP (single/multi-source, with paths),
   *    connected components, degrees; fixed-round BSP DataFrame programs.
@@ -45,6 +47,7 @@ object Graft {
   val similarity: Similarity.type = Similarity
   val text: Text.type = Text
   val sampling: Sampling.type = Sampling
+  val search: Search.type = Search
   val graph: graft.graph.DFGraphAlgs.type = graft.graph.DFGraphAlgs
   val streams: graft.streaming.StreamOps.type = graft.streaming.StreamOps
   val media: graft.multimodal.Multimodal.type = graft.multimodal.Multimodal

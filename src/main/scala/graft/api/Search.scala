@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic fuzzy-search operators over ANY name-carrying frame — the
+  * user-facing surface behind `graft.ops.SearchPack`'s driver queries.
+  *
+  * Normalization runs through the native `accent_fold` Catalyst
+  * expression (registered by graft.ext.GraftExtensions); the fuzzy score
+  * is a WRatio-style max of levenshtein ratio and 0.95-damped token-sort
+  * ratio. Thresholded levenshtein predicates are rewritten to the
+  * bounded O(k·n) form by graft.ext.BoundedLevenshteinRule — write them
+  * the natural way.
+  */
+object Search {
+
+  /** normalize = accent-fold → lower → trim. */
+  def normalizeKey(c: Column): Column =
+    lower(trim(call_function("accent_fold", c)))
+
+  /** 0-100 levenshtein similarity ratio of two (normalized) strings. */
+  def ratio(a: Column, b: Column): Column =
+    round(lit(100.0) * (lit(1.0) -
+      levenshtein(a, b) / greatest(length(a), length(b)).cast("double")), 6)
+
+  /** Token-sort form: split on whitespace, sort, rejoin (word-order-
+    * insensitive matching, WRatio's token_sort component). */
+  def tokenSort(c: Column): Column =
+    concat_ws(" ", array_sort(split(c, " ")))
+
+  /** WRatio-style fuzzy score of a name column against a query string:
+    * max(ratio, 0.95 · token-sort ratio). */
+  def fuzzyScore(name: Column, query: String): Column = {
+    val q = lit(query)
+    greatest(ratio(name, q), round(ratio(tokenSort(name), tokenSort(q)) * 0.95, 6))
+  }
+
+  /** Inverted index over the normalized key: key → (n_ids, first_id).
+    * The group-by IS the index; broadcast it or write it to a KV sink. */
+  def indexBuild(df: DataFrame, id: String, name: String): DataFrame =
+    df.groupBy(normalizeKey(col(name)).as("key"))
+      .agg(count(lit(1)).as("n_ids"), min(col(id)).as("first_id"))
+
+  /** Fuzzy top-k against one query: score everything, threshold, rank
+    * deterministically. Runs as one scan + TakeOrdered (no global sort). */
+  def fuzzyTopK(df: DataFrame, id: String, name: String,
+      query: String, minScore: Double, k: Int): DataFrame =
+    df.select(col(id), col(name),
+        fuzzyScore(normalizeKey(col(name)), query).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+
+  /** Blocked similarity self-join: equality blocking on `blockKey` of the
+    * normalized name, exact bounded edit distance within blocks only —
+    * the join shape that survives corpus scale (never all-pairs).
+    * Returns (i, j, dist) with i < j and dist <= maxDist. */
+  def blockedSimJoin(df: DataFrame, id: String, name: String,
+      blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val names = df.select(col(id).as("id"), normalizeKey(col(name)).as("nm"))
+      .withColumn("blk", blockKey(col("nm")))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        levenshtein(col("a.nm"), col("b.nm"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+}

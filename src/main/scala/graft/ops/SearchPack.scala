@@ -23,23 +23,16 @@ object SearchPack {
   /** The serving-path query strings (a clean hit and a typo'd miss). */
   private val FuzzyQuery = "custoner#000000042"   // two typos vs Customer#000000042
 
-  private def accentFold(c: Column): Column = call_function("accent_fold", c)
-
-  /** normalize = accent-fold → lower → trim (ref fuzzy_search.py:14). */
-  private def norm(c: Column): Column = lower(trim(accentFold(c)))
+  // Column builders live in the user-facing API (graft.api.Search); the
+  // *Sql twins here mirror them for the DuckDB oracle.
+  private def norm(c: Column): Column = graft.api.Search.normalizeKey(c)
   private def normSql(e: String): String = s"lower(trim(strip_accents($e)))"
 
-  /** 0-100 levenshtein similarity ratio of two normalized strings. */
-  private def ratio(a: Column, b: Column): Column =
-    round(lit(100.0) * (lit(1.0) -
-      levenshtein(a, b) / greatest(length(a), length(b)).cast("double")), 6)
+  private def ratio(a: Column, b: Column): Column = graft.api.Search.ratio(a, b)
   private def ratioSql(a: String, b: String): String =
     s"round(100.0 * (1.0 - levenshtein($a, $b) / CAST(greatest(length($a), length($b)) AS DOUBLE)), 6)"
 
-  /** Token-sort form: split on whitespace, sort, rejoin (ref WRatio's
-    * token_sort_ratio component). */
-  private def tokenSort(c: Column): Column =
-    concat_ws(" ", array_sort(split(c, " ")))
+  private def tokenSort(c: Column): Column = graft.api.Search.tokenSort(c)
   private def tokenSortSql(e: String): String =
     s"array_to_string(list_sort(string_split($e, ' ')), ' ')"
 
@@ -86,19 +79,12 @@ object SearchPack {
     // normalized name (equality shuffle), exact levenshtein <= 1 within
     // blocks only — the join shape that survives 100 TB, vs the all-pairs
     // scan the reference does at 4.6 M names (fuzzy_search.py:54-60).
+    // Bounded edit distance inside (3-arg levenshtein, ~k/|s| of the
+    // full DP): per-pair work is the whole cost of a similarity
+    // self-join, so the bound IS the scale path.
     "search_blocked_simjoin" -> ((s, d) => {
-      val names = Tables.customer(s, d)
-        .select(col("c_custkey").as("id"), norm(col("c_name")).as("nm"))
-        .withColumn("blk", substring(col("nm"), -2, 2))
-      names.as("a").join(names.as("b"),
-          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-        // Bounded edit distance: the 3-arg levenshtein short-circuits once
-        // the running distance exceeds the threshold (returns -1), ~k/|s|
-        // of the full DP cost — per-pair work is the whole cost of a
-        // similarity self-join, so the bound IS the scale path.
-        .select(col("a.id").as("i"), col("b.id").as("j"),
-          levenshtein(col("a.nm"), col("b.nm"), 1).cast("long").as("dist"))
-        .filter(col("dist") >= 0)
+      graft.api.Search.blockedSimJoin(Tables.customer(s, d),
+          "c_custkey", "c_name", nm => substring(nm, -2, 2), maxDist = 1)
         .orderBy(col("i"), col("j")).limit(5000)
     })
   )

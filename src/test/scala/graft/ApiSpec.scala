@@ -133,6 +133,22 @@ class ApiSpec extends SparkSpec {
     assert(neg.join(pos, Seq("a", "b")).count() == 0)
   }
 
+  test("search: fuzzy top-k and blocked sim-join on user names") {
+    val people = Seq(
+      (1L, "Renée Fox"), (2L, "renee fox"), (3L, "Renee Foxx"),
+      (4L, "Ada Lovelace")).toDF("pid", "pname")
+    val top = Graft.search.fuzzyTopK(people, "pid", "pname", "renee fox", 80.0, 3)
+      .select("pid").as[Long].collect()
+    assert(top.take(2).toSet == Set(1L, 2L), "accent-folded exact matches lead")
+    assert(!top.contains(4L))
+    val sim = Graft.search.blockedSimJoin(people, "pid", "pname",
+        nm => org.apache.spark.sql.functions.substring(nm, 1, 3), maxDist = 1)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((1L, 2L)), "accent fold makes the pair distance 0")
+    assert(sim.contains((1L, 3L)) && sim.contains((2L, 3L)))
+    assert(!sim.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
