@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic analytics operators — the skew-safe and imputation primitives
+  * behind `graft.ops.AnalyticsPack`'s driver queries, over arbitrary
+  * frames and columns.
+  */
+object Analytics {
+
+  /** Skew-safe two-phase aggregation: phase 1 groups by (key, salt) so a
+    * hot key spreads over `salts` reducers, phase 2 merges partials per
+    * key. Returns (key, n, total) where total keeps exact decimal
+    * accumulation between phases (bit-equal to the direct groupBy).
+    * Power-law keys — degree hubs, hot users — are the norm at corpus
+    * scale, so this IS the default shape for count/sum over them. */
+  def saltedAgg(df: DataFrame, key: Column, saltBy: Column, value: Column,
+      salts: Int = 16): DataFrame = {
+    val partial = df
+      .groupBy(key.as("key"), pmod(saltBy, lit(salts)).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(value.cast("decimal(28,4)")).as("ps"))
+    partial.groupBy(col("key"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("total"))
+  }
+
+  /** Mean imputation: fill nulls in `value` with the mean of observed
+    * values (exact decimal mean, scalar-subquery broadcast). Adds
+    * `was_missing` and `<value>_imputed`. */
+  def meanImpute(df: DataFrame, value: String, scale: Int = 2): DataFrame = {
+    val mean = df.agg(
+      round((sum(col(value).cast("decimal(28,4)")) / count(col(value))).cast("double"), scale)
+        .as("__mean"))
+    df.crossJoin(broadcast(mean))
+      .withColumn("was_missing", col(value).isNull.cast("int"))
+      .withColumn(s"${value}_imputed", coalesce(col(value), col("__mean")))
+      .drop("__mean")
+  }
+
+  /** Min-max normalization of `value` to [0, 1] (single stats pass,
+    * broadcast). Adds `<value>_norm`. */
+  def minmaxNormalize(df: DataFrame, value: String): DataFrame = {
+    val stats = df.agg(min(col(value)).as("__mn"), max(col(value)).as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(s"${value}_norm",
+        (col(value) - col("__mn")) / (col("__mx") - col("__mn")))
+      .drop("__mn", "__mx")
+  }
+
+  /** Degree CCDF over a pre-aggregated (k, cnt) degree distribution:
+    * P(K >= k) per k, cumulative window over the sorted degrees. */
+  def ccdf(dist: DataFrame, k: String = "k", cnt: String = "cnt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(k)).rowsBetween(Window.unboundedPreceding, -1)
+    dist
+      .withColumn("__cum_prev", coalesce(sum(col(cnt)).over(w), lit(0L)))
+      .withColumn("__total", sum(col(cnt)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("ccdf", lit(1.0) - col("__cum_prev").cast("double") / col("__total"))
+      .drop("__cum_prev", "__total")
+  }
+}

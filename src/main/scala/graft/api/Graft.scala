@@ -31,6 +31,10 @@ package graft.api
   *    canonical pair splits, negative sampling.
   *  - [[Search]] `Graft.search` — accent-fold key normalization, WRatio
   *    fuzzy scoring, index build, fuzzy top-k, blocked sim-join.
+  *  - [[Analytics]] `Graft.analytics` — skew-safe salted aggregation,
+  *    mean imputation, min-max normalization, degree CCDF.
+  *  - [[Events]] `Graft.events` — batch tumbling windows and gap
+  *    sessionization in exact integer micros.
   *  - [[graft.graph.DFGraphAlgs]] `Graft.graph` — PageRank (plain +
   *    multi-relation), BFS/SSSP (single/multi-source, with paths),
   *    connected components, degrees; fixed-round BSP DataFrame programs.
@@ -48,6 +52,8 @@ object Graft {
   val text: Text.type = Text
   val sampling: Sampling.type = Sampling
   val search: Search.type = Search
+  val analytics: Analytics.type = Analytics
+  val events: Events.type = Events
   val graph: graft.graph.DFGraphAlgs.type = graft.graph.DFGraphAlgs
   val streams: graft.streaming.StreamOps.type = graft.streaming.StreamOps
   val media: graft.multimodal.Multimodal.type = graft.multimodal.Multimodal

@@ -113,13 +113,8 @@ object AnalyticsPack {
         .select(col("c_custkey"),
           when(h28(col("c_name")) % 10 === 0, lit(null).cast("double"))
             .otherwise(col("c_acctbal")).as("bal"))
-      val mean = c.agg(
-        round((sum(col("bal").cast("decimal(28,4)")) / count(col("bal"))).cast("double"), 2)
-          .as("mean_bal"))
-      c.crossJoin(broadcast(mean))
-        .select(col("c_custkey"),
-          col("bal").isNull.cast("int").as("was_missing"),
-          coalesce(col("bal"), col("mean_bal")).as("bal_imputed"))
+      graft.api.Analytics.meanImpute(c, "bal", scale = 2)
+        .select(col("c_custkey"), col("was_missing"), col("bal_imputed"))
         .orderBy(col("c_custkey")).limit(1000)
     }),
 
@@ -130,13 +125,11 @@ object AnalyticsPack {
     // sums STAY decimal between phases so the merged total is exactly
     // the direct groupBy's answer — which is what the oracle computes.
     "ana_salted_hub_degrees" -> ((s, d) => {
-      val partial = Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey"), pmod(col("l_orderkey"), lit(16)).as("salt"))
-        .agg(count(lit(1)).as("pn"),
-          sum(col("l_extendedprice").cast("decimal(28,4)")).as("ps"))
-      partial.groupBy(col("l_suppkey"))
-        .agg(sum(col("pn")).as("n_items"),
-          sum(col("ps")).cast("double").as("total_price"))
+      graft.api.Analytics.saltedAgg(Tables.lineitem(s, d),
+          key = col("l_suppkey"), saltBy = col("l_orderkey"),
+          value = col("l_extendedprice"), salts = 16)
+        .select(col("key").as("l_suppkey"), col("n").as("n_items"),
+          col("total").as("total_price"))
         .orderBy(col("l_suppkey"))
     }),
 

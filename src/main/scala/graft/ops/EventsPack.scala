@@ -43,15 +43,8 @@ object EventsPack {
     // to the previous event of the same user exceeds 30 min. Summary per
     // user: sessions, events, longest session (exact integer micros).
     "events_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      val sess = withMicros(s, d)
-        .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
-        .withColumn("brk", (col("prev").isNull || col("ts_us") - col("prev") > GapUs).cast("int"))
-        .withColumn("sid", sum(col("brk")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      sess.groupBy(col("user_id"), col("sid"))
-        .agg(count(lit(1)).as("n_events"),
-          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      graft.api.Events.sessionize(withMicros(s, d),
+          user = col("user_id"), tsUs = col("ts_us"), gapUs = GapUs)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"),

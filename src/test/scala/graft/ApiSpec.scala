@@ -149,6 +149,36 @@ class ApiSpec extends SparkSpec {
     assert(!sim.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("analytics: salted aggregation equals the direct groupBy bitwise") {
+    val df = (1L to 10000L).map(i => (i % 7, i, i * 0.01)).toDF("k", "salt", "v")
+    val direct = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,4)")).cast("double").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Graft.analytics.saltedAgg(df, col("k"), col("salt"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("analytics: meanImpute fills nulls with the observed mean") {
+    val df = Seq(Some(1.0), Some(3.0), None).toDF("x")
+    val out = Graft.analytics.meanImpute(df, "x")
+      .select("x_imputed", "was_missing")
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(out.count(_._2 == 1) == 1)
+    assert(out.filter(_._2 == 1).head._1 == 2.0)
+  }
+
+  test("events: gap sessionization splits exactly at gap violations") {
+    val gap = 100L
+    val ev = Seq((1L, 0L), (1L, 50L), (1L, 151L), (1L, 200L), (2L, 0L))
+      .toDF("user_id", "ts_us")
+    val sess = Graft.events.sessionize(ev, col("user_id"), col("ts_us"), gap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // user 1: [0,50] then [151,200] (gap 101 > 100); user 2: singleton
+    assert(sess == Set((1L, 2L, 50L), (1L, 2L, 49L), (2L, 1L, 0L)))
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
