@@ -43,6 +43,27 @@ object Probe2 {
     time("pagerank x5") {
       DFGraphAlgs.pageRank(edges, 5).count()
     }
+    // A/B: deep-plan pagerank with broadcast-hinted rank/msgs subtrees
+    time("pagerank x5 bcast-deep") {
+      val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val contrib = e.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      var rank = nodes.select(col("id"), lit(1.0).as("rank"))
+      for (_ <- 1 to 5) {
+        val msgs = contrib.join(broadcast(rank), contrib("src") === rank("id"))
+          .select(col("dst").as("id"),
+            (col("rank") / col("deg")).as("m"))
+          .groupBy(col("id"))
+          .agg(sum(col("m").cast("decimal(28,15)")).cast("double").as("msum"))
+        rank = nodes.join(broadcast(msgs), Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+      }
+      rank.count()
+    }
     time("bfs x6") {
       DFGraphAlgs.shortestPaths(edges.withColumn("w", lit(1.0)), 1L, 6).count()
     }

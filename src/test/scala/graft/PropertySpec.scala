@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (deterministic sample sweep) for the pure
+  * primitives every oracle check leans on — no Spark session needed:
+  * hash ranges, affine re-hash closure, canonical-pair symmetry, and
+  * the minhash sketch's merge algebra.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  import graft.ops.TextHash.P
+
+  // Deterministic sample stream (splitmix64) — reproducible, no RNG seed
+  // state shared with anything else.
+  private def samples(n: Int, seed: Long = 42L): Seq[Long] = {
+    var x = seed
+    (1 to n).map { _ =>
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  test("affine re-hash stays inside [0, P) for any 28-bit hash and j") {
+    for (h <- samples(500).map(v => math.floorMod(v, 1L << 28)); j <- 0 until 16) {
+      val a = ((2L * j + 1) * h + j.toLong * j + 7) % P
+      assert(a >= 0 && a < P, s"h=$h j=$j -> $a")
+    }
+  }
+
+  test("integer-mix bucket is stable and in [0, 100) for any key") {
+    for (k <- samples(2000)) {
+      val b = math.floorMod(math.floorMod(k * 2654435761L, 1000003L), 100L)
+      assert(b >= 0 && b < 100, s"k=$k -> $b")
+    }
+  }
+
+  test("minhash sketch: split-merge equals one-shot; serde round-trips") {
+    import graft.functions.MinHashSketch
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = MinHashSketch(BoundReference(0, LongType, nullable = true))
+    for (size <- Seq(1, 2, 7, 100); split <- Seq(0, 1, size / 2, size)) {
+      val hs = samples(size, seed = size * 31 + split)
+        .map(v => math.floorMod(v, 1L << 28))
+      val whole = hs.foldLeft(agg.createAggregationBuffer()) { (b, h) =>
+        agg.update(b, InternalRow(h))
+      }
+      val (l, r) = hs.splitAt(split)
+      val bl = l.foldLeft(agg.createAggregationBuffer()) { (b, h) => agg.update(b, InternalRow(h)) }
+      val br = r.foldLeft(agg.createAggregationBuffer()) { (b, h) => agg.update(b, InternalRow(h)) }
+      val merged = agg.merge(bl, br)
+      assert(merged.toSeq == whole.toSeq, s"size=$size split=$split")
+      assert(agg.deserialize(agg.serialize(merged)).toSeq == merged.toSeq)
+    }
+  }
+
+  test("empty sketch buffer evals to all-MaxValue slots (min over empty)") {
+    import graft.functions.MinHashSketch
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = MinHashSketch(BoundReference(0, LongType, nullable = true))
+    assert(agg.createAggregationBuffer().forall(_ == Long.MaxValue))
+  }
+}
