@@ -129,19 +129,28 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
 
   /** SimHash near-dup pairs within the given Hamming distance, banded:
-    * for maxHamming+1 bands, any qualifying pair shares >= 1 band
-    * exactly (pigeonhole), so candidates come from equality joins. */
+    * the 32-bit fingerprint is sliced into maxHamming+1 bands, and any
+    * pair within the bound differs in at most maxHamming bands, so it
+    * matches EXACTLY on at least one (pigeonhole) — candidates come from
+    * maxHamming+1 equality joins, never an all-pairs product; the exact
+    * bit_count check then keeps true matches only. */
   def simhashNearDups(fingerprints: DataFrame, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming == 1, "banding below is specialized to hamming <= 1")
-    val fp = fingerprints
-      .withColumn("b0", expr("simhash & 65535"))
-      .withColumn("b1", expr("shiftright(simhash, 16)"))
-    def bandJoin(band: String) =
+    require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
+    val nBands = maxHamming + 1
+    // Band k covers bits [k*width, min((k+1)*width, 32)), width = ceil.
+    val width = (32 + nBands - 1) / nBands
+    val fp = (0 until nBands).foldLeft(fingerprints) { (df, k) =>
+      val lo = k * width
+      val hi = math.min(lo + width, 32)
+      df.withColumn(s"b$k",
+        expr(s"shiftright(simhash, $lo) & ${(1L << (hi - lo)) - 1}"))
+    }
+    def bandJoin(k: Int) =
       fp.as("a").join(fp.as("b"),
-          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+          col(s"a.b$k") === col(s"b.b$k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
           col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-    bandJoin("b0").union(bandJoin("b1")).distinct()
+    (1 until nBands).map(bandJoin).foldLeft(bandJoin(0))(_ union _).distinct()
       .select(col("i"), col("j"),
         expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -31,6 +31,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("generalized simhash banding equals the all-pairs scan at hamming<=2") {
+    import org.apache.spark.sql.functions._
+    val fp = graft.api.Dedup.simhashFingerprints(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id", "text")
+      .localCheckpoint(true)
+    val banded = graft.api.Dedup.simhashNearDups(fp, maxHamming = 2)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("h"))
+      .filter(col("h") <= 2)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == allPairs)
+    assert(allPairs.nonEmpty, "fixture should contain hamming<=2 pairs")
+  }
+
   test("simhash near-dups overlap shingle-Jaccard near-dups") {
     val sim = pairs("dedup_simhash")
     val exact = pairs("dedup_ngram_jaccard")
