@@ -141,6 +141,19 @@ object AnalyticsPack {
         .orderBy(col("l_suppkey"))
     }),
 
+    // Exact interpolated quantiles of the price distribution — the
+    // distribution-summary operator a corpus-stats pass reports. Exact
+    // `percentile` (sort + linear interpolation, identical to DuckDB's
+    // quantile_cont) so results hash-match; at 100 TB the approximate
+    // t-digest form (percentile_approx) replaces it, same plan shape.
+    "ana_quantiles" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("q25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("q95"))
+    }),
+
     // Deterministic stratified sampling — the class-rebalancing step of a
     // training-data pipeline: per-stratum keep-rates applied by an
     // integer-mix hash of the row key (no RNG, reproducible across runs
@@ -218,6 +231,13 @@ object AnalyticsPack {
     "ana_indegree_suppliers" ->
       """SELECT l_suppkey, COUNT(*) AS in_degree FROM lineitem
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "ana_quantiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
+        |FROM orders""".stripMargin,
 
     "ana_stratified_sample" ->
       """WITH t AS (SELECT o_orderpriority,

@@ -52,6 +52,23 @@ object SourcesPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Schema evolution across parquet generations: v1 files carry
+    // (key, name), v2 files (key, regionkey); a mergeSchema read unions
+    // the schemas and nulls the columns a generation lacks — the
+    // landing-directory reality of any long-lived 100 TB dataset.
+    "src_schema_evolution" -> ((s, d) => {
+      val out = scratch(d, "nation_evolve")
+      val n = Tables.nation(s, d)
+      n.select(col("n_nationkey"), col("n_name"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+      n.select(col("n_nationkey"), col("n_regionkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_name")).as("n_with_name"),
+          count(col("n_regionkey")).as("n_with_region"))
+    }),
+
     // Bucketed sink + co-located join (the §4 shuffle-elimination story):
     // both sides written bucketed on the join key with the same bucket
     // count, so the fact-fact join runs with NO exchange on either side —
@@ -126,6 +143,12 @@ object SourcesPack {
 
     "src_multifile_union" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    // The merged read sees every row twice, with each generation's
+    // missing column null — equivalently, per-column counts over nation.
+    "src_schema_evolution" ->
+      """SELECT 2 * COUNT(*) AS n_rows, COUNT(n_name) AS n_with_name,
+        |  COUNT(n_regionkey) AS n_with_region FROM nation""".stripMargin,
 
     "etl_snake_case" -> {
       val values = CamelCols.map(c => s"('$c')").mkString(", ")
