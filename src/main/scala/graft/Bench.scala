@@ -21,6 +21,15 @@ object Bench {
     val w = spark.read.parquet(warmDir)
     w.groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
     w.join(w.limit(10).hint("broadcast"), "k").count()
+    // Shared-intermediate warm pass: DFCache entries several queries
+    // reuse are built HERE and reported as one explicit _shared_warmup
+    // line (counted in the total), so per-query times are attributable
+    // instead of charging the shared build to the first query to run.
+    val tShared0 = System.nanoTime()
+    val sharedTimes = graft.ops.Warm.sharedIntermediates(spark, sfDir)
+    val sharedSec = (System.nanoTime() - tShared0) / 1e9
+    sharedTimes.foreach { case (n, t) =>
+      System.err.println(f"[bench] (warm) $n%-26s $t%8.2f s") }
     // Local-iteration filter (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -31,11 +40,18 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }.toMap + ("_shared_warmup" -> sharedSec)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout is the driver contract, but a long tail can truncate there —
+    // the same line also lands in a file for reliable parsing.
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

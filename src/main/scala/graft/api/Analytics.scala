@@ -24,27 +24,42 @@ object Analytics {
       .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("total"))
   }
 
+  /** Guard an arbitrary user frame against helper/output column capture:
+    * injected names must not already exist, or the broadcast-join would
+    * raise an ambiguous reference — or worse, silently overwrite user
+    * data. Failing loudly here is the generic-API contract. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"input frame already has column(s) ${clash.mkString(", ")}; " +
+        "rename them before calling this operator")
+  }
+
   /** Mean imputation: fill nulls in `value` with the mean of observed
     * values (exact decimal mean, scalar-subquery broadcast). Adds
     * `was_missing` and `<value>_imputed`. */
   def meanImpute(df: DataFrame, value: String, scale: Int = 2): DataFrame = {
+    val meanCol = s"__graft_mean_$value"
+    requireFresh(df, meanCol, "was_missing", s"${value}_imputed")
     val mean = df.agg(
       round((sum(col(value).cast("decimal(28,4)")) / count(col(value))).cast("double"), scale)
-        .as("__mean"))
+        .as(meanCol))
     df.crossJoin(broadcast(mean))
       .withColumn("was_missing", col(value).isNull.cast("int"))
-      .withColumn(s"${value}_imputed", coalesce(col(value), col("__mean")))
-      .drop("__mean")
+      .withColumn(s"${value}_imputed", coalesce(col(value), col(meanCol)))
+      .drop(meanCol)
   }
 
   /** Min-max normalization of `value` to [0, 1] (single stats pass,
     * broadcast). Adds `<value>_norm`. */
   def minmaxNormalize(df: DataFrame, value: String): DataFrame = {
-    val stats = df.agg(min(col(value)).as("__mn"), max(col(value)).as("__mx"))
+    val (mnCol, mxCol) = (s"__graft_mn_$value", s"__graft_mx_$value")
+    requireFresh(df, mnCol, mxCol, s"${value}_norm")
+    val stats = df.agg(min(col(value)).as(mnCol), max(col(value)).as(mxCol))
     df.crossJoin(broadcast(stats))
       .withColumn(s"${value}_norm",
-        (col(value) - col("__mn")) / (col("__mx") - col("__mn")))
-      .drop("__mn", "__mx")
+        (col(value) - col(mnCol)) / (col(mxCol) - col(mnCol)))
+      .drop(mnCol, mxCol)
   }
 
   /** Degree CCDF over a pre-aggregated (k, cnt) degree distribution:

@@ -137,11 +137,16 @@ object Dedup {
   def simhashNearDups(fingerprints: DataFrame, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val nBands = maxHamming + 1
-    // Band k covers bits [k*width, min((k+1)*width, 32)), width = ceil.
-    val width = (32 + nBands - 1) / nBands
+    // Band k covers bits [k*32/nBands, (k+1)*32/nBands) — the floor
+    // partition gives every band >= 1 real bit for any nBands <= 32. The
+    // previous ceil-width layout let trailing bands start at/past bit 32
+    // for maxHamming >= 11; such a band is constantly 0 and its equality
+    // join silently degenerates to the all-pairs product the banding
+    // exists to avoid (results stayed correct via the exact bit_count
+    // filter, but the no-cross-product guarantee broke).
     val fp = (0 until nBands).foldLeft(fingerprints) { (df, k) =>
-      val lo = k * width
-      val hi = math.min(lo + width, 32)
+      val lo = k * 32 / nBands
+      val hi = (k + 1) * 32 / nBands
       df.withColumn(s"b$k",
         expr(s"shiftright(simhash, $lo) & ${(1L << (hi - lo)) - 1}"))
     }

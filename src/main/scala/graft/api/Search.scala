@@ -29,11 +29,38 @@ object Search {
   def tokenSort(c: Column): Column =
     concat_ws(" ", array_sort(split(c, " ")))
 
-  /** WRatio-style fuzzy score of a name column against a query string:
-    * max(ratio, 0.95 · token-sort ratio). */
+  /** Partial ratio (RapidFuzz `partial_ratio`, the best-window form): the
+    * shorter string scored against every same-length window of the longer
+    * one, best window wins. Window count is |longer|−|shorter|+1, each
+    * window one bounded levenshtein — O(Δlen · |shorter|²) worst case,
+    * fine for name-length strings; empty input scores 0. */
+  def partialRatio(a: Column, b: Column): Column = {
+    val (la, lb) = (length(a), length(b))
+    val sh = when(la <= lb, a).otherwise(b)
+    val lo = when(la <= lb, b).otherwise(a)
+    val ls = least(la, lb)
+    val nWin = greatest(la, lb) - ls + 1
+    when(ls === 0, 0.0).otherwise(
+      array_max(transform(sequence(lit(0), nWin - 1), i =>
+        round(lit(100.0) * (lit(1.0) -
+          levenshtein(sh, lo.substr(i + 1, ls)) / ls.cast("double")), 6))))
+  }
+
+  /** WRatio fuzzy score of a name column against a query string, with
+    * RapidFuzz's length-ratio dispatch (fuzz.WRatio semantics, ref
+    * fuzzy_search.py:57): similar lengths → max(full ratio, 0.95·token-
+    * sort ratio); length ratio ≥ 1.5 → the partial-ratio leg joins in,
+    * damped by 0.9 (or 0.6 when the lengths differ ≥ 8×), so a short
+    * query can still hit a long name through its best-matching window. */
   def fuzzyScore(name: Column, query: String): Column = {
     val q = lit(query)
-    greatest(ratio(name, q), round(ratio(tokenSort(name), tokenSort(q)) * 0.95, 6))
+    val full = ratio(name, q)
+    val tsr = round(ratio(tokenSort(name), tokenSort(q)) * 0.95, 6)
+    val lenRatio = greatest(length(name), length(q)).cast("double") /
+      greatest(least(length(name), length(q)), lit(1)).cast("double")
+    val scale = when(lenRatio < 8.0, 0.9).otherwise(0.6)
+    when(lenRatio < 1.5, greatest(full, tsr)).otherwise(
+      greatest(full, round(partialRatio(name, q) * scale, 6), round(tsr * scale, 6)))
   }
 
   /** Inverted index over the normalized key: key → (n_ids, first_id).

@@ -164,7 +164,7 @@ object AnalyticsPack {
       val rate = when(col("o_orderpriority").startsWith("1"), 100)
         .when(col("o_orderpriority").startsWith("2"), 50)
         .otherwise(10)
-      val bucket = (col("o_orderkey") * 2654435761L) % 1000003L % 100
+      val bucket = graft.api.Sampling.mixBucket(col("o_orderkey"))
       Tables.orders(s, d)
         .select(col("o_orderpriority"), rate.as("rate"),
           (bucket < rate).cast("int").as("keep"))

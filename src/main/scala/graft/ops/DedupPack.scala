@@ -29,7 +29,7 @@ object DedupPack {
 
   /** (doc_id, shingle) distinct word-3-gram rows (session-cached: the
     * LSH, signature, and Jaccard queries all start here). */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingleRows(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.shingles:$d") {
       graft.api.Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
     }
@@ -44,7 +44,7 @@ object DedupPack {
     * values to the explode×16 formulation the DuckDB oracle runs, but
     * the shuffle carries one 16-slot buffer per doc instead of 16× the
     * shingle rows (map-side combine does the work). */
-  private def signatures(s: SparkSession, d: String): DataFrame =
+  private[ops] def signatures(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.signatures:$d") {
       graft.api.Dedup.minhashSignatures(shingleRows(s, d))
     }
@@ -58,7 +58,7 @@ object DedupPack {
   /** 32-bit simhash per doc (session-cached; integer bit math only —
     * DuckDB CAST(double AS BIGINT) rounds where Spark truncates, so
     * doubles never touch the bit pipeline). */
-  private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+  private[ops] def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.simhash:$d") {
       graft.api.Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
     }

@@ -4,6 +4,7 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import TextHash.{h28, h28Sql}
@@ -27,11 +28,14 @@ import TextHash.{h28, h28Sql}
 object MLPack {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Negative-sampling fanout: candidate supplier picks per customer. */
+  private val NegPerCust = 20
+
   /** Distinct customer→supplier edges (session-cached: every ML query
     * starts from this same link universe). Projected from GraphPack's
     * cached (rel, c, p) pass — one orders⋈lineitem scan serves both
     * packs (the supplier-id offset is undone here). */
-  private def edges(s: SparkSession, d: String): DataFrame =
+  private[ops] def edges(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"ml.edges:$d") {
       GraphPack.relPairs(s, d)
         .select(col("c"), (col("p") - GraphPack.SuppOffset).as("p"))
@@ -124,23 +128,21 @@ object MLPack {
         .orderBy(col("split"))
     }),
 
-    // M2 — negative sampling: deterministic pseudo-random candidate pairs
-    // anti-joined against real edges (ref train_model.py:203-212,
-    // neg_sampling_ratio semantics without torch RNG). The sampler is a
-    // Knuth-style integer mix — pure int64 arithmetic both engines
-    // compute identically, and ~100× cheaper per row than hashing a
-    // concatenated string (this filter runs over the full |C|×|S| cross
-    // product, so per-row cost IS the query cost).
+    // M2 — negative sampling, scale-safe form (ref train_model.py:203-212:
+    // per-positive sampling, never enumeration): each customer draws
+    // NegPerCust deterministic pseudo-random supplier picks (Knuth mix on
+    // (c, j), dedup, anti-join real edges) — O(|C|·k) generated rows.
+    // The round-2 form enumerated the |C|×|S| cross product and filtered
+    // it to 5%; at 10⁷ customers × 10⁶ suppliers that is 10¹³ rows
+    // through the filter. PlanSpec asserts no cartesian/BNL join remains.
     "ml_neg_sampling" -> ((s, d) => {
       val e = edges(s, d)
       val cust = Tables.customer(s, d).select(col("c_custkey").as("c"))
       val supp = Tables.supplier(s, d).select(col("s_suppkey").as("p"))
-      val cand = cust.crossJoin(supp)
-        .filter((col("c") * 2654435761L + col("p") * 40503L) % 1000003L % 20 === 0)
-      val neg = cand.join(e, Seq("c", "p"), "left_anti")
-      neg.agg(count(lit(1)).as("n_negatives"),
-        countDistinct(col("c")).as("n_customers"),
-        countDistinct(col("p")).as("n_suppliers"))
+      graft.api.Sampling.negativePairs(cust, supp, e, "c", "p", NegPerCust)
+        .agg(count(lit(1)).as("n_negatives"),
+          countDistinct(col("c")).as("n_customers"),
+          countDistinct(col("p")).as("n_suppliers"))
     }),
 
     // Pair features for the deterministic pair sample — the GraphX-side
@@ -173,6 +175,51 @@ object MLPack {
           when(col("score") > 0.8, "high").when(col("score") > 0.5, "medium").otherwise("low"))
         .orderBy(col("score").desc, col("cand").asc)
         .limit(10)
+    }),
+
+    // V5 proper — MULTI-TYPE top-k recommendation (ref predicter.py:
+    // 233-291): candidates of BOTH node types scored per relation, score
+    // max-pooled across relations per candidate (argmax relation kept,
+    // deterministic tie-break), per-type top-k, then one global merge —
+    // the reference's heterogeneous recommend shape. Candidate scoring:
+    // customer candidates share a supplier with the query customer
+    // within a relation (per-relation common-neighbor count); supplier
+    // candidates are what those rel-neighbors use, minus the query's own
+    // suppliers (taboo anti-join). Every join is an equi-join on
+    // (rel, key); the per-type top-k is a partitioned window.
+    "ml_recommend_multitype" -> ((s, d) => {
+      val Q = 1L
+      val rp = GraphPack.relPairs(s, d)
+        .select(col("rel"), col("c"), (col("p") - GraphPack.SuppOffset).as("p"))
+      val mine = rp.filter(col("c") === Q).select(col("rel"), col("p"))
+      val myAll = rp.filter(col("c") === Q).select(col("p")).distinct()
+      val custScore = rp.join(mine.hint("broadcast"), Seq("rel", "p"))
+        .filter(col("c") =!= Q)
+        .groupBy(col("rel"), col("c").as("cand"))
+        .agg(count(lit(1)).as("score"))
+      val nbrs = custScore.select(col("rel").as("n_rel"), col("cand").as("nc"))
+      val suppScore = rp
+        .join(nbrs.hint("broadcast"),
+          col("rel") === col("n_rel") && col("c") === col("nc"))
+        .groupBy(col("rel"), col("p").as("cand"))
+        .agg(countDistinct(col("c")).as("score"))
+        .join(myAll.withColumnRenamed("p", "cand"), Seq("cand"), "left_anti")
+      val typed = custScore.withColumn("cand_type", lit("customer"))
+        .unionByName(suppScore.withColumn("cand_type", lit("supplier")))
+      val pooled = typed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cand_type"), col("cand"))
+            .orderBy(col("score").desc, col("rel").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cand_type"), col("cand"), col("rel").as("best_rel"), col("score"))
+      pooled
+        .withColumn("type_rank", row_number().over(
+          Window.partitionBy(col("cand_type"))
+            .orderBy(col("score").desc, col("cand").asc)))
+        .filter(col("type_rank") <= 5)
+        .select(col("cand_type"), col("cand"), col("best_rel"),
+          col("score"), col("type_rank"))
+        .orderBy(col("score").desc, col("cand_type").asc, col("cand").asc)
     }),
 
     // V6 — relation scan (ref predicter.py:126-175 scan_relationship):
@@ -390,9 +437,15 @@ object MLPack {
 
     "ml_neg_sampling" ->
       s"""WITH $edgesSql,
-         |cand AS (SELECT c_custkey AS c, s_suppkey AS p
-         |  FROM customer CROSS JOIN supplier
-         |  WHERE (c_custkey * 2654435761 + s_suppkey * 40503) % 1000003 % 20 = 0),
+         |sidx AS MATERIALIZED (SELECT p, row_number() OVER (ORDER BY p) - 1 AS bidx
+         |  FROM (SELECT DISTINCT s_suppkey AS p FROM supplier)),
+         |cand AS (SELECT DISTINCT t.c, sidx.p FROM (
+         |    SELECT c_custkey AS c,
+         |      ((c_custkey * 2654435761 + j * 40503) % 1000003)
+         |        % (SELECT COUNT(*) FROM sidx) AS bidx
+         |    FROM customer
+         |    CROSS JOIN (SELECT unnest(range(0, $NegPerCust)) AS j)) t
+         |  JOIN sidx ON sidx.bidx = t.bidx),
          |neg AS (SELECT * FROM cand WHERE NOT EXISTS (
          |  SELECT 1 FROM edges e WHERE e.c = cand.c AND e.p = cand.p))
          |SELECT COUNT(*) AS n_negatives,
@@ -404,6 +457,31 @@ object MLPack {
       s"""WITH $edgesSql, $pairSampleSql, $pairFeaturesSql
          |SELECT c1, c2, common_neighbors, adamic_adar, pref_attachment, same_nation
          |FROM feat ORDER BY c1, c2 LIMIT 5000""".stripMargin,
+
+    "ml_recommend_multitype" ->
+      """WITH rp AS MATERIALIZED (SELECT DISTINCT l_returnflag AS rel,
+        |    o_custkey AS c, l_suppkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |mine AS (SELECT rel, p FROM rp WHERE c = 1),
+        |myall AS (SELECT DISTINCT p FROM rp WHERE c = 1),
+        |cust AS (SELECT r.rel, r.c AS cand, COUNT(*) AS score
+        |  FROM rp r JOIN mine m ON m.rel = r.rel AND m.p = r.p
+        |  WHERE r.c <> 1 GROUP BY r.rel, r.c),
+        |nbrs AS (SELECT rel, cand AS nc FROM cust),
+        |supp AS (SELECT r.rel, r.p AS cand, COUNT(DISTINCT r.c) AS score
+        |  FROM rp r JOIN nbrs n ON n.rel = r.rel AND n.nc = r.c
+        |  WHERE r.p NOT IN (SELECT p FROM myall)
+        |  GROUP BY r.rel, r.p),
+        |typed AS (SELECT 'customer' AS cand_type, cand, rel, score FROM cust
+        |  UNION ALL SELECT 'supplier' AS cand_type, cand, rel, score FROM supp),
+        |pooled AS (SELECT cand_type, cand, rel AS best_rel, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_type, cand
+        |      ORDER BY score DESC, rel ASC) AS rn FROM typed) WHERE rn = 1),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY cand_type
+        |    ORDER BY score DESC, cand ASC) AS type_rank FROM pooled)
+        |SELECT cand_type, cand, best_rel, score, CAST(type_rank AS INT) AS type_rank
+        |FROM ranked WHERE type_rank <= 5
+        |ORDER BY score DESC, cand_type ASC, cand ASC""".stripMargin,
 
     "ml_relation_scan" ->
       """WITH t AS (SELECT DISTINCT o_custkey AS c, p_type AS rel, l_suppkey AS p

@@ -48,6 +48,10 @@ object MultimodalPack {
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text"),
           ((length(col("text")) + (FB - 1)) / FB).cast("int").as("nf"))
+        // nf = 0 (empty payload) must yield no frames: sequence(0, -1)
+        // throws on illegal bounds, while the oracle's range(0, 0) is
+        // simply empty — filter first so both engines agree.
+        .filter(col("nf") > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), col("nf") - 1, lit(SE))).as("f"))
         .select(col("doc_id"), col("f").cast("long").as("f"),

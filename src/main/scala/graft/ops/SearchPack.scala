@@ -22,6 +22,10 @@ object SearchPack {
 
   /** The serving-path query strings (a clean hit and a typo'd miss). */
   private val FuzzyQuery = "custoner#000000042"   // two typos vs Customer#000000042
+  /** Short query — exercises WRatio's partial-ratio dispatch (length
+    * ratio 18/11 ≥ 1.5): only the best-window leg lifts it over the
+    * cutoff against the 18-char names. */
+  private val PartialQuery = "custoner#42"
 
   // Column builders live in the user-facing API (graft.api.Search); the
   // *Sql twins here mirror them for the DuckDB oracle.
@@ -35,6 +39,31 @@ object SearchPack {
   private def tokenSort(c: Column): Column = graft.api.Search.tokenSort(c)
   private def tokenSortSql(e: String): String =
     s"array_to_string(list_sort(string_split($e, ' ')), ' ')"
+
+  /** DuckDB twin of graft.api.Search.partialRatio: best same-length
+    * window of the longer string vs the shorter, list-transform over the
+    * window starts. */
+  private def partialRatioSql(a: String, b: String): String = {
+    val ls = s"least(length($a), length($b))"
+    val sh = s"CASE WHEN length($a) <= length($b) THEN $a ELSE $b END"
+    val lo = s"CASE WHEN length($a) <= length($b) THEN $b ELSE $a END"
+    val nw = s"greatest(length($a), length($b)) - $ls + 1"
+    s"CASE WHEN $ls = 0 THEN 0.0 ELSE list_max(list_transform(range(0, $nw), " +
+      s"i -> round(100.0 * (1.0 - levenshtein($sh, substr($lo, i + 1, $ls)) " +
+      s"/ CAST($ls AS DOUBLE)), 6))) END"
+  }
+
+  /** DuckDB twin of graft.api.Search.fuzzyScore (WRatio dispatch). */
+  private def wratioSql(key: String, q: String): String = {
+    val full = ratioSql(key, q)
+    val tsr = s"round(${ratioSql(tokenSortSql(key), tokenSortSql(q))} * 0.95, 6)"
+    val lenR = s"(greatest(length($key), length($q)) " +
+      s"/ CAST(greatest(least(length($key), length($q)), 1) AS DOUBLE))"
+    val scale = s"CASE WHEN $lenR < 8.0 THEN 0.9 ELSE 0.6 END"
+    s"CASE WHEN $lenR < 1.5 THEN greatest($full, $tsr) " +
+      s"ELSE greatest($full, round(${partialRatioSql(key, q)} * $scale, 6), " +
+      s"round($tsr * $scale, 6)) END"
+  }
 
   val queries: Map[String, Q] = Map(
     // F1 — search-index build: normalized name → bucket of ids. The
@@ -56,20 +85,37 @@ object SearchPack {
         .orderBy(col("c_custkey"))
     }),
 
-    // F3 — fuzzy top-k: WRatio-ish score over all normalized names with
-    // the reference's re-rank bonuses, threshold 60, deterministic top-10
-    // (ref fuzzy_search.py:54-94; settings.py:46 cutoff 60).
+    // F3 — fuzzy top-k: full WRatio score (incl. the partial-ratio
+    // dispatch, inert here — query and names are same-length) over all
+    // normalized names with the reference's re-rank bonuses, threshold
+    // 60, deterministic top-10 (ref fuzzy_search.py:54-94; settings.py:46
+    // cutoff 60).
     "search_fuzzy_topk" -> ((s, d) => {
-      val q = lit(FuzzyQuery)
       val key = norm(col("c_name"))
-      val base = greatest(ratio(key, q), round(ratio(tokenSort(key), tokenSort(q)) * 0.95, 6))
+      val base = graft.api.Search.fuzzyScore(key, FuzzyQuery)
       val bonus =
-        when(length(key) < length(q) / 2, -30.0).otherwise(0.0) +
+        when(length(key) < length(lit(FuzzyQuery)) / 2, -30.0).otherwise(0.0) +
         when(key.startsWith(FuzzyQuery.substring(0, 4)), 20.0).otherwise(0.0) +
         when(key.contains(FuzzyQuery.substring(9)), 10.0).otherwise(0.0)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
           round(base + bonus, 6).as("score"))
+        .filter(col("score") >= 60.0)
+        .orderBy(col("score").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+
+    // F3 — the partial-ratio serving path: a SHORT query against the
+    // full-length names (length ratio ≥ 1.5 → WRatio dispatches to the
+    // best-window leg, ref fuzzy_search.py:57 / RapidFuzz WRatio). The
+    // full ratio alone scores "custoner#42" vs "customer#000000042" at
+    // ~56 — below the 60 cutoff; the 0.9-damped best window (~65) is
+    // what makes short-name lookup work at all.
+    "search_fuzzy_partial" -> ((s, d) => {
+      val key = norm(col("c_name"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          round(graft.api.Search.fuzzyScore(key, PartialQuery), 6).as("score"))
         .filter(col("score") >= 60.0)
         .orderBy(col("score").desc, col("c_custkey").asc)
         .limit(10)
@@ -100,11 +146,19 @@ object SearchPack {
          |WHERE ${normSql("c_name")} = 'customer#000000042'
          |ORDER BY c_custkey""".stripMargin,
 
+    "search_fuzzy_partial" -> {
+      val key = normSql("c_name")
+      val q = s"'$PartialQuery'"
+      s"""SELECT c_custkey, c_name, round(${wratioSql(key, q)}, 6) AS score
+         |FROM customer
+         |WHERE round(${wratioSql(key, q)}, 6) >= 60.0
+         |ORDER BY score DESC, c_custkey ASC LIMIT 10""".stripMargin
+    },
+
     "search_fuzzy_topk" -> {
       val key = normSql("c_name")
       val q = s"'$FuzzyQuery'"
-      val base = s"greatest(${ratioSql(key, q)}, " +
-        s"round(${ratioSql(tokenSortSql(key), tokenSortSql(q))} * 0.95, 6))"
+      val base = wratioSql(key, q)
       val bonus =
         s"(CASE WHEN length($key) < length($q) / 2 THEN -30.0 ELSE 0.0 END + " +
         s"CASE WHEN starts_with($key, '${FuzzyQuery.substring(0, 4)}') THEN 20.0 ELSE 0.0 END + " +

@@ -43,7 +43,7 @@ object SimilarityPack {
 
   /** (vec_id, pos, v) exploded embedding components, as double
     * (session-cached: every exact-cosine query re-reads this). */
-  private def comps(s: SparkSession, d: String): DataFrame =
+  private[ops] def comps(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.comps:$d") {
       graft.api.Similarity.components(Tables.embeddings(s, d), "vec_id", "embedding")
     }
@@ -72,7 +72,7 @@ object SimilarityPack {
        |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
 
   /** 16-bit LSH bucket per vector: bit j = sign of dot(v, plane_j). */
-  private def buckets(s: SparkSession, d: String): DataFrame =
+  private[ops] def buckets(s: SparkSession, d: String): DataFrame =
     graft.api.Similarity.lshBuckets(comps(s, d), planes(s))
 
   private val bucketsSql =

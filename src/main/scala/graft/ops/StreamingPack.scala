@@ -24,13 +24,15 @@ object StreamingPack {
     }),
 
     // Streaming exactly-once dedup: the source delivers every event
-    // twice (at-least-once ingestion); dropDuplicates on the event key
-    // collapses the replay, and the per-type aggregate must equal the
-    // batch answer over the ORIGINAL single-copy table.
+    // twice (at-least-once ingestion); the WATERMARK-BOUNDED dedup (state
+    // bounded by rate × horizon — the unbounded-ingest form) collapses
+    // the replay, and the per-type aggregate must equal the batch answer
+    // over the ORIGINAL single-copy table. Replays here carry identical
+    // event times, so they always land inside the horizon.
     "stream_dedup_events" -> ((s, d) => {
       val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
       val deduped = StreamOps.runToMemoryAppend(s,
-        StreamOps.dedupEvents(StreamOps.eventsStreamDoubled(s, d)), name)
+        StreamOps.dedupEventsBounded(StreamOps.eventsStreamDoubled(s, d)), name)
       deduped.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),

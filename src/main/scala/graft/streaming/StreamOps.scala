@@ -69,11 +69,28 @@ object StreamOps {
 
   /** Streaming exact dedup on the event key: each event_id's FIRST
     * arrival passes, replays are dropped against the dedup state store.
-    * No watermark → state is unbounded; the bounded-ingest form. At an
-    * unbounded 100 TB/day, dropDuplicatesWithinWatermark bounds state
-    * by arrival-time horizon instead. */
+    * No watermark → state is unbounded: the BOUNDED-INGEST form only
+    * (backfills, finite replays). For unbounded ingest use
+    * `dedupEventsBounded`. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
+
+  /** Watermark-bounded streaming dedup — the unbounded-ingest (100 TB/
+    * day) form, and the primary stream_dedup_events path: dedup state for
+    * an event_id lives only within the watermark horizon of its event
+    * time, so the store is bounded by rate × horizon instead of growing
+    * with total history. At-least-once replays land within the horizon
+    * (same event time) and are dropped exactly like the unbounded form;
+    * a replay arriving after the horizon re-admits — the documented
+    * dropDuplicatesWithinWatermark contract, pinned by StreamingSpec.
+    * The helper event-time column is dropped so downstream schema
+    * matches the raw events frame. */
+  def dedupEventsBounded(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("event_time")
 
   /** Run an append-mode stream (stateless or dedup-only) to completion
     * into a memory sink. */

@@ -128,8 +128,9 @@ class ApiSpec extends SparkSpec {
 
     val pos = Seq((1L, 1L)).toDF("a", "b")
     val neg = Graft.sampling.negativePairs(
-      (1L to 50L).toDF("a"), (1L to 50L).toDF("b"), pos, "a", "b", oneIn = 5)
+      (1L to 50L).toDF("a"), (1L to 50L).toDF("b"), pos, "a", "b", perLeft = 5)
     assert(neg.count() > 0)
+    assert(neg.count() <= 50L * 5, "at most perLeft candidates per left row")
     assert(neg.join(pos, Seq("a", "b")).count() == 0)
   }
 

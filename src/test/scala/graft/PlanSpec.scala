@@ -86,6 +86,13 @@ class PlanSpec extends SparkSpec {
       "band join must be an equi-join on the band value")
   }
 
+  test("ml_neg_sampling generates candidates per customer, never |C|x|S|") {
+    val p = planOf(graft.ops.MLPack.queries("ml_neg_sampling")(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "negative sampling must come from per-row candidate generation + equi-joins")
+  }
+
   test("LSH ANN re-rank never plans an all-pairs product") {
     val p = planOf(graft.ops.SimilarityPack.queries("sim_lsh_topk")(spark, sf()))
     assert(!p.contains("CartesianProduct"))

@@ -32,9 +32,27 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("integer-mix bucket is stable and in [0, 100) for any key") {
+    // floorMod IS Spark's pmod for a positive modulus — this models the
+    // actual Column expression in Sampling.mixBucket (which uses pmod at
+    // both reductions exactly so negative keys and the sign flip from
+    // key*2654435761 int64 overflow stay inside the contract; the
+    // splitmix sample stream covers both negative and overflowing keys).
     for (k <- samples(2000)) {
       val b = math.floorMod(math.floorMod(k * 2654435761L, 1000003L), 100L)
       assert(b >= 0 && b < 100, s"k=$k -> $b")
+    }
+  }
+
+  test("simhash band layout: every band covers >= 1 real bit, all 32 covered") {
+    // The floor partition lo = k*32/n, hi = (k+1)*32/n used by
+    // Dedup.simhashNearDups: no band may be empty (an empty band is a
+    // constant-0 key whose equality join IS the all-pairs product).
+    for (maxHamming <- 0 until 32) {
+      val n = maxHamming + 1
+      val bounds = (0 to n).map(k => k * 32 / n)
+      assert(bounds.head == 0 && bounds.last == 32)
+      for (k <- 0 until n)
+        assert(bounds(k + 1) - bounds(k) >= 1, s"empty band $k of $n")
     }
   }
 

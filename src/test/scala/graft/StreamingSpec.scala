@@ -58,6 +58,42 @@ class StreamingSpec extends SparkSpec {
       StreamOps.dedupEvents(StreamOps.eventsStreamDoubled(spark, sf())),
       "spec_dup_clean").count()
     assert(deduped == nEvents, "dedup must restore exactly-once")
+    val bounded = StreamOps.runToMemoryAppend(spark,
+      StreamOps.dedupEventsBounded(StreamOps.eventsStreamDoubled(spark, sf())),
+      "spec_dup_bounded").count()
+    assert(bounded == nEvents,
+      "watermark-bounded dedup must also restore exactly-once on in-horizon replays")
+  }
+
+  test("bounded dedup: in-horizon replays drop, expired state re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]              // (event_id, ts_us)
+    val df = mem.toDF().toDF("event_id", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000)          // nanos, as stored
+    val q = StreamOps.dedupEventsBounded(df, horizon = "10 minutes")
+      .writeStream.format("memory").queryName("spec_dedup_horizon")
+      .outputMode("append").start()
+    val H = 3600L * 1000 * 1000                       // 1 hour in micros
+    // Batch 1: event 1 plus an immediate replay — one survivor. (Starts
+    // at t = 1h, not 0: a timestamp equal to the initial watermark is
+    // filtered as late before the dedup state is consulted.)
+    mem.addData((1L, H), (1L, H))
+    q.processAllAvailable()
+    // Batch 2: unrelated event far ahead; the watermark passes event 1's
+    // horizon and its dedup state is evicted (state stays bounded).
+    mem.addData((2L, 2 * H))
+    q.processAllAvailable()
+    // Batch 3: same event_id with a fresh event time, after eviction —
+    // re-admitted (the bounded-state contract; an unbounded dropDuplicates
+    // would still drop it).
+    mem.addData((1L, 3 * H))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("spec_dedup_horizon")
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(emitted == Seq((1L, H), (1L, 3 * H), (2L, 2 * H)),
+      s"got $emitted")
   }
 
   test("session_window boundary: event exactly at gap starts a new session") {
