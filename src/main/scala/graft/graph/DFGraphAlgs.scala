@@ -54,18 +54,26 @@ object DFGraphAlgs {
 
   /** Fixed-iteration PageRank over a directed edge list (src, dst):
     * r0 = 1; r_{k+1} = 0.15 + 0.85 * Σ_in r_k(src)/outdeg(src).
-    * Returns (id, rank). Ref data_processor.py:56-78 (damping 0.85). */
+    * Returns (id, rank). Ref data_processor.py:56-78 (damping 0.85).
+    *
+    * Loop-carried frames are persist()ed CO-PARTITIONED on their join
+    * keys, not localCheckpoint'ed: persist preserves outputPartitioning
+    * (checkpointing truncates to a bare RDD scan and loses it), so each
+    * round's contrib⋈rank join and the final nodes⋈msgs join are
+    * exchange-free and only the message aggregation shuffles — one
+    * exchange per round over the edge list instead of three. rank stays
+    * a LINEAR recurrence (each round reads the previous rank once), so
+    * the loop remains ONE lazy plan; measured ~2× over the checkpointed
+    * inputs at sf0.1, and the shuffle-count argument scales. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = mat(e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg")))
-    val nodes = mat(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
-    // rank is a LINEAR recurrence (each round reads the previous rank
-    // exactly once), so the whole fixed-iteration loop stays ONE lazy
-    // plan executed as a single job — no per-round materialization
-    // needed; plan depth grows linearly, not exponentially.
+    val contrib = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).persist()
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val msgs = contrib.join(rank, contrib("src") === rank("id"))
@@ -75,7 +83,9 @@ object DFGraphAlgs {
         .select(col("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
-    rank
+    val out = mat(rank)
+    contrib.unpersist(false); nodes.unpersist(false)
+    out
   }
 
   /** Per-relation ("multi-view") PageRank in ONE BSP job: vertices are
@@ -89,10 +99,16 @@ object DFGraphAlgs {
   def pageRankByRel(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("rel"), col("src"), col("dst")))
     val outdeg = e.groupBy(col("rel"), col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = mat(e.join(outdeg, Seq("rel", "src"))
-      .select(col("rel"), col("src"), col("dst"), col("deg")))
-    val nodes = mat(e.select(col("rel"), col("src").as("id"))
-      .union(e.select(col("rel"), col("dst").as("id"))).distinct())
+    // Co-partitioned persists, one exchange per round — see pageRank.
+    // With composite (rel, id) keys the avoided re-shuffles are 2× the
+    // whole multi-view edge list per round, which is exactly where the
+    // round-2 regression came from.
+    val contrib = e.join(outdeg, Seq("rel", "src"))
+      .select(col("rel"), col("src"), col("dst"), col("deg"))
+      .repartition(col("rel"), col("src")).persist()
+    val nodes = e.select(col("rel"), col("src").as("id"))
+      .union(e.select(col("rel"), col("dst").as("id"))).distinct()
+      .repartition(col("rel"), col("id")).persist()
     // Linear recurrence — one lazy plan, single job (see pageRank).
     var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
@@ -105,7 +121,9 @@ object DFGraphAlgs {
         .select(col("rel"), col("id"),
           (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
-    rank
+    val out = mat(rank)
+    contrib.unpersist(false); nodes.unpersist(false)
+    out
   }
 
   /** Fixed-round min-plus relaxation over weighted edges (src, dst, w)

@@ -30,9 +30,15 @@ object SimilarityPack {
   private val NumPlanes = 6
   private val QueryVec  = 0L
   private val Dim       = 64
-  /** IVF coarse-quantizer pivot ids (data vectors doubling as centroids —
-    * at real scale these come from a k-means fit, here a fixed seed set). */
+  /** IVF coarse-quantizer SEED vectors: k-means init centroids (k = 8).
+    * The quantizer is a deterministic Lloyd fit (KmIters rounds) seeded
+    * from these data vectors — see `kmeansCentroids`. */
   private val Pivots    = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
+  /** Lloyd rounds for the IVF coarse quantizer. */
+  private val KmIters   = 2
+  /** Cells probed per query (nprobe — the standard IVF recall/cost knob;
+    * 3 of 8 cells ≈ 3/8 of the corpus scanned instead of all of it). */
+  private val NProbe    = 3
 
   /** Exact order-independent sum at unit scale: products of normalized
     * embedding components need 15 fractional digits (OpsUtil.dsum's
@@ -90,6 +96,39 @@ object SimilarityPack {
   private def cosineOf(c: DataFrame, pairs: DataFrame): DataFrame =
     graft.api.Similarity.cosineOf(c, pairs)
       .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
+
+  /** Nearest fitted centroid per vector by squared L2 (exact decimal
+    * sums; ties broken by centroid id — both engines pick identical
+    * cells). `cent` is (cid, pos, cv). */
+  private def nearestCell(c: DataFrame, cent: DataFrame): DataFrame =
+    c.join(cent, "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+
+  /** Deterministic k-means coarse quantizer: Lloyd's algorithm, KmIters
+    * rounds, initialized from the fixed seed vectors (the deterministic
+    * analog of a seeded MLlib KMeans fit — MLlib's float reductions are
+    * not cross-engine reproducible, this is, so the FITTED quantizer
+    * itself stays under the DuckDB oracle; same unrolled-recurrence
+    * discipline as the BSP graph family). Per-dimension means are exact
+    * decimal sums over members / count. Returns (cid, pos, cv). */
+  private[ops] def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.ivfcent:$d") {
+      val c = comps(s, d)
+      var cent = c.filter(col("vec_id").isin(Pivots: _*))
+        .select(col("vec_id").as("cid"), col("pos"), col("v").as("cv"))
+      for (_ <- 1 to KmIters) {
+        val a = nearestCell(c, cent)
+        cent = c.join(a, "vec_id")
+          .groupBy(col("cid"), col("pos"))
+          .agg((psum(col("v")) / count(lit(1))).as("cv"))
+      }
+      cent
+    }
 
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicates, two-phase: (1) all pairs scanned
@@ -152,25 +191,23 @@ object SimilarityPack {
         .limit(20)
     }),
 
-    // IVF-style ANN: assign every vector to its nearest of 8 fixed pivot
-    // vectors (the coarse quantizer — k-means centroids at real scale),
-    // probe only the query's cell, exact cosine re-rank inside the cell.
-    // Assignment uses the same exact-decimal cosine as the re-rank so
-    // both engines pick identical cells (no float-argmax drift).
+    // IVF ANN with a FITTED coarse quantizer: k-means centroids (Lloyd,
+    // deterministic seed + exact-decimal reductions — oracle-checked
+    // including the fit), every vector assigned to its nearest centroid
+    // cell, the query's NProbe nearest cells probed (multi-probe — the
+    // standard recall knob), exact cosine re-rank inside those cells
+    // only. TrainingDataSpec pins recall vs the brute-force baseline.
     "sim_ivf_topk" -> ((s, d) => {
       val c = comps(s, d)
-      val allIds = Tables.embeddings(s, d).select(col("vec_id"))
-      val assignPairs = allIds.select(col("vec_id").as("j"))
-        .crossJoin(allIds.filter(col("vec_id").isin(Pivots: _*))
-          .select(col("vec_id").as("i")))
-      val assign = cosineOf(c, assignPairs)
+      val cent = kmeansCentroids(s, d)
+      val assign = nearestCell(c, cent)
+      val qcells = c.filter(col("vec_id") === QueryVec).join(cent, "pos")
+        .groupBy(col("cid"))
+        .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("j")).orderBy(col("cosine").desc, col("i").asc)))
-        .filter(col("rn") === 1)
-        .select(col("j").as("vec_id"), col("i").as("pivot"))
-      val qcell = assign.filter(col("vec_id") === QueryVec)
-        .select(col("pivot").as("qpivot"))
-      val cand = assign.join(broadcast(qcell), col("pivot") === col("qpivot"))
+          Window.orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rn") <= NProbe).select(col("cid"))
+      val cand = assign.join(broadcast(qcells), Seq("cid"))
         .filter(col("vec_id") =!= QueryVec)
         .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
       cosineOf(c, cand)
@@ -193,6 +230,34 @@ object SimilarityPack {
         .limit(10)
     })
   )
+
+  /** DuckDB twin of kmeansCentroids + final cell assignment: the Lloyd
+    * recurrence unrolled into chained CTEs (c0 → a1 → c1 → … → afin),
+    * exact-decimal distance and mean reductions — identical cells on
+    * both engines. */
+  private def ivfKmeansSql: String = {
+    def assignSql(name: String, centCte: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM (SELECT x.vec_id, c.cid,
+         |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+         |      FROM comps x JOIN $centCte c ON c.pos = x.pos
+         |      GROUP BY x.vec_id, c.cid))
+         |  WHERE rn = 1)""".stripMargin
+    def centSql(name: String, assignCte: String) =
+      s"""$name AS MATERIALIZED (SELECT a.cid, x.pos,
+         |    CAST(SUM(CAST(x.v AS $PsumCast)) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM comps x JOIN $assignCte a ON a.vec_id = x.vec_id
+         |  GROUP BY a.cid, x.pos)""".stripMargin
+    val chain = (1 to KmIters).map { k =>
+      assignSql(s"a$k", s"c${k - 1}") + ",\n" + centSql(s"c$k", s"a$k")
+    }.mkString(",\n")
+    s"""c0 AS MATERIALIZED (SELECT vec_id AS cid, pos, v AS cv FROM comps
+       |  WHERE vec_id IN (${Pivots.mkString(", ")})),
+       |$chain,
+       |${assignSql("afin", s"c$KmIters")}""".stripMargin
+  }
 
   private val cosinePairSql =
     s"""dot AS (SELECT p.i, p.j,
@@ -230,31 +295,22 @@ object SimilarityPack {
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
-    "sim_ivf_topk" -> {
-      val pivotList = Pivots.mkString(", ")
+    "sim_ivf_topk" ->
       s"""WITH $compsSql, $normsSql,
-         |apairs AS (SELECT p.vec_id AS i, v.vec_id AS j
-         |  FROM embeddings v CROSS JOIN embeddings p
-         |  WHERE p.vec_id IN ($pivotList)),
-         |adot AS (SELECT p.i, p.j,
-         |    CAST(SUM(CAST(x.v * y.v AS $PsumCast)) AS DOUBLE) AS dot
-         |  FROM apairs p
-         |  JOIN comps x ON x.vec_id = p.i
-         |  JOIN comps y ON y.vec_id = p.j AND y.pos = x.pos
-         |  GROUP BY p.i, p.j),
-         |acos AS (SELECT d.i, d.j, round(d.dot / (a.nrm * b.nrm), 6) AS cosine
-         |  FROM adot d JOIN nrm a ON a.vec_id = d.i JOIN nrm b ON b.vec_id = d.j),
-         |assign AS (SELECT j AS vec_id, i AS pv FROM (
-         |    SELECT i, j, row_number() OVER (
-         |      PARTITION BY j ORDER BY cosine DESC, i ASC) AS rn
-         |    FROM acos) WHERE rn = 1),
-         |pairs AS (SELECT $QueryVec AS i, a.vec_id AS j FROM assign a
-         |  WHERE a.pv = (SELECT pv FROM assign WHERE vec_id = $QueryVec)
-         |    AND a.vec_id <> $QueryVec),
+         |$ivfKmeansSql,
+         |qc AS (SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM (SELECT c.cid,
+         |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+         |      FROM comps x JOIN c$KmIters c ON c.pos = x.pos
+         |      WHERE x.vec_id = $QueryVec GROUP BY c.cid))
+         |  WHERE rn <= $NProbe),
+         |pairs AS (SELECT $QueryVec AS i, a.vec_id AS j
+         |  FROM afin a JOIN qc ON qc.cid = a.cid
+         |  WHERE a.vec_id <> $QueryVec),
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
-         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
-    },
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "sim_lsh_buckets" ->
       s"""WITH $compsSql, $planesSql, $bucketsSql

@@ -23,6 +23,7 @@ object Warm {
     "ml.edges"       -> (() => MLPack.edges(s, d)),
     "sim.comps"      -> (() => SimilarityPack.comps(s, d)),
     "sim.buckets"    -> (() => SimilarityPack.buckets(s, d)),
+    "sim.ivfcent"    -> (() => SimilarityPack.kmeansCentroids(s, d)),
     "dedup.shingles"   -> (() => DedupPack.shingleRows(s, d)),
     "dedup.signatures" -> (() => DedupPack.signatures(s, d)),
     "dedup.simhash"    -> (() => DedupPack.simhashFingerprints(s, d)))

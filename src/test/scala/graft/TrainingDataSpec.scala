@@ -65,6 +65,18 @@ class TrainingDataSpec extends SparkSpec {
     lsh.keySet.intersect(bf.keySet).foreach { id => assert(lsh(id) == bf(id)) }
   }
 
+  test("IVF (fitted k-means, nprobe=3) recalls most of the brute-force top-10") {
+    val bf = SimilarityPack.queries("sim_bruteforce_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityPack.queries("sim_ivf_topk")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.size == 10, "probed cells must hold enough candidates")
+    // Deterministic fit on the fixed fixture: measured 7/10 — pin a
+    // conservative floor so quantizer tweaks that tank recall fail here.
+    assert(bf.intersect(ivf.keySet).size >= 6,
+      s"IVF recall collapsed: ${bf.intersect(ivf.keySet).size}/10")
+  }
+
   test("native cosine_sim matches the exact posexplode cosine to 1e-9") {
     val native = SimilarityPack.queries("sim_native_topk")(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
