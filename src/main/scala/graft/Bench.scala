@@ -40,12 +40,18 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s")
       name -> sec
-    }.toMap + ("_shared_warmup" -> sharedSec)
+    }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // `queries` holds ONLY real query names; shared-intermediate build
+    // time is its own top-level field. `value` (the round-comparable
+    // total) INCLUDES shared_warmup — same semantics as earlier rounds'
+    // totals — and `queries_total` is the pure per-query sum.
+    val queriesTotal = if (results.nonEmpty) results.values.sum else 0.0
+    val total = queriesTotal + sharedSec
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
+        s""""queries_total":$queriesTotal,"queries":$qs,"sf":"$sfDir"}"""
     // stdout is the driver contract, but a long tail can truncate there —
     // the same line also lands in a file for reliable parsing.
     println(line)

@@ -62,6 +62,37 @@ object Analytics {
       .drop(mnCol, mxCol)
   }
 
+  /** Co-occurrence pair counting with BOUNDED per-key fan-in: distinct
+    * (key, item) rows, each key capped to a deterministic `maxPerKey`
+    * items (ordered by the cross-engine item hash with the item id as
+    * total-order tiebreak), then the within-key self-join and pair
+    * count. Returns (p1, p2, n_cooc) with p1 < p2.
+    *
+    * Why the cap: a key with k items emits k²/2 pairs out of ONE shuffle
+    * partition — on power-law data a 10⁵-item hub is 5·10⁹ pairs from a
+    * single task, and AQE skew-join cannot split pair GENERATION within
+    * one group-by key. The cap bounds every task at maxPerKey²/2 pairs;
+    * the hash order makes the kept subset a deterministic pseudo-random
+    * sample of a hub's items (not a popularity-biased prefix), so
+    * high-support pairs stay stable. Keys at or under the cap are exact
+    * and unaffected. */
+  def cooccurrencePairs(df: DataFrame, key: String, item: String,
+      maxPerKey: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextHash.h28
+    val li = df.select(col(key).as("__k"), col(item).as("__i")).distinct()
+    val capped = li
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k"))
+          .orderBy(h28(col("__i").cast("string")), col("__i"))))
+      .filter(col("__rn") <= maxPerKey)
+      .select(col("__k"), col("__i"))
+    capped.select(col("__k"), col("__i").as("p1"))
+      .join(capped.select(col("__k"), col("__i").as("p2")), Seq("__k"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_cooc"))
+  }
+
   /** Degree CCDF over a pre-aggregated (k, cnt) degree distribution:
     * P(K >= k) per k, cumulative window over the sorted degrees. */
   def ccdf(dist: DataFrame, k: String = "k", cnt: String = "cnt"): DataFrame = {

@@ -23,9 +23,28 @@ object Sampling {
     pmod(pmod(key * 2654435761L, lit(1000003L)), lit(100))
 
   /** Two-key integer mix in [0, 1000003) — the pair-sampling form of
-    * mixBucket, same overflow-safe pmod contract. */
+    * mixBucket, same overflow-safe pmod contract. Range is only ~10⁶:
+    * use [[mixPairWide]] when the mix is mapped onto an index space that
+    * can exceed a million keys. */
   def mixPair(a: Column, b: Column): Column =
     pmod(a * 2654435761L + b * 40503L, lit(1000003L))
+
+  /** Exclusive upper bound of [[mixPairWide]]: 1000003 · 999983 ≈ 10¹². */
+  val WideMixMax: Long = 1000003L * 999983L
+
+  /** Two-key integer mix over a ~10¹² range: two INDEPENDENT congruential
+    * mixes (coprime moduli 1000003 and 999983) combined by base-999983
+    * positional encoding — a bijection of the residue pair, so the result
+    * disperses over the full [0, WideMixMax) range. mixPair's single-
+    * modulus [0, 1000003) range silently made every index ≥ 1000003
+    * unreachable when pmod'ed by a larger candidate count (plus modulo
+    * bias near the boundary); this form covers candidate sides up to
+    * ~10¹² distinct keys with bias ≤ n/10¹². All arithmetic stays inside
+    * int64 for |key| ≲ 3.5·10⁹ (beyond that Spark wraps deterministically;
+    * the DuckDB twin is only evaluated at fixture-scale keys). */
+  def mixPairWide(a: Column, b: Column): Column =
+    pmod(a * 2654435761L + b * 40503L, lit(1000003L)) * 999983L +
+      pmod(a * 48271L + b * 69621L, lit(999983L))
 
   /** Per-stratum keep-rates: keep a row iff its mix bucket falls under
     * the stratum's percentage (strata missing from `rates` drop to
@@ -50,28 +69,57 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Bucket count of [[denseIndex]]'s two-phase rank — constant, never
+    * data-scale. */
+  val IdxBuckets = 1024
+
+  /** Deterministic dense index 0..n-1 over the DISTINCT values of
+    * `keyCol`, returned as (keyCol, __bidx). Two-phase rank: the key set
+    * is hash-bucketed (cross-engine MD5 bucket), row_number runs PER
+    * BUCKET (bounded partitions — never a single global sort task), and
+    * per-bucket offsets come from a cumulative window over the
+    * IdxBuckets-row bucket histogram (constant-size — the only
+    * unpartitioned window left, over ≤ 1024 rows regardless of data
+    * scale). The index ↔ key mapping is a deterministic bijection, which
+    * is all a hash-pick sampler needs. */
+  def denseIndex(keys: DataFrame, keyCol: String): DataFrame = {
+    val bkt = keys.select(col(keyCol)).distinct()
+      .withColumn("__bkt", pmod(h28(col(keyCol).cast("string")), lit(IdxBuckets.toLong)))
+    val ranked = bkt.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("__bkt")).orderBy(col(keyCol))).cast("long"))
+    val offs = bkt.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    ranked.join(broadcast(offs), "__bkt")
+      .select(col(keyCol), (col("__off") + col("__rn") - 1).as("__bidx"))
+  }
+
   /** Scale-safe negative-pair sampler: `perLeft` deterministic
     * pseudo-random candidate picks per left row (O(|A|·perLeft) generated
     * rows), deduped, minus observed positives (anti-join).
     *
-    * The candidate side is dense-indexed once (row_number over its sorted
-    * keys — the candidate side is the DIMENSION side, so the one-time
-    * global window is bounded) and each (a, j) pick maps through the
-    * integer mix to an index, resolved by a broadcast equi-join. The
-    * |A|×|B| space is never enumerated: the previous form materialized
-    * the full cross product and filtered it, which at 10⁷ × 10⁶ ids is
-    * 10¹³ generated rows to keep a few percent. */
+    * The candidate side is dense-indexed once via the two-phase
+    * [[denseIndex]] (per-bucket row_number + broadcast offsets — no
+    * global sort task even for a billion-key candidate side) and each
+    * (a, j) pick maps through [[mixPairWide]] to an index, resolved by a
+    * broadcast equi-join. The |A|×|B| space is never enumerated: the
+    * round-2 form materialized the full cross product and filtered it,
+    * which at 10⁷ × 10⁶ ids is 10¹³ generated rows to keep a few
+    * percent. Candidate sides beyond WideMixMax (~10¹²) keys fail loudly
+    * instead of silently never sampling the tail. */
   def negativePairs(as: DataFrame, bs: DataFrame, positives: DataFrame,
       aCol: String, bCol: String, perLeft: Int): DataFrame = {
-    val idx = bs.select(col(bCol)).distinct()
-      .withColumn("__bidx",
-        row_number().over(Window.orderBy(col(bCol))).cast("long") - 1)
+    val idx = denseIndex(bs, bCol)
     // Dimension-side cardinality: one scalar action over the small side,
     // driver metadata only (never row data).
     val nB = idx.count()
+    require(nB > 0 && nB < WideMixMax,
+      s"candidate side has $nB distinct keys; mixPairWide reaches < $WideMixMax")
     as.select(col(aCol))
       .select(col(aCol), explode(sequence(lit(0), lit(perLeft - 1))).as("__j"))
-      .withColumn("__bidx", pmod(mixPair(col(aCol), col("__j")), lit(nB)))
+      .withColumn("__bidx", pmod(mixPairWide(col(aCol), col("__j")), lit(nB)))
       .join(idx.hint("broadcast"), "__bidx")
       .select(col(aCol), col(bCol)).distinct()
       .join(positives, Seq(aCol, bCol), "left_anti")

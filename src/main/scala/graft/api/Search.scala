@@ -49,9 +49,12 @@ object Search {
   /** WRatio fuzzy score of a name column against a query string, with
     * RapidFuzz's length-ratio dispatch (fuzz.WRatio semantics, ref
     * fuzzy_search.py:57): similar lengths → max(full ratio, 0.95·token-
-    * sort ratio); length ratio ≥ 1.5 → the partial-ratio leg joins in,
-    * damped by 0.9 (or 0.6 when the lengths differ ≥ 8×), so a short
-    * query can still hit a long name through its best-matching window. */
+    * sort ratio); length ratio ≥ 1.5 → the partial legs join in, damped
+    * by 0.9 (or 0.6 when the lengths differ ≥ 8×) — the PARTIAL ratio of
+    * the raw strings and, matching RapidFuzz's dispatch, the PARTIAL
+    * token-sort ratio (best window of the token-sorted strings, 0.95-
+    * damped) rather than the full token-sort ratio, so a short query can
+    * hit a long multi-token name through its best-matching window. */
   def fuzzyScore(name: Column, query: String): Column = {
     val q = lit(query)
     val full = ratio(name, q)
@@ -60,7 +63,8 @@ object Search {
       greatest(least(length(name), length(q)), lit(1)).cast("double")
     val scale = when(lenRatio < 8.0, 0.9).otherwise(0.6)
     when(lenRatio < 1.5, greatest(full, tsr)).otherwise(
-      greatest(full, round(partialRatio(name, q) * scale, 6), round(tsr * scale, 6)))
+      greatest(full, round(partialRatio(name, q) * scale, 6),
+        round(partialRatio(tokenSort(name), tokenSort(q)) * 0.95 * scale, 6)))
   }
 
   /** Inverted index over the normalized key: key → (n_ids, first_id).

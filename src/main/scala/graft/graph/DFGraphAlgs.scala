@@ -32,9 +32,23 @@ object DFGraphAlgs {
   private def rsum(c: Column): Column =
     sum(c.cast("decimal(28,15)")).cast("double")
 
-  /** Materialize a frame and truncate its logical lineage. */
-  private def mat(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+  /** Conf key opting BSP rounds into RELIABLE checkpoints: set it to
+    * "true" AND set a sparkContext checkpoint dir on a fault-tolerant
+    * store. Default (unset) uses localCheckpoint — executor-local blocks,
+    * right for local[*] and driver-session lifetimes, but lost with an
+    * executor; a long-lived cluster job that must survive executor loss
+    * wants the reliable form. */
+  val ReliableCheckpointConf = "spark.graft.reliableCheckpoint"
+
+  /** Materialize a frame and truncate its logical lineage —
+    * localCheckpoint by default, reliable checkpoint() when
+    * [[ReliableCheckpointConf]] is set and a checkpoint dir exists. */
+  private def mat(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable = s.conf.getOption(ReliableCheckpointConf).contains("true") &&
+      s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
 
   /** Vertex-state row count below which per-round state/message frames are
     * broadcast into the edge joins instead of shuffled. localCheckpoint

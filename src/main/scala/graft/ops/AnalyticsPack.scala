@@ -17,6 +17,10 @@ import OpsUtil._
 object AnalyticsPack {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-key item cap of the co-occurrence pairing — bounds any task at
+    * CoocCap²/2 generated pairs (hot-key protection on power-law data). */
+  private val CoocCap = 32
+
   /** Degree of each customer in the order graph. */
   private def degrees(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
@@ -50,17 +54,19 @@ object AnalyticsPack {
     }),
 
     // A11 — co-occurrence pair counting (ref notebook cells 109, 112):
-    // parts co-ordered in the same order; explode→self-join with a<b →
-    // count → top-20. The self-join shuffles on the order key once; the
-    // a<b predicate halves the pair space.
+    // parts co-ordered in the same order; self-join with a<b → count →
+    // top-20. The self-join shuffles on the order key once and each key's
+    // fan-in is CAPPED at CoocCap items (deterministic hash-ordered
+    // top-N, mirrored in the oracle SQL) so a power-law hub key cannot
+    // detonate one task with k²/2 generated pairs — see
+    // graft.api.Analytics.cooccurrencePairs. TPC-H orders carry ≤ 7
+    // parts, so at fixture scale the cap is inert and the result equals
+    // the uncapped form.
     "ana_cooccurrence_pairs" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
-      val a = li.select(col("okey"), col("pk").as("p1"))
-      val b = li.select(col("okey"), col("pk").as("p2"))
-      a.join(b, Seq("okey"))
-        .filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_cooc"))
+      graft.api.Analytics.cooccurrencePairs(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")),
+          "okey", "pk", maxPerKey = CoocCap)
         .orderBy(col("n_cooc").desc, col("p1").asc, col("p2").asc)
         .limit(20)
     }),
@@ -191,10 +197,18 @@ object AnalyticsPack {
         |  round(1.0 + COUNT(*) / SUM(ln(k / 2.5)), 6) AS gamma
         |FROM deg WHERE k >= 3""".stripMargin,
 
+    // capped mirrors Analytics.cooccurrencePairs' deterministic per-key
+    // top-CoocCap (hash order, item tiebreak) — inert at fixture scale
+    // (≤ 7 parts per order) but part of the compared semantics.
     "ana_cooccurrence_pairs" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem)
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |capped AS (SELECT okey, pk FROM (
+        |    SELECT okey, pk, row_number() OVER (PARTITION BY okey
+        |      ORDER BY ${TextHash.h28Sql("CAST(pk AS VARCHAR)")}, pk) AS rn
+        |    FROM li)
+        |  WHERE rn <= $CoocCap)
         |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_cooc
-        |FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk
+        |FROM capped a JOIN capped b ON a.okey = b.okey AND a.pk < b.pk
         |GROUP BY 1, 2 ORDER BY n_cooc DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
 
     "ana_minmax_normalize" ->

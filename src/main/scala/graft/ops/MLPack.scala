@@ -114,6 +114,26 @@ object MLPack {
        |  JOIN customer x ON x.c_custkey = pr.c1
        |  JOIN customer y ON y.c_custkey = pr.c2)""".stripMargin
 
+  /** Hub-damped per-type top-k (ref predicter.py:264-272): every pooled
+    * candidate score is divided by log(degree+1)+1 before ranking, so a
+    * high-degree hub cannot dominate the recommendation purely by
+    * connectivity. `pooled` is (cand_type, cand, best_rel, score); `degs`
+    * is (cand_type, cand, deg). Factored out so the damping semantics are
+    * spec-testable on synthetic frames (MLSpec: a hub with the higher raw
+    * score is out-ranked by a low-degree candidate exactly as the
+    * reference's penalty dictates). */
+  private[graft] def hubPenalizedTopK(pooled: DataFrame, degs: DataFrame,
+      k: Int): DataFrame =
+    pooled.join(degs, Seq("cand_type", "cand"))
+      .withColumn("score_adj", round(col("score") / (log(col("deg") + 1) + 1), 6))
+      .withColumn("type_rank", row_number().over(
+        Window.partitionBy(col("cand_type"))
+          .orderBy(col("score_adj").desc, col("cand").asc)))
+      .filter(col("type_rank") <= k)
+      .select(col("cand_type"), col("cand"), col("best_rel"), col("score"),
+        col("score_adj"), col("type_rank"))
+      .orderBy(col("score_adj").desc, col("cand_type").asc, col("cand").asc)
+
   val queries: Map[String, Q] = Map(
     // M1 — deterministic link split with canonical-key rev-edge exclusion
     // (ref train_model.py:344-402): hash-bucket 80/10/10 on the canonical
@@ -180,8 +200,11 @@ object MLPack {
     // V5 proper — MULTI-TYPE top-k recommendation (ref predicter.py:
     // 233-291): candidates of BOTH node types scored per relation, score
     // max-pooled across relations per candidate (argmax relation kept,
-    // deterministic tie-break), per-type top-k, then one global merge —
-    // the reference's heterogeneous recommend shape. Candidate scoring:
+    // deterministic tie-break), the reference's hub penalty
+    // score/(log(deg+1)+1) applied per candidate (predicter.py:264-272 —
+    // without it high-degree candidates dominate purely by connectivity),
+    // per-type top-k on the damped score, then one global merge — the
+    // reference's heterogeneous recommend shape. Candidate scoring:
     // customer candidates share a supplier with the query customer
     // within a relation (per-relation common-neighbor count); supplier
     // candidates are what those rel-neighbors use, minus the query's own
@@ -212,14 +235,13 @@ object MLPack {
             .orderBy(col("score").desc, col("rel").asc)))
         .filter(col("rn") === 1)
         .select(col("cand_type"), col("cand"), col("rel").as("best_rel"), col("score"))
-      pooled
-        .withColumn("type_rank", row_number().over(
-          Window.partitionBy(col("cand_type"))
-            .orderBy(col("score").desc, col("cand").asc)))
-        .filter(col("type_rank") <= 5)
-        .select(col("cand_type"), col("cand"), col("best_rel"),
-          col("score"), col("type_rank"))
-        .orderBy(col("score").desc, col("cand_type").asc, col("cand").asc)
+      // Per-node total degree across ALL relations (edge rows per node) —
+      // the denominator of the reference's hub penalty.
+      val degs = rp.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+        .select(lit("customer").as("cand_type"), col("c").as("cand"), col("deg"))
+        .unionByName(rp.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+          .select(lit("supplier").as("cand_type"), col("p").as("cand"), col("deg")))
+      hubPenalizedTopK(pooled, degs, k = 5)
     }),
 
     // V6 — relation scan (ref predicter.py:126-175 scan_relationship):
@@ -435,13 +457,24 @@ object MLPack {
          |  FROM edges)
          |SELECT split, COUNT(*) AS n_edges FROM b GROUP BY split ORDER BY split""".stripMargin,
 
+    // sidx mirrors Sampling.denseIndex's two-phase rank (per-bucket
+    // row_number + cumulative bucket offsets); bidx picks mirror
+    // Sampling.mixPairWide (two coprime-moduli mixes, base-999983
+    // positional encoding) pmod'ed by the candidate count.
     "ml_neg_sampling" ->
       s"""WITH $edgesSql,
-         |sidx AS MATERIALIZED (SELECT p, row_number() OVER (ORDER BY p) - 1 AS bidx
-         |  FROM (SELECT DISTINCT s_suppkey AS p FROM supplier)),
+         |dk AS (SELECT DISTINCT s_suppkey AS p FROM supplier),
+         |bk AS (SELECT p, ${h28Sql("CAST(p AS VARCHAR)")} % ${graft.api.Sampling.IdxBuckets} AS bkt FROM dk),
+         |rnk AS (SELECT p, bkt, row_number() OVER (PARTITION BY bkt ORDER BY p) AS rn FROM bk),
+         |offs AS (SELECT bkt, COALESCE(SUM(n) OVER (ORDER BY bkt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM (SELECT bkt, COUNT(*) AS n FROM bk GROUP BY bkt)),
+         |sidx AS MATERIALIZED (SELECT rnk.p, offs.off + rnk.rn - 1 AS bidx
+         |  FROM rnk JOIN offs ON offs.bkt = rnk.bkt),
          |cand AS (SELECT DISTINCT t.c, sidx.p FROM (
          |    SELECT c_custkey AS c,
-         |      ((c_custkey * 2654435761 + j * 40503) % 1000003)
+         |      (((c_custkey * 2654435761 + j * 40503) % 1000003) * 999983
+         |        + ((c_custkey * 48271 + j * 69621) % 999983))
          |        % (SELECT COUNT(*) FROM sidx) AS bidx
          |    FROM customer
          |    CROSS JOIN (SELECT unnest(range(0, $NegPerCust)) AS j)) t
@@ -477,11 +510,20 @@ object MLPack {
         |pooled AS (SELECT cand_type, cand, rel AS best_rel, score FROM (
         |    SELECT *, row_number() OVER (PARTITION BY cand_type, cand
         |      ORDER BY score DESC, rel ASC) AS rn FROM typed) WHERE rn = 1),
+        |degs AS (SELECT 'customer' AS cand_type, c AS cand, COUNT(*) AS deg
+        |    FROM rp GROUP BY c
+        |  UNION ALL SELECT 'supplier' AS cand_type, p AS cand, COUNT(*) AS deg
+        |    FROM rp GROUP BY p),
+        |adj AS (SELECT po.cand_type, po.cand, po.best_rel, po.score,
+        |    round(po.score / (ln(dg.deg + 1) + 1), 6) AS score_adj
+        |  FROM pooled po JOIN degs dg
+        |    ON dg.cand_type = po.cand_type AND dg.cand = po.cand),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY cand_type
-        |    ORDER BY score DESC, cand ASC) AS type_rank FROM pooled)
-        |SELECT cand_type, cand, best_rel, score, CAST(type_rank AS INT) AS type_rank
+        |    ORDER BY score_adj DESC, cand ASC) AS type_rank FROM adj)
+        |SELECT cand_type, cand, best_rel, score, score_adj,
+        |  CAST(type_rank AS INT) AS type_rank
         |FROM ranked WHERE type_rank <= 5
-        |ORDER BY score DESC, cand_type ASC, cand ASC""".stripMargin,
+        |ORDER BY score_adj DESC, cand_type ASC, cand ASC""".stripMargin,
 
     "ml_relation_scan" ->
       """WITH t AS (SELECT DISTINCT o_custkey AS c, p_type AS rel, l_suppkey AS p

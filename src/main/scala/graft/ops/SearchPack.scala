@@ -53,7 +53,8 @@ object SearchPack {
       s"/ CAST($ls AS DOUBLE)), 6))) END"
   }
 
-  /** DuckDB twin of graft.api.Search.fuzzyScore (WRatio dispatch). */
+  /** DuckDB twin of graft.api.Search.fuzzyScore (WRatio dispatch, incl.
+    * the partial token-sort leg in the length-ratio ≥ 1.5 branch). */
   private def wratioSql(key: String, q: String): String = {
     val full = ratioSql(key, q)
     val tsr = s"round(${ratioSql(tokenSortSql(key), tokenSortSql(q))} * 0.95, 6)"
@@ -62,7 +63,7 @@ object SearchPack {
     val scale = s"CASE WHEN $lenR < 8.0 THEN 0.9 ELSE 0.6 END"
     s"CASE WHEN $lenR < 1.5 THEN greatest($full, $tsr) " +
       s"ELSE greatest($full, round(${partialRatioSql(key, q)} * $scale, 6), " +
-      s"round($tsr * $scale, 6)) END"
+      s"round(${partialRatioSql(tokenSortSql(key), tokenSortSql(q))} * 0.95 * $scale, 6)) END"
   }
 
   val queries: Map[String, Q] = Map(

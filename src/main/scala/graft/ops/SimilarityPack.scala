@@ -28,6 +28,13 @@ object SimilarityPack {
   // keeping the query's bucket non-empty. At real scale this grows with
   // log2(corpus/target-bucket-size).
   private val NumPlanes = 6
+  /** Block count of the exact near-dup sweep: ids are hashed into
+    * NumBlocks blocks and the all-pairs product is re-expressed as an
+    * equi-join on the NumBlocks·(NumBlocks+1)/2 block-pair keys. Each
+    * join key carries (n/NumBlocks)² pairs — uniform by construction —
+    * and each vector is shipped NumBlocks+1 times; at corpus scale
+    * NumBlocks grows like n/√(target pairs per task). */
+  private val NumBlocks = 8
   private val QueryVec  = 0L
   private val Dim       = 64
   /** IVF coarse-quantizer SEED vectors: k-means init centroids (k = 8).
@@ -131,22 +138,51 @@ object SimilarityPack {
     }
 
   val queries: Map[String, Q] = Map(
-    // Embedding-cosine near-duplicates, two-phase: (1) all pairs scanned
-    // with the native codegen'd cosine_sim expression (one tight loop per
-    // pair, no explode — this is what makes the all-pairs scan feasible),
-    // keeping pairs above threshold−1e-4 as candidates; (2) the exact
-    // decimal cosine recomputed on the few survivors so the reported
-    // values and the final >= threshold cut are engine-exact. The same
-    // approximate-prefilter + exact-verify shape as the LSH/IVF paths —
-    // phase 1's margin (~1e-15 actual double-vs-decimal drift) makes
-    // phase 2's exact filter the only one that decides.
+    // Embedding-cosine near-duplicates as a BLOCK-PAIR EQUI-JOIN sweep,
+    // two-phase: (1) every unordered pair is enumerated exactly once by
+    // hashing ids into NumBlocks blocks and equi-joining the two
+    // replicated sides on the block-pair key — the distributed form of
+    // exact all-pairs similarity: Θ(n²) WORK (unavoidable for an exact
+    // 0.45-threshold result, see below) but load-balanced into
+    // NumBlocks·(NumBlocks+1)/2 uniform join keys with no nested-loop
+    // join and no single hot partition, each pair scanned with the
+    // native codegen'd cosine_sim expression and kept above
+    // threshold−1e-4; (2) the exact decimal cosine recomputed on the few
+    // survivors so the reported values and the final >= threshold cut
+    // are engine-exact.
+    //
+    // Why not LSH candidates here: at threshold 0.45 (angle 63.3°) the
+    // per-hyperplane collision probability of a qualifying pair is
+    // 1−θ/π ≈ 0.648 vs 0.5 for an unrelated pair — any band/rotation
+    // OR-amplification whose recall approaches 1 at 0.648 also admits
+    // nearly every random pair (and the fixture embeddings are isotropic:
+    // the pair-cosine histogram is symmetric around 0, so 0.45 is a 3.6σ
+    // tail, not a planted-duplicate cluster). Sub-quadratic candidate
+    // generation with exact recall is impossible at this threshold;
+    // the honest scale design is the balanced exact sweep. For HIGH
+    // thresholds (≥ ~0.8) the LSH bucket path (sim_lsh_topk /
+    // api.Dedup.lshNearDupPairs) is the sub-quadratic form of record.
     "sim_cosine_neardup" -> ((s, d) => {
+      import s.implicits._
+      val bps = (for (x <- 0 until NumBlocks; y <- x until NumBlocks)
+        yield (x * NumBlocks + y, x, y)).toDF("bp", "bx", "by")
       val emb = Tables.embeddings(s, d)
-      val cand = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
-        .join(emb.select(col("vec_id").as("j"), col("embedding").as("vb")),
-          col("i") < col("j"))
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(NumBlocks.toLong)).cast("int").as("blk"))
+      val aSide = emb.join(broadcast(bps), col("blk") === col("bx"))
+        .select(col("bp"), col("vec_id").as("ia"), col("embedding").as("va"),
+          col("blk").as("blka"))
+      val bSide = emb.join(broadcast(bps.select(col("bp").as("bpb"), col("by"))),
+          col("blk") === col("by"))
+        .select(col("bpb"), col("vec_id").as("ib"), col("embedding").as("vb"),
+          col("blk").as("blkb"))
+      val cand = aSide.join(bSide, col("bp") === col("bpb"))
+        // diagonal block-pairs pair a block with itself: keep ia < ib
+        // once; off-diagonal pairs are unique by construction.
+        .filter(col("blka") =!= col("blkb") || col("ia") < col("ib"))
         .filter(call_function("cosine_sim", col("va"), col("vb")) >= 0.45 - 1e-4)
-        .select(col("i"), col("j"))
+        .select(least(col("ia"), col("ib")).as("i"),
+          greatest(col("ia"), col("ib")).as("j"))
       cosineOf(comps(s, d), cand)
         .filter(col("cosine") >= 0.45)
         .orderBy(col("i"), col("j"))

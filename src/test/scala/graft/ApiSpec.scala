@@ -134,6 +134,32 @@ class ApiSpec extends SparkSpec {
     assert(neg.join(pos, Seq("a", "b")).count() == 0)
   }
 
+  test("sampling: denseIndex is a dense 0..n-1 bijection without a global sort") {
+    val keys = (1L to 5000L).map(_ * 7 + 3).toDF("k")   // gapped, non-contiguous
+    val idx = Graft.sampling.denseIndex(keys, "k").cache()
+    try {
+      assert(idx.count() == 5000)
+      assert(idx.select(countDistinct(col("__bidx"))).as[Long].head() == 5000)
+      val mm = idx.agg(min(col("__bidx")), max(col("__bidx")))
+        .as[(Long, Long)].head()
+      assert(mm == ((0L, 4999L)), s"index not dense: $mm")
+    } finally idx.unpersist()
+  }
+
+  test("analytics: co-occurrence per-key fan-in is capped deterministically") {
+    // One hot key with 100 items, one small key with 4: the cap bounds
+    // the hot key's generated pairs at C(maxPerKey, 2) while keys at or
+    // under the cap stay exact.
+    val rows = (1L to 100L).map(i => (1L, i)) ++ (101L to 104L).map(i => (2L, i))
+    val df = rows.toDF("k", "item")
+    val pairs = Graft.analytics.cooccurrencePairs(df, "k", "item", maxPerKey = 10)
+    val n = pairs.agg(sum(col("n_cooc"))).as[Long].head()
+    assert(n == 45L + 6L, s"expected C(10,2) + C(4,2) pair-occurrences, got $n")
+    // Deterministic: the same cap yields the identical pair set.
+    val again = Graft.analytics.cooccurrencePairs(df, "k", "item", maxPerKey = 10)
+    assert(pairs.collect().toSet == again.collect().toSet)
+  }
+
   test("search: fuzzy top-k and blocked sim-join on user names") {
     val people = Seq(
       (1L, "Renée Fox"), (2L, "renee fox"), (3L, "Renee Foxx"),

@@ -22,6 +22,24 @@ class GraphSpec extends SparkSpec {
     fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
   }
 
+  test("BSP rounds run through RELIABLE checkpoint when opted in") {
+    // Cluster-lifetime knob: with spark.graft.reliableCheckpoint=true and
+    // a checkpoint dir set, mat() writes through checkpoint() (survives
+    // executor loss) instead of localCheckpoint — results identical.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(DFGraphAlgs.ReliableCheckpointConf, "true")
+    try {
+      val got = DFGraphAlgs.shortestPaths(edgeDF, 1L, 3)
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(got(2L).contains(1.0) && got(3L).contains(3.0))
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty,
+        "reliable checkpoint must write to the checkpoint dir")
+    } finally spark.conf.unset(DFGraphAlgs.ReliableCheckpointConf)
+  }
+
   test("shortestPaths: hand-computed weighted distances from vertex 1") {
     val got = DFGraphAlgs.shortestPaths(edgeDF, 1L, 6)
       .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))

@@ -22,6 +22,25 @@ class MLSpec extends SparkSpec {
     assert(!rows.map(_.getLong(0)).contains(1L), "query customer must not recommend itself")
   }
 
+  test("hub penalty: a high-degree hub is out-ranked by a low-degree candidate") {
+    // ref predicter.py:264-272 — pooled score divided by log(deg+1)+1.
+    // hub: 10/(ln(1001)+1) ≈ 1.264; low: 8/(ln(3)+1) ≈ 3.812.
+    import spark.implicits._
+    val pooled = Seq(
+      ("customer", 100L, "A", 10L),      // hub: higher raw score
+      ("customer", 2L, "B", 8L)
+    ).toDF("cand_type", "cand", "best_rel", "score")
+    val degs = Seq(
+      ("customer", 100L, 1000L),
+      ("customer", 2L, 2L)
+    ).toDF("cand_type", "cand", "deg")
+    val out = MLPack.hubPenalizedTopK(pooled, degs, k = 5).collect()
+    assert(out.head.getAs[Long]("cand") == 2L,
+      "the low-degree candidate must out-rank the hub after damping")
+    assert(out.head.getAs[Int]("type_rank") == 1)
+    assert(out.map(_.getAs[Long]("cand")).toSet == Set(2L, 100L))
+  }
+
   test("M6: CrossValidator grid search selects a usable model") {
     // Hyperparameter search re-designed onto MLlib (SURVEY.md §2.10 M5/M6:
     // the reference wires Optuna + a cosine LR schedule; the MLlib form is

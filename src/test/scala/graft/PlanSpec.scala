@@ -97,4 +97,14 @@ class PlanSpec extends SparkSpec {
     val p = planOf(graft.ops.SimilarityPack.queries("sim_lsh_topk")(spark, sf()))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("cosine near-dup sweep is block-pair equi-joins, never a nested loop") {
+    // The exact Θ(n²) sweep must be load-balanced equi-join work: an
+    // id<id nested-loop join puts all pairs through one unsplittable
+    // physical node; the block-pair form shards them over uniform keys.
+    val p = planOf(graft.ops.SimilarityPack.queries("sim_cosine_neardup")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup phase 1 must join on the block-pair key, not ia<ib")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
