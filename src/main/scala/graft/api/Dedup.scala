@@ -71,6 +71,17 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
 
+  /** Candidate pairs ACROSS two frames — corpus side as `i`, probe side
+    * as `j` — sharing at least one LSH band bucket. The incremental-
+    * ingest form: a new batch probes the standing corpus index, with no
+    * batch×batch or corpus×corpus pairing, so each ingest costs
+    * |batch-bands| join work against the (pre-built, reusable) corpus
+    * bands instead of re-deduping the world. */
+  def lshCandidatesAcross(corpusBands: DataFrame, probeBands: DataFrame): DataFrame =
+    corpusBands.as("a").join(probeBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+
   /** Exact shingle-Jaccard for given candidate pairs (i, j). */
   def jaccardOf(shingles: DataFrame, pairs: DataFrame): DataFrame = {
     val sz = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -20,6 +20,71 @@ object Events {
         keyCol.as("key"))
       .agg(count(lit(1)).as("n"))
 
+  /** AS-OF join (last-value semantics): every left row is enriched with
+    * `rightVal` from the most recent right row of the same `key` with
+    * right ts ≤ left ts (null when no prior right row exists) — the
+    * point-in-time enrichment a feature pipeline needs (no training-time
+    * leakage from future values).
+    *
+    * Scale shape: the classic range join (l.ts >= r.ts) detonates into a
+    * nested-loop/range product; this is instead ONE union + ONE window
+    * per key — both sides are tagged, unioned, and a running
+    * last-non-null over (ts, right-first) carries the latest right value
+    * forward to each left row. One shuffle on the key, per-row window
+    * state, no pair enumeration; skew is bounded by per-key event volume
+    * exactly like sessionization. Right rows are first reduced to one
+    * value per (key, ts) (max — a deterministic tie rule) so equal-ts
+    * right duplicates cannot make the answer order-dependent. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsUs: String,
+      rightVal: String, outCol: String = "asof_value"): DataFrame = {
+    val rv = right
+      .groupBy(col(key), col(tsUs))
+      .agg(max(col(rightVal)).as(outCol))
+    val leftCols = left.columns
+    require(!leftCols.contains(outCol),
+      s"left frame already has column $outCol; pass a different outCol")
+    val l2 = left
+      .withColumn("__isr", lit(0))
+      .withColumn(outCol, lit(null).cast(rv.schema(outCol).dataType))
+    val extras = leftCols.filterNot(c => c == key || c == tsUs)
+    val r2 = extras.foldLeft(rv.withColumn("__isr", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val ordered = (leftCols :+ "__isr" :+ outCol).map(col)
+    // Right rows sort BEFORE left rows at equal ts (__isr desc), so a
+    // right value stamped at exactly the left row's ts is visible to it
+    // ("at or before" semantics — DuckDB's ASOF l.ts >= r.ts).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsUs).asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.select(ordered: _*).unionByName(r2.select(ordered: _*))
+      .withColumn(outCol,
+        last(when(col("__isr") === 1, col(outCol)), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .drop("__isr")
+  }
+
+  /** Funnel step detection: for every `stepB` event, was there a `stepA`
+    * event of the same key at-or-before it within `windowUs`? Returns the
+    * B rows with `converted` (0/1) and the matched A timestamp (null when
+    * outside the window). Same one-window shape as [[asofJoin]] — no
+    * range join, one shuffle on the key. */
+  def funnel(events: DataFrame, key: Column, tsUs: Column, step: Column,
+      stepA: String, stepB: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(tsUs.asc, (step === stepA).cast("int").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__lastA",
+        last(when(step === stepA, tsUs), ignoreNulls = true).over(w))
+      .filter(step === stepB)
+      .withColumn("converted",
+        (col("__lastA").isNotNull && tsUs - col("__lastA") <= windowUs).cast("int"))
+      .withColumn("a_ts_us",
+        when(col("converted") === 1, col("__lastA")))
+      .drop("__lastA")
+  }
+
   /** Gap-based sessionization (the SQL islands form): a session breaks
     * when the gap to the user's previous event exceeds `gapUs`. Returns
     * one row per (user, session) with n_events and exact duration. */

@@ -138,6 +138,26 @@ object DedupPack {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Incremental (batch-vs-corpus) near-dup — the production ingest
+    // shape: a new batch (doc_id % 10 = 0, a deterministic fixture
+    // split) probes the standing corpus's LSH band index; candidates
+    // come from the cross-frame band-bucket equi-join ONLY (no
+    // batch×batch or corpus×corpus pairing), then exact Jaccard ≥ 0.8 on
+    // the survivors. At 100 TB the corpus bands are a persisted index a
+    // daily batch joins against — per-ingest cost scales with the batch,
+    // not the corpus pair space.
+    "dedup_incremental" -> ((s, d) => {
+      val bands = graft.api.Dedup.lshBands(signatures(s, d), BandSize)
+      val isNew = col("doc_id") % 10 === 0
+      val cand = graft.api.Dedup.lshCandidatesAcross(
+        bands.filter(!isNew), bands.filter(isNew))
+      graft.api.Dedup.jaccardOf(shingleRows(s, d), cand)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("j").as("new_doc"), col("i").as("dup_of"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("new_doc"), col("dup_of"))
+    }),
+
     // SimHash: 32-bit fingerprint from distinct-token hashes; near-dup =
     // pairs within Hamming distance 6. Bit j of the fingerprint is the
     // sign of Σ_tokens (±1 by bit j of the token hash).
@@ -205,6 +225,28 @@ object DedupPack {
          |JOIN sz sy ON sy.doc_id = e.j
          |WHERE iv.c * 1.0 / (sx.n + sy.n - iv.c) >= 0.8
          |ORDER BY e.i, e.j""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $signaturesSql,
+         |bands AS (SELECT doc_id, CAST(j // $BandSize AS INT) AS band,
+         |    SUM((j % $BandSize + 1) * mh) AS bucket
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.i, c.j, COUNT(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.i
+         |  JOIN sh y ON y.doc_id = c.j AND x.sh = y.sh
+         |  GROUP BY c.i, c.j)
+         |SELECT iv.j AS new_doc, iv.i AS dup_of,
+         |  round(iv.c * 1.0 / (sx.n + sy.n - iv.c), 6) AS jaccard
+         |FROM inter iv
+         |JOIN sz sx ON sx.doc_id = iv.i
+         |JOIN sz sy ON sy.doc_id = iv.j
+         |WHERE iv.c * 1.0 / (sx.n + sy.n - iv.c) >= 0.8
+         |ORDER BY new_doc, dup_of""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleRowsSql,

@@ -23,6 +23,8 @@ object EventsPack {
   val WindowUs: Long = 6L * 3600 * 1000000
   /** Session gap: 30 minutes (micros). */
   val GapUs: Long = 30L * 60 * 1000000
+  /** Funnel conversion window: 30 minutes (micros). */
+  val FunnelUs: Long = 30L * 60 * 1000000
 
   /** events with an integer-micros event-time column. */
   def withMicros(s: SparkSession, d: String): DataFrame =
@@ -61,6 +63,36 @@ object EventsPack {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // AS-OF enrichment: every click event carries the user's most recent
+    // purchase value at-or-before the click (point-in-time feature
+    // semantics — no future leakage). The naive l.ts >= r.ts range join
+    // is a nested-loop product; api.Events.asofJoin is one union + one
+    // per-user window — the shape that survives corpus scale. The DuckDB
+    // twin is an INDEPENDENT formulation (native ASOF LEFT JOIN), so the
+    // hash match cross-validates the window re-expression.
+    "events_asof_value" -> ((s, d) => {
+      val e = withMicros(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      graft.api.Events.asofJoin(clicks, purchases,
+          "user_id", "ts_us", "value", outCol = "last_purchase_value")
+        .orderBy(col("event_id")).limit(2000)
+    }),
+
+    // Funnel conversion: per user, how many purchases had a view
+    // at-or-before them within 30 minutes (A-then-B-within-T sequence
+    // detection — same single-window shape, no self-join over the log).
+    "events_funnel" -> ((s, d) => {
+      graft.api.Events.funnel(withMicros(s, d), col("user_id"), col("ts_us"),
+          col("event_type"), stepA = "view", stepB = "purchase", FunnelUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("converted")).cast("long").as("n_converted"))
+        .orderBy(col("user_id"))
     }),
 
     // Per-user event-type top-k (W3 shape on the activity log).
@@ -108,6 +140,35 @@ object EventsPack {
 
     "events_top_users" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
-        |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 25""".stripMargin
+        |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 25""".stripMargin,
+
+    // Independent formulation: DuckDB's native ASOF join vs the Spark
+    // union+window re-expression — the hash match proves the last-value
+    // window carries exactly "most recent right row with ts <= left ts".
+    "events_asof_value" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, MAX(value) AS lpv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |  r.lpv AS last_purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id LIMIT 2000""".stripMargin,
+
+    "events_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+         |  FROM events),
+         |m AS (SELECT user_id, ts_us, event_type,
+         |    last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts_us ASC,
+         |          (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastA
+         |  FROM e)
+         |SELECT user_id, COUNT(*) AS n_purchases,
+         |  CAST(SUM(CASE WHEN lastA IS NOT NULL AND ts_us - lastA <= $FunnelUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+         |FROM m WHERE event_type = 'purchase'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -43,6 +43,11 @@ object SimilarityPack {
   private val Pivots    = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
   /** Lloyd rounds for the IVF coarse quantizer. */
   private val KmIters   = 2
+  /** PQ geometry: Dim/PqSubDim subspaces of PqSubDim dims each; codebook
+    * size = |Pivots| codes per subspace; top-PqOverfetch ADC candidates
+    * are exactly re-ranked. */
+  private val PqSubDim    = 8
+  private val PqOverfetch = 100
   /** Cells probed per query (nprobe — the standard IVF recall/cost knob;
     * 3 of 8 cells ≈ 3/8 of the corpus scanned instead of all of it). */
   private val NProbe    = 3
@@ -133,6 +138,56 @@ object SimilarityPack {
         cent = c.join(a, "vec_id")
           .groupBy(col("cid"), col("pos"))
           .agg((psum(col("v")) / count(lit(1))).as("cv"))
+      }
+      cent
+    }
+
+  /** L2-NORMALIZED exploded components with a subspace id —
+    * (vec_id, pos, sub, nv). PQ approximates cosine as a sum of
+    * per-subspace dot products, which is exact algebra only on the
+    * normalized vectors. Session-cached. */
+  private[ops] def ncomps(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.ncomps:$d") {
+      val c = comps(s, d)
+      c.join(norms(c), "vec_id")
+        .select(col("vec_id"), col("pos"),
+          (col("pos") / PqSubDim).cast("int").as("sub"),
+          (col("v") / col("nrm")).as("nv"))
+    }
+
+  private val ncompsSql =
+    s"""ncomps AS MATERIALIZED (SELECT c.vec_id, c.pos,
+       |    CAST(c.pos // $PqSubDim AS INT) AS sub, c.v / n.nrm AS nv
+       |  FROM comps c JOIN nrm n ON n.vec_id = c.vec_id)""".stripMargin
+
+  /** Nearest code per (vector, subspace) by squared L2 against a
+    * per-subspace codebook `cent` = (sub, cid, pos, cv); exact decimal
+    * sums, ties to the lower cid — identical codes on both engines. */
+  private def pqNearest(c: DataFrame, cent: DataFrame): DataFrame =
+    c.join(cent, Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(psum((col("nv") - col("cv")) * (col("nv") - col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+
+  /** Deterministic per-subspace PQ codebooks — the same seeded Lloyd
+    * discipline as [[kmeansCentroids]], fitted independently in every
+    * subspace (one grouped job, not a subspace loop): seeds are the
+    * Pivots' sub-vectors, KmIters rounds, exact-decimal means. Returns
+    * (sub, cid, pos, cv). Session-cached. */
+  private[ops] def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.pqcent:$d") {
+      val c = ncomps(s, d)
+      var cent = c.filter(col("vec_id").isin(Pivots: _*))
+        .select(col("vec_id").as("cid"), col("sub"), col("pos"), col("nv").as("cv"))
+      for (_ <- 1 to KmIters) {
+        val a = pqNearest(c, cent)
+        cent = c.join(a, Seq("vec_id", "sub"))
+          .groupBy(col("cid"), col("sub"), col("pos"))
+          .agg((psum(col("nv")) / count(lit(1))).as("cv"))
       }
       cent
     }
@@ -252,6 +307,39 @@ object SimilarityPack {
         .limit(10)
     }),
 
+    // PQ (product quantization) ANN — the third standard ANN family next
+    // to IVF and LSH (Jégou et al. 2011): vectors are compressed to one
+    // code per subspace against FITTED per-subspace codebooks
+    // (deterministic Lloyd, oracle-checked including the fit); a query is
+    // answered by an ADC scan — a broadcast lookup table of per-
+    // (subspace, code) partial dots, summed per vector with NO access to
+    // the original vectors — then the top-PqOverfetch candidates are
+    // exactly re-ranked. At 100 TB the codes table is 8 bytes/vector
+    // where the raw embeddings are 256: the scan that decides candidates
+    // touches 3% of the bytes, and the LUT join is a broadcast hash join
+    // against 64 rows. TrainingDataSpec pins recall vs brute force.
+    "sim_pq_topk" -> ((s, d) => {
+      val c = ncomps(s, d)
+      val cent = pqCodebooks(s, d)
+      val codes = pqNearest(c, cent)
+      val lut = c.filter(col("vec_id") === QueryVec)
+        .join(cent, Seq("sub", "pos"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(psum(col("nv") * col("cv")).as("pdot"))
+      val adc = codes.filter(col("vec_id") =!= QueryVec)
+        .join(broadcast(lut), Seq("sub", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(psum(col("pdot")).as("adc"))
+      val cand = adc
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(PqOverfetch)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+      cosineOf(comps(s, d), cand)
+        .select(col("j").as("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 16-bit bucket;
     // exact cosine re-rank inside the bucket only.
     "sim_lsh_topk" -> ((s, d) => {
@@ -293,6 +381,34 @@ object SimilarityPack {
        |  WHERE vec_id IN (${Pivots.mkString(", ")})),
        |$chain,
        |${assignSql("afin", s"c$KmIters")}""".stripMargin
+  }
+
+  /** DuckDB twin of pqCodebooks + the final per-(vec, sub) code
+    * assignment: the per-subspace Lloyd recurrence unrolled into chained
+    * CTEs (pc0 → pa1 → pc1 → … → pafin), exact-decimal reductions —
+    * identical codes on both engines. */
+  private def pqKmeansSql: String = {
+    def assignSql(name: String, centCte: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM (SELECT x.vec_id, x.sub, c.cid,
+         |        CAST(SUM(CAST((x.nv - c.cv) * (x.nv - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+         |      FROM ncomps x JOIN $centCte c ON c.sub = x.sub AND c.pos = x.pos
+         |      GROUP BY x.vec_id, x.sub, c.cid))
+         |  WHERE rn = 1)""".stripMargin
+    def centSql(name: String, assignCte: String) =
+      s"""$name AS MATERIALIZED (SELECT a.cid, x.sub, x.pos,
+         |    CAST(SUM(CAST(x.nv AS $PsumCast)) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM ncomps x JOIN $assignCte a ON a.vec_id = x.vec_id AND a.sub = x.sub
+         |  GROUP BY a.cid, x.sub, x.pos)""".stripMargin
+    val chain = (1 to KmIters).map { k =>
+      assignSql(s"pa$k", s"pc${k - 1}") + ",\n" + centSql(s"pc$k", s"pa$k")
+    }.mkString(",\n")
+    s"""pc0 AS MATERIALIZED (SELECT vec_id AS cid, sub, pos, nv AS cv FROM ncomps
+       |  WHERE vec_id IN (${Pivots.mkString(", ")})),
+       |$chain,
+       |${assignSql("pafin", s"pc$KmIters")}""".stripMargin
   }
 
   private val cosinePairSql =
@@ -344,6 +460,25 @@ object SimilarityPack {
          |pairs AS (SELECT $QueryVec AS i, a.vec_id AS j
          |  FROM afin a JOIN qc ON qc.cid = a.cid
          |  WHERE a.vec_id <> $QueryVec),
+         |$cosinePairSql
+         |SELECT j AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_pq_topk" ->
+      s"""WITH $compsSql, $normsSql, $ncompsSql,
+         |${pqKmeansSql},
+         |lut AS (SELECT c.sub, c.cid,
+         |    CAST(SUM(CAST(x.nv * c.cv AS $PsumCast)) AS DOUBLE) AS pdot
+         |  FROM ncomps x JOIN pc$KmIters c ON c.sub = x.sub AND c.pos = x.pos
+         |  WHERE x.vec_id = $QueryVec GROUP BY c.sub, c.cid),
+         |adc AS (SELECT a.vec_id,
+         |    CAST(SUM(CAST(l.pdot AS $PsumCast)) AS DOUBLE) AS adc
+         |  FROM pafin a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+         |  WHERE a.vec_id <> $QueryVec GROUP BY a.vec_id),
+         |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rn
+         |    FROM adc)
+         |  WHERE rn <= $PqOverfetch),
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,

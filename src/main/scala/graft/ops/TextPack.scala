@@ -23,6 +23,11 @@ object TextPack {
     * (no lookahead): optional leading space + letter run / digit run /
     * punctuation run. */
   private val BpeIshPattern = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"""
+  /** BM25 parameters (the standard Robertson defaults) and the fixed
+    * query-term set of the text_bm25_topk query. */
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+  private val BmQueryTerms = Seq("spark", "query", "join")
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -113,6 +118,36 @@ object TextPack {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // BM25 relevance scoring (Robertson/Sparck-Jones; k1=1.2, b=0.75) of
+    // the corpus against a fixed query-term set — the retrieval-quality
+    // column a training-data pipeline ranks candidate documents by. One
+    // token pass builds per-doc lengths and term frequencies; document
+    // frequencies and the (n_docs, avgdl) stats are broadcast; the
+    // per-(doc, term) contributions sum through exact decimals so the
+    // score is order-independent. Top-20 with a doc_id tiebreak.
+    "text_bm25_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dlen.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("term").isin(BmQueryTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            col("tf") * (lit(Bm25K1) + lit(1.0)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib").cast("decimal(28,15)")).cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // Fingerprint-based exact-ordered-dup audit (groups sharing a
     // fingerprint), the scalable "same content, same order" check.
     "text_fingerprint_dups" -> ((s, d) => {
@@ -181,6 +216,30 @@ object TextPack {
         |    ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
         |SELECT doc_id, rk, term, tf, tfidf FROM rk
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // Fractional literals are CAST to DOUBLE so DuckDB's DECIMAL literal
+    // arithmetic cannot fold constants differently from Spark's double
+    // folding (1.2 + 1 in decimal ≠ 1.2 + 1 in IEEE doubles).
+    "text_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dlen AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlen),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |contrib AS (SELECT t.doc_id,
+        |    ln((s.n_docs - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE))
+        |      * t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS contrib
+        |  FROM tf t JOIN dfreq f USING (term) JOIN dlen l USING (doc_id)
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, round(CAST(SUM(CAST(contrib AS DECIMAL(28,15))) AS DOUBLE), 6) AS bm25
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "text_fingerprint_dups" ->
       s"""WITH fp AS (SELECT

@@ -24,6 +24,8 @@ object Warm {
     "sim.comps"      -> (() => SimilarityPack.comps(s, d)),
     "sim.buckets"    -> (() => SimilarityPack.buckets(s, d)),
     "sim.ivfcent"    -> (() => SimilarityPack.kmeansCentroids(s, d)),
+    "sim.ncomps"     -> (() => SimilarityPack.ncomps(s, d)),
+    "sim.pqcent"     -> (() => SimilarityPack.pqCodebooks(s, d)),
     "dedup.shingles"   -> (() => DedupPack.shingleRows(s, d)),
     "dedup.signatures" -> (() => DedupPack.signatures(s, d)),
     "dedup.simhash"    -> (() => DedupPack.simhashFingerprints(s, d)))

@@ -77,6 +77,20 @@ class TrainingDataSpec extends SparkSpec {
       s"IVF recall collapsed: ${bf.intersect(ivf.keySet).size}/10")
   }
 
+  test("PQ (per-subspace codebooks, ADC top-100) recalls most of brute force") {
+    val bf = SimilarityPack.queries("sim_bruteforce_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val pq = SimilarityPack.queries("sim_pq_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10, "ADC overfetch must hold enough candidates")
+    // Deterministic fit on the fixed fixture: measured 7/10 — the fixture
+    // embeddings are isotropic (PQ's worst case: no cluster structure for
+    // the codebooks to exploit), so pin a conservative floor that still
+    // catches a codebook/ADC regression.
+    assert(bf.intersect(pq).size >= 6,
+      s"PQ recall collapsed: ${bf.intersect(pq).size}/10")
+  }
+
   test("native cosine_sim matches the exact posexplode cosine to 1e-9") {
     val native = SimilarityPack.queries("sim_native_topk")(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
