@@ -55,16 +55,29 @@ object Search {
     * token-sort ratio (best window of the token-sorted strings, 0.95-
     * damped) rather than the full token-sort ratio, so a short query can
     * hit a long multi-token name through its best-matching window. */
-  def fuzzyScore(name: Column, query: String): Column = {
+  def fuzzyScore(name: Column, query: String): Column =
+    fuzzyScoreWith(name, tokenSort(name), query)
+
+  /** [[fuzzyScore]] with the token-sorted name supplied as its own
+    * column. Use this form when scoring a large frame: pass a
+    * PRE-PROJECTED token-sort column (`df.withColumn("key_ts",
+    * tokenSort(col("key")))`) so the window lambda of the partial
+    * token-sort leg references a bound attribute — expressions inside
+    * `transform` lambdas get no common-subexpression elimination, so an
+    * inline token-sort subtree is re-split/re-sorted once PER WINDOW of
+    * every row (the same O(len²) trap as inline shingling; measured 6.0 s
+    * → ~1 s at sf0.1 for the short-query dispatch). */
+  def fuzzyScoreWith(name: Column, nameTs: Column, query: String): Column = {
     val q = lit(query)
+    val qTs = tokenSort(q)
     val full = ratio(name, q)
-    val tsr = round(ratio(tokenSort(name), tokenSort(q)) * 0.95, 6)
+    val tsr = round(ratio(nameTs, qTs) * 0.95, 6)
     val lenRatio = greatest(length(name), length(q)).cast("double") /
       greatest(least(length(name), length(q)), lit(1)).cast("double")
     val scale = when(lenRatio < 8.0, 0.9).otherwise(0.6)
     when(lenRatio < 1.5, greatest(full, tsr)).otherwise(
       greatest(full, round(partialRatio(name, q) * scale, 6),
-        round(partialRatio(tokenSort(name), tokenSort(q)) * 0.95 * scale, 6)))
+        round(partialRatio(nameTs, qTs) * 0.95 * scale, 6)))
   }
 
   /** Inverted index over the normalized key: key → (n_ids, first_id).
@@ -74,11 +87,15 @@ object Search {
       .agg(count(lit(1)).as("n_ids"), min(col(id)).as("first_id"))
 
   /** Fuzzy top-k against one query: score everything, threshold, rank
-    * deterministically. Runs as one scan + TakeOrdered (no global sort). */
+    * deterministically. Runs as one scan + TakeOrdered (no global sort);
+    * the normalized key and its token-sort are projected once so the
+    * score's window lambdas read attributes (see [[fuzzyScoreWith]]). */
   def fuzzyTopK(df: DataFrame, id: String, name: String,
       query: String, minScore: Double, k: Int): DataFrame =
-    df.select(col(id), col(name),
-        fuzzyScore(normalizeKey(col(name)), query).as("score"))
+    df.select(col(id), col(name), normalizeKey(col(name)).as("__key"))
+      .withColumn("__key_ts", tokenSort(col("__key")))
+      .select(col(id), col(name),
+        fuzzyScoreWith(col("__key"), col("__key_ts"), query).as("score"))
       .filter(col("score") >= minScore)
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)

@@ -92,18 +92,24 @@ object SearchPack {
     // 60, deterministic top-10 (ref fuzzy_search.py:54-94; settings.py:46
     // cutoff 60).
     "search_fuzzy_topk" -> ((s, d) => {
-      val key = norm(col("c_name"))
-      val base = graft.api.Search.fuzzyScore(key, FuzzyQuery)
+      val key = col("__key")
+      val base = graft.api.Search.fuzzyScoreWith(key, col("__key_ts"), FuzzyQuery)
       val bonus =
         when(length(key) < length(lit(FuzzyQuery)) / 2, -30.0).otherwise(0.0) +
         when(key.startsWith(FuzzyQuery.substring(0, 4)), 20.0).otherwise(0.0) +
         when(key.contains(FuzzyQuery.substring(9)), 10.0).otherwise(0.0)
       Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), norm(col("c_name")).as("__key"))
+        .withColumn("__key_ts", tokenSort(col("__key")))
         .select(col("c_custkey"), col("c_name"),
           round(base + bonus, 6).as("score"))
-        .filter(col("score") >= 60.0)
         .orderBy(col("score").desc, col("c_custkey").asc)
         .limit(10)
+        // threshold AFTER the top-k: top-10-then-filter is set-equal to
+        // filter-then-top-10 here, and keeps the (expensive, interpreted
+        // lambda) score expression out of a pushed-down filter that would
+        // evaluate it a second time per row.
+        .filter(col("score") >= 60.0)
     }),
 
     // F3 — the partial-ratio serving path: a SHORT query against the
@@ -113,13 +119,15 @@ object SearchPack {
     // ~56 — below the 60 cutoff; the 0.9-damped best window (~65) is
     // what makes short-name lookup work at all.
     "search_fuzzy_partial" -> ((s, d) => {
-      val key = norm(col("c_name"))
       Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), norm(col("c_name")).as("__key"))
+        .withColumn("__key_ts", tokenSort(col("__key")))
         .select(col("c_custkey"), col("c_name"),
-          round(graft.api.Search.fuzzyScore(key, PartialQuery), 6).as("score"))
-        .filter(col("score") >= 60.0)
+          round(graft.api.Search.fuzzyScoreWith(col("__key"), col("__key_ts"),
+            PartialQuery), 6).as("score"))
         .orderBy(col("score").desc, col("c_custkey").asc)
         .limit(10)
+        .filter(col("score") >= 60.0)   // after top-k: see search_fuzzy_topk
     }),
 
     // Blocked similarity self-join: block on the last two digits of the
