@@ -100,6 +100,33 @@ object SourcesPack {
         .orderBy(col("o_custkey")).limit(1000)
     }),
 
+    // Hive-style partitioned layout + DYNAMIC partition pruning: the
+    // fact table is laid out partitioned by the dimension attribute it
+    // is joined on (customer nation), and a REGION filter on the
+    // dimension side prunes fact partitions AT RUNTIME through Spark's
+    // DPP subquery — the scan reads 5 of 25 nation directories, decided
+    // by the broadcast dim, not by a static literal. At 100 TB this is
+    // the layout/pruning contract that turns a lake-wide scan into a
+    // partition-local one. PlanSpec asserts the dynamicpruning
+    // expression reaches the scan's partition filters.
+    "src_partitioned_dpp" -> ((s, d) => {
+      val out = scratch(d, "orders_by_nation")
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_nationkey"))
+        .write.mode(SaveMode.Overwrite).partitionBy("c_nationkey").parquet(out)
+      val dimN = Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name"))
+      s.read.parquet(out)
+        .join(dimN, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          OpsUtil.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("n_name"))
+    }),
+
     // P14 — snake_case conversion as the reference implements it: two
     // regex passes (acronym boundary, then lower/upper boundary) over a
     // dynamic name column. Runs on the reference's actual raw column
@@ -158,6 +185,16 @@ object SourcesPack {
          |    '([a-z0-9])([A-Z])', '\\1_\\2', 'g')) AS snake
          |FROM (VALUES $values) AS t(raw) ORDER BY raw""".stripMargin
     },
+
+    "src_partitioned_dpp" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders,
+         |  ${OpsUtil.dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "etl_bucketed_join" ->
       s"""SELECT o_custkey, ${OpsUtil.dsumSql("l_extendedprice")} AS total_spend,

@@ -52,6 +52,20 @@ object StreamingPack {
       res.orderBy(col("segment"))
     }),
 
+    // Custom-state streaming funnel (flatMapGroupsWithState — the
+    // KeyValueGroupedDataset path for semantics the built-in stateful
+    // operators can't express): per-user A-then-B-within-T conversion
+    // counting with ONE carried timestamp of state per user. Must equal
+    // the batch events_funnel answer (same DuckDB oracle).
+    "stream_funnel" -> ((s, d) => {
+      val name = s"graft_stream_funnel_${counter.incrementAndGet()}"
+      val res = StreamOps.runToMemoryAppend(s,
+        StreamOps.funnelStateful(StreamOps.eventsStream(s, d),
+          stepA = "view", stepB = "purchase", EventsPack.FunnelUs), name)
+      res.select(col("user_id"), col("n_purchases"), col("n_converted"))
+        .orderBy(col("user_id"))
+    }),
+
     // Native session_window sessionization run as a stream, rolled up to
     // the batch events_sessionize shape — stream must equal batch.
     "stream_sessionize" -> ((s, d) => {
@@ -67,6 +81,7 @@ object StreamingPack {
     // Same oracles as the batch twins: streaming must equal batch.
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
     "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
+    "stream_funnel"        -> EventsPack.oracle("events_funnel"),
 
     "stream_join_enrich" ->
       s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_events,

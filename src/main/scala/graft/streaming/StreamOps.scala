@@ -150,6 +150,53 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Typed rows of the stateful funnel operator. */
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  /** Carried funnel state: event-time of the user's latest step-A. */
+  case class FunnelState(lastA: Long)
+  /** Per-user funnel emission (one row per micro-batch with ≥1 step-B). */
+  case class FunnelOut(user_id: Long, n_purchases: Long, n_converted: Long)
+
+  /** STATEFUL streaming funnel — the custom-state form the built-in
+    * operators can't express (KeyValueGroupedDataset.flatMapGroupsWithState,
+    * SURVEY §2 streaming row): per user, a step-B event converts when a
+    * step-A event sits at-or-before it within `windowUs`. Each group's
+    * batch slice is sorted by event time (A before B on ties — the same
+    * total order as the batch window form) and folded through the carried
+    * `lastA` state, so the state store holds ONE timestamp per user
+    * regardless of history length. Exact when micro-batch boundaries
+    * respect event-time order (the AvailableNow backfill case and any
+    * in-order source); cross-batch stragglers fall back to the carried
+    * state like every per-key streaming fold. */
+  def funnelStateful(events: DataFrame, stepA: String, stepB: String,
+      windowUs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e.ts_us, if (e.event_type == stepA) 0 else 1))
+          var lastA = state.getOption.map(_.lastA).getOrElse(Long.MinValue)
+          var nB = 0L
+          var nConv = 0L
+          evs.foreach { e =>
+            if (e.event_type == stepA) lastA = e.ts_us
+            else if (e.event_type == stepB) {
+              nB += 1
+              if (lastA != Long.MinValue && e.ts_us - lastA <= windowUs) nConv += 1
+            }
+          }
+          state.update(FunnelState(lastA))
+          if (nB > 0) Iterator(FunnelOut(uid, nB, nConv)) else Iterator.empty
+      }
+      .toDF()
+  }
+
   /** Stream-static enrichment join: the event stream against a broadcast
     * dimension table (users → market segment), rolled up per segment.
     * Stream-static joins are stateless — each micro-batch probes the

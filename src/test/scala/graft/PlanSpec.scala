@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("partitioned fact scan is pruned DYNAMICALLY by the dimension filter") {
+    val p = planOf(graft.ops.SourcesPack.queries("src_partitioned_dpp")(spark, sf()))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "region filter must reach the fact scan as a runtime partition filter")
+  }
+
   test("cosine near-dup sweep is block-pair equi-joins, never a nested loop") {
     // The exact Θ(n²) sweep must be load-balanced equi-join work: an
     // id<id nested-loop join puts all pairs through one unsplittable
