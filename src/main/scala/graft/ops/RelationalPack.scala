@@ -135,6 +135,43 @@ object RelationalPack {
         .orderBy(col("order_year"))
     }),
 
+    // A-family — ROLLUP grouping sets: per-(year, priority) counts plus
+    // per-year and grand totals in ONE aggregation pass (the OLAP
+    // subtotal shape — Spark expands grouping sets in a single shuffle,
+    // no union of three group-bys). Null ordering pinned NULLS FIRST on
+    // both engines (Spark's ASC default vs DuckDB's NULLS LAST differ).
+    "agg_rollup_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("order_year"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .rollup(col("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // A-family — PIVOT to a wide per-year priority matrix (explicit value
+    // list so the output schema is static — the distributed form never
+    // needs a driver-side distinct to discover columns). Spark's pivot
+    // compiles to conditional aggregation; the DuckDB twin writes that
+    // form directly. Missing cells coalesce to 0 on both engines.
+    "agg_pivot_priority" -> ((s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val safe = Map(
+        "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+        "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+      val wide = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("order_year"),
+          col("o_orderpriority"))
+        .groupBy(col("order_year"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      val renamed = prios.foldLeft(wide)((df, p) => df.withColumnRenamed(p, safe(p)))
+      renamed.select(col("order_year") +: prios.map(p =>
+          coalesce(col(safe(p)), lit(0L)).as(safe(p))): _*)
+        .orderBy(col("order_year"))
+    }),
+
     // J1/J2/J3 — multi-hop dimension enrichment with broadcast joins.
     "join_enrich_region" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -294,6 +331,24 @@ object RelationalPack {
          |  ${dsumSql("o_totalprice")} AS total_price
          |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
          |GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    // GROUP BY ROLLUP in DuckDB emits the identical grouping sets; the
+    // year expression must sit INSIDE the rollup list (position 1).
+    "agg_rollup_orders" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY ROLLUP (1, o_orderpriority)
+         |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_pivot_priority" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
 
     "join_enrich_region" ->
       s"""SELECT r_name,

@@ -13,6 +13,19 @@ class InvariantSpec extends SparkSpec {
 
   private val rng = new scala.util.Random(42)
 
+  test("percentile_approx (t-digest) is close to the exact percentile") {
+    // ana_quantiles documents percentile_approx as the 100 TB form of its
+    // exact interpolated percentile — pin that the approximation actually
+    // holds on the fixture distribution (1% relative at accuracy 10000).
+    val r = graft.tables.Tables.orders(spark, sf())
+      .agg(expr("percentile(o_totalprice, 0.5)").as("exact"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx"))
+      .head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx median $approx drifted from exact $exact")
+  }
+
   test("approx_count_distinct (HLL) is within 5% of exact on orders") {
     val o = graft.tables.Tables.orders(spark, sf("sf0.01"))
     val r = o.agg(
