@@ -43,6 +43,8 @@ object Events {
     val leftCols = left.columns
     require(!leftCols.contains(outCol),
       s"left frame already has column $outCol; pass a different outCol")
+    require(!leftCols.contains("__isr"),
+      "left frame already has the reserved helper column __isr; rename it")
     val l2 = left
       .withColumn("__isr", lit(0))
       .withColumn(outCol, lit(null).cast(rv.schema(outCol).dataType))

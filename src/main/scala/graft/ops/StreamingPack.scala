@@ -52,6 +52,22 @@ object StreamingPack {
       res.orderBy(col("segment"))
     }),
 
+    // STREAM-STREAM interval join: two live streams (clicks, purchases)
+    // joined on user within a 6-hour event-time interval. Watermarks +
+    // the two-sided time bound are what make join state evictable — the
+    // 100 TB/day shape for correlating two unbounded feeds. Rolled up
+    // per user; the DuckDB twin is the equivalent batch range join.
+    "stream_interval_join" -> ((s, d) => {
+      val name = s"graft_stream_ij_${counter.incrementAndGet()}"
+      val joined = StreamOps.runToMemoryAppend(s,
+        StreamOps.intervalJoin(StreamOps.eventsStream(s, d),
+          StreamOps.eventsStream(s, d), intervalUs = 6L * 3600 * 1000000), name)
+      joined.groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          OpsUtil.dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Custom-state streaming funnel (flatMapGroupsWithState — the
     // KeyValueGroupedDataset path for semantics the built-in stateful
     // operators can't express): per-user A-then-B-within-T conversion
@@ -82,6 +98,18 @@ object StreamingPack {
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
     "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
     "stream_funnel"        -> EventsPack.oracle("events_funnel"),
+
+    // Batch range-join twin of the watermarked stream-stream join.
+    "stream_interval_join" ->
+      s"""WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS cus FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS pus, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT c.user_id, COUNT(*) AS n_pairs,
+         |  ${OpsUtil.dsumSql("value")} AS total_value
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.pus >= c.cus AND p.pus <= c.cus + ${6L * 3600 * 1000000}
+         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "stream_join_enrich" ->
       s"""SELECT c_mktsegment AS segment, COUNT(*) AS n_events,

@@ -150,6 +150,29 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Watermarked STREAM-STREAM interval join: click events joined to the
+    * purchase events that follow within `intervalUs` for the same user —
+    * both sides are unbounded streams (two independent file sources
+    * here). The scale contract is the pair of watermarks PLUS the
+    * two-sided event-time bound in the join condition: they are what let
+    * Spark compute how long a buffered row can still match and EVICT
+    * join state at the watermark horizon — an unconditioned
+    * stream-stream join would buffer both streams forever. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      intervalUs: Long): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .withColumn("c_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("c_time", "1 hour")
+      .select(col("user_id").as("c_user"), col("c_time"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withColumn("p_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("p_time", "1 hour")
+      .select(col("user_id").as("p_user"), col("p_time"), col("value"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_time") >= col("c_time") &&
+      col("p_time") <= col("c_time") + expr(s"INTERVAL $intervalUs MICROSECONDS"))
+  }
+
   /** Typed rows of the stateful funnel operator. */
   case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
   /** Carried funnel state: event-time of the user's latest step-A. */
