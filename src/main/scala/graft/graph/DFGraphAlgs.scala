@@ -249,6 +249,20 @@ object DFGraphAlgs {
     comp
   }
 
+  /** Triangle count over a CANONICAL undirected edge list (x < y, one
+    * row per edge): each triangle a<b<c is assembled exactly once by the
+    * two-join chain (a,b)⋈(b,c)⋈(a,c) — equi-joins only (shuffle on the
+    * shared endpoint, then on the closing pair), never an all-pairs
+    * product, and the repeated edge frame's shuffle is shared via
+    * ReusedExchange. Returns one row (n_triangles). GraphSpec pins
+    * agreement with GraphX's TriangleCount on micro graphs. */
+  def triangleCount(pairs: DataFrame): DataFrame =
+    pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.y") === col("e2.x"))
+      .join(pairs.as("e3"),
+        col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .agg(count(lit(1)).as("n_triangles"))
+
   /** Undirected total degree per vertex. Ref data_processor.py:83-93. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

@@ -196,6 +196,35 @@ class ApiSpec extends SparkSpec {
     assert(out.filter(_._2 == 1).head._1 == 2.0)
   }
 
+  test("events: as-of join takes the latest right value at-or-before") {
+    val clicks = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 100L, "c"))
+      .toDF("uid", "t_us", "tag")
+    val prices = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (3L, 50L, 99.0))
+      .toDF("uid", "t_us", "price")
+    val got = Graft.events.asofJoin(clicks, prices, "uid", "t_us", "price")
+      .select("tag", "asof_value")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a").contains(10.0), "right row at the SAME ts must be visible")
+    assert(got("b").contains(20.0), "latest prior right value wins")
+    assert(got("c").isEmpty, "no prior right row -> null")
+  }
+
+  test("events: funnel converts only within the window, A-at-same-ts counts") {
+    val ev = Seq(
+      (1L, 100L, "view"), (1L, 150L, "buy"),     // within 100 -> converted
+      (1L, 500L, "buy"),                          // 350 after the view -> not
+      (2L, 100L, "buy"),                          // no view at all -> not
+      (3L, 100L, "view"), (3L, 100L, "buy")       // same-ts A visible to B
+    ).toDF("uid", "t_us", "etype")
+    val got = Graft.events.funnel(ev, col("uid"), col("t_us"), col("etype"),
+        stepA = "view", stepB = "buy", windowUs = 100L)
+      .select("uid", "t_us", "converted")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 150L)) == 1 && got((1L, 500L)) == 0)
+    assert(got((2L, 100L)) == 0)
+    assert(got((3L, 100L)) == 1)
+  }
+
   test("events: gap sessionization splits exactly at gap violations") {
     val gap = 100L
     val ev = Seq((1L, 0L), (1L, 50L), (1L, 151L), (1L, 200L), (2L, 0L))

@@ -22,6 +22,23 @@ class GraphSpec extends SparkSpec {
     fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
   }
 
+  test("triangleCount: hand-golden + agreement with GraphX TriangleCount") {
+    // Canonical x<y edges: triangle 1-2-3, pendant 3-4, island 5-6, plus
+    // a second triangle 2-3-4 sharing edge (2,3).
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (5L, 6L))
+      .toDF("x", "y")
+    val n = DFGraphAlgs.triangleCount(pairs).head().getLong(0)
+    assert(n == 2L, s"expected triangles {1,2,3} and {2,3,4}, got $n")
+    // GraphX twin: triangleCount() counts per vertex; each triangle is
+    // seen by its 3 vertices.
+    val sym = pairs.select($"x".as("src"), $"y".as("dst"), lit(1.0).as("w"))
+    val g = GraphAlgs.fromEdgeDF(
+      sym.union(sym.select($"dst".as("src"), $"src".as("dst"), $"w")))
+    val gx = g.partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.map(_._2.toLong).sum() / 3
+    assert(gx.toLong == n, s"GraphX twin disagrees: $gx vs $n")
+  }
+
   test("BSP rounds run through RELIABLE checkpoint when opted in") {
     // Cluster-lifetime knob: with spark.graft.reliableCheckpoint=true and
     // a checkpoint dir set, mat() writes through checkpoint() (survives
