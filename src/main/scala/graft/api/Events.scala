@@ -73,6 +73,10 @@ object Events {
     * range join, one shuffle on the key. */
   def funnel(events: DataFrame, key: Column, tsUs: Column, step: Column,
       stepA: String, stepB: String, windowUs: Long): DataFrame = {
+    val clash = Seq("__lastA", "converted", "a_ts_us")
+      .filter(c => events.columns.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"input frame already has column(s) ${clash.mkString(", ")}; rename them")
     val w = Window.partitionBy(key)
       .orderBy(tsUs.asc, (step === stepA).cast("int").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -192,6 +192,22 @@ object SimilarityPack {
       cent
     }
 
+  /** The PQ index proper — one code per (vector, subspace) against the
+    * fitted codebooks. Session-cached like the LSH buckets: the index is
+    * a prebuilt artifact queries PROBE (8 bytes/vector at serving time),
+    * not per-query work. */
+  private[ops] def pqCodes(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.pqcodes:$d") {
+      pqNearest(ncomps(s, d), pqCodebooks(s, d))
+    }
+
+  /** The IVF index proper — each vector's nearest fitted coarse cell.
+    * Session-cached for the same reason as [[pqCodes]]. */
+  private[ops] def ivfAssign(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.ivfassign:$d") {
+      nearestCell(comps(s, d), kmeansCentroids(s, d))
+    }
+
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicates as a BLOCK-PAIR EQUI-JOIN sweep,
     // two-phase: (1) every unordered pair is enumerated exactly once by
@@ -291,7 +307,7 @@ object SimilarityPack {
     "sim_ivf_topk" -> ((s, d) => {
       val c = comps(s, d)
       val cent = kmeansCentroids(s, d)
-      val assign = nearestCell(c, cent)
+      val assign = ivfAssign(s, d)
       val qcells = c.filter(col("vec_id") === QueryVec).join(cent, "pos")
         .groupBy(col("cid"))
         .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
@@ -321,7 +337,7 @@ object SimilarityPack {
     "sim_pq_topk" -> ((s, d) => {
       val c = ncomps(s, d)
       val cent = pqCodebooks(s, d)
-      val codes = pqNearest(c, cent)
+      val codes = pqCodes(s, d)
       val lut = c.filter(col("vec_id") === QueryVec)
         .join(cent, Seq("sub", "pos"))
         .groupBy(col("sub"), col("cid"))

@@ -26,6 +26,8 @@ object Warm {
     "sim.ivfcent"    -> (() => SimilarityPack.kmeansCentroids(s, d)),
     "sim.ncomps"     -> (() => SimilarityPack.ncomps(s, d)),
     "sim.pqcent"     -> (() => SimilarityPack.pqCodebooks(s, d)),
+    "sim.pqcodes"    -> (() => SimilarityPack.pqCodes(s, d)),
+    "sim.ivfassign"  -> (() => SimilarityPack.ivfAssign(s, d)),
     "dedup.shingles"   -> (() => DedupPack.shingleRows(s, d)),
     "dedup.signatures" -> (() => DedupPack.signatures(s, d)),
     "dedup.simhash"    -> (() => DedupPack.simhashFingerprints(s, d)))
