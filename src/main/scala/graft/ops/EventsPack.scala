@@ -25,6 +25,9 @@ object EventsPack {
   val GapUs: Long = 30L * 60 * 1000000
   /** Funnel conversion window: 30 minutes (micros). */
   val FunnelUs: Long = 30L * 60 * 1000000
+  /** Range-join interval: 6 hours (micros) — shared by the batch banded
+    * form and the stream-stream interval join. */
+  val RangeJoinUs: Long = 6L * 3600 * 1000000
 
   /** events with an integer-micros event-time column. */
   def withMicros(s: SparkSession, d: String): DataFrame =
@@ -95,6 +98,35 @@ object EventsPack {
         .orderBy(col("user_id"))
     }),
 
+    // BATCH temporal range join, BANDED: purchases within 6 h after each
+    // click of the same user. The naive `pus BETWEEN cus AND cus+I`
+    // inequality join is a nested-loop product; here each click is
+    // exploded into its two interval-width time buckets (a match at
+    // distance ≤ I lies in bucket(cus) or bucket(cus)+1 — pigeonhole),
+    // candidates come from the (user, bucket) EQUI-join, and the exact
+    // range predicate decides. Candidate volume is bounded by per-bucket
+    // co-activity, never |clicks|×|purchases|; a pair can match only one
+    // of the two exploded bucket rows, so no dedup pass is needed.
+    // Same answer as the watermarked stream-stream form
+    // (stream_interval_join) — both share the DuckDB range-join oracle.
+    "events_range_join" -> ((s, d) => {
+      val I = RangeJoinUs
+      val e = withMicros(s, d)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cus"))
+        .withColumn("pb", explode(array(
+          expr(s"cus div $I"), expr(s"cus div $I") + 1)))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("pus"), col("value"))
+        .withColumn("pb", expr(s"pus div $I"))
+      c.join(p, Seq("user_id", "pb"))
+        .filter(col("pus") >= col("cus") && col("pus") <= col("cus") + I)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          OpsUtil.dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -155,6 +187,18 @@ object EventsPack {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         |ORDER BY l.event_id LIMIT 2000""".stripMargin,
+
+    // The band-join must equal the plain range join exactly.
+    "events_range_join" ->
+      s"""WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS cus FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS pus, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT c.user_id, COUNT(*) AS n_pairs,
+         |  ${OpsUtil.dsumSql("value")} AS total_value
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.pus >= c.cus AND p.pus <= c.cus + $RangeJoinUs
+         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "events_funnel" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type

@@ -61,7 +61,7 @@ object StreamingPack {
       val name = s"graft_stream_ij_${counter.incrementAndGet()}"
       val joined = StreamOps.runToMemoryAppend(s,
         StreamOps.intervalJoin(StreamOps.eventsStream(s, d),
-          StreamOps.eventsStream(s, d), intervalUs = 6L * 3600 * 1000000), name)
+          StreamOps.eventsStream(s, d), intervalUs = EventsPack.RangeJoinUs), name)
       joined.groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           OpsUtil.dsum(col("value")).as("total_value"))
@@ -108,7 +108,7 @@ object StreamingPack {
          |SELECT c.user_id, COUNT(*) AS n_pairs,
          |  ${OpsUtil.dsumSql("value")} AS total_value
          |FROM c JOIN p ON c.user_id = p.user_id
-         |  AND p.pus >= c.cus AND p.pus <= c.cus + ${6L * 3600 * 1000000}
+         |  AND p.pus >= c.cus AND p.pus <= c.cus + ${EventsPack.RangeJoinUs}
          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "stream_join_enrich" ->

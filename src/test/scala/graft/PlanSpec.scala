@@ -98,6 +98,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("banded range join is an equi-join on (user, bucket), not a nested loop") {
+    val p = planOf(graft.ops.EventsPack.queries("events_range_join")(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "temporal range join must come from time-bucket equality, not ts inequalities")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partitioned fact scan is pruned DYNAMICALLY by the dimension filter") {
     val p = planOf(graft.ops.SourcesPack.queries("src_partitioned_dpp")(spark, sf()))
     assert(p.toLowerCase.contains("dynamicpruning"),
