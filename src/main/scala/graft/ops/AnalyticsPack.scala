@@ -30,6 +30,8 @@ object AnalyticsPack {
     // (ref notebook cell 87: value_counts → pdf → 1 - cumsum.shift(1)).
     "ana_degree_ccdf" -> ((s, d) => {
       val dist = degrees(s, d).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      // Unpartitioned window over the DISTRIBUTION (one row per distinct
+      // degree — thousands at any corpus scale), never over the raw rows.
       val w = Window.orderBy(col("k"))
         .rowsBetween(Window.unboundedPreceding, -1)
       dist

@@ -52,7 +52,7 @@ object MLPack {
   private def pairSample(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select(col("c_custkey").as("id"))
     val deltas = s.range(1, 6).select(col("id").as("delta"))
-    c.crossJoin(deltas)
+    c.crossJoin(broadcast(deltas))   // constant 5-row fanout side
       .select(col("id").as("c1"), (col("id") + col("delta")).as("c2"))
       .join(c.select(col("id").as("c2")), "c2")
       .select(col("c1"), col("c2"))

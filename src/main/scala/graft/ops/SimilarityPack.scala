@@ -311,6 +311,8 @@ object SimilarityPack {
       val qcells = c.filter(col("vec_id") === QueryVec).join(cent, "pos")
         .groupBy(col("cid"))
         .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+        // unpartitioned window over the CENTROID set (k = 8 rows), never
+        // over data-scale rows
         .withColumn("rn", row_number().over(
           Window.orderBy(col("d2").asc, col("cid").asc)))
         .filter(col("rn") <= NProbe).select(col("cid"))
