@@ -162,6 +162,23 @@ object AnalyticsPack {
         round(expr("percentile(o_totalprice, 0.95)"), 6).as("q95"))
     }),
 
+    // Per-GROUP exact interpolated quantiles — the distribution summary
+    // of ana_quantiles broken down by category (per-segment corpus
+    // stats). One hash aggregation keyed on the group; at 100 TB the
+    // same plan swaps `percentile` for the mergeable t-digest
+    // (percentile_approx) with no shape change — group count, not row
+    // count, bounds the reduce side.
+    "ana_group_quantiles" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("q25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("q95"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Deterministic stratified sampling — the class-rebalancing step of a
     // training-data pipeline: per-stratum keep-rates applied by an
     // integer-mix hash of the row key (no RNG, reproducible across runs
@@ -254,6 +271,13 @@ object AnalyticsPack {
         |  round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
         |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
         |FROM orders""".stripMargin,
+
+    "ana_group_quantiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "ana_stratified_sample" ->
       """WITH t AS (SELECT o_orderpriority,

@@ -289,6 +289,24 @@ object SimilarityPack {
         .limit(10)
     }),
 
+    // Per-class embedding centroid — the class-prototype operator an
+    // embedding pipeline needs everywhere (cluster summaries, centroid
+    // classifiers, drift monitors, IVF seeding). Long (label, pos)
+    // output: one posexplode then ONE hash aggregation whose map-side
+    // partial combine reduces every partition to |labels|·Dim rows
+    // before the shuffle — reduce side is bounded by classes × dims,
+    // never by corpus size. Exact decimal accumulation (order-
+    // independent), so the mean hash-matches DuckDB bitwise.
+    "sim_centroid_by_group" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), col("v").cast("double").as("v"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(psum(col("v")) / count(lit(1)), 6).as("centroid_v"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // Hyperplane-LSH bucket stats: bucket population histogram — shows
     // the candidate-set reduction the LSH path buys at scale.
     "sim_lsh_buckets" -> ((s, d) => {
@@ -440,6 +458,13 @@ object SimilarityPack {
       |  FROM dot d JOIN nrm a ON a.vec_id = d.i JOIN nrm b ON b.vec_id = d.j)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_centroid_by_group" ->
+      s"""WITH lcomps AS (SELECT label, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))
+         |SELECT label, pos, COUNT(*) AS n_vecs,
+         |  round(CAST(SUM(CAST(v AS $PsumCast)) AS DOUBLE) / COUNT(*), 6) AS centroid_v
+         |FROM lcomps GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
     "sim_cosine_neardup" ->
       s"""WITH $compsSql, $normsSql,
          |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
