@@ -28,6 +28,8 @@ object EventsPack {
   /** Range-join interval: 6 hours (micros) — shared by the batch banded
     * form and the stream-stream interval join. */
   val RangeJoinUs: Long = 6L * 3600 * 1000000
+  /** Retention-cohort bucket: one week (micros), epoch-aligned. */
+  val WeekUs: Long = 7L * 24 * 3600 * 1000000
 
   /** events with an integer-micros event-time column. */
   def withMicros(s: SparkSession, d: String): DataFrame =
@@ -127,6 +129,60 @@ object EventsPack {
         .orderBy(col("user_id"))
     }),
 
+    // SCD Type-2 from a change log: collapse each user's consecutive
+    // runs of the same event_type into validity intervals
+    // (valid_from, valid_to, is_current) — the islands pattern that
+    // turns an append-only log into a temporally-versioned dimension
+    // (the warehouse MERGE's batch equivalent). Two per-user windows
+    // (lag → change flag → cumulative run id) and one aggregation; all
+    // windows partition by user_id, so the work distributes with the
+    // user key and no global sort exists. Ordering is total (ts, then
+    // event_id) so run boundaries are deterministic on both engines.
+    "events_scd2_ranges" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val runs = withMicros(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run"), col("event_type"))
+        .agg(min(col("ts_us")).as("valid_from"), count(lit(1)).as("n_events"))
+      // run is the tie-break: adjacent runs can share valid_from when
+      // duplicate timestamps straddle a boundary (ts ties broken by
+      // event_id in the run window), and run order IS event order.
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("run"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .withColumn("is_current", col("valid_to").isNull.cast("int"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"), col("run"))
+        .orderBy(col("user_id"), col("run"))
+        .drop("run")
+        .limit(5000)
+    }),
+
+    // Cohort retention: users bucketed by first-seen week, activity
+    // counted per week offset — the engagement matrix every activity
+    // log gets asked for. Distinct (user, week) one pass, per-user min
+    // for the cohort, then one equi-join back on user_id: all three
+    // stages share the user-key partitioning, so at corpus scale only
+    // the first distinct shuffles the log.
+    "events_retention_cohorts" -> ((s, d) => {
+      val uw = withMicros(s, d)
+        .select(col("user_id"), expr(s"ts_us div $WeekUs").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -173,6 +229,41 @@ object EventsPack {
     "events_top_users" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 25""".stripMargin,
+
+    "events_scd2_ranges" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    event_type FROM events),
+        |l AS (SELECT user_id, event_id, ts_us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |b AS (SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM l),
+        |r AS (SELECT user_id, ts_us, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b),
+        |runs AS (SELECT user_id, run, event_type,
+        |    MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run, event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
+        |    AS valid_to,
+        |  n_events,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
+        |    IS NULL AS INT) AS is_current
+        |FROM runs ORDER BY user_id, run LIMIT 5000""".stripMargin,
+
+    "events_retention_cohorts" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // $WeekUs AS wk
+         |  FROM events),
+         |c AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id)
+         |SELECT c.cw AS cohort_week, uw.wk - c.cw AS week_offset,
+         |  COUNT(DISTINCT uw.user_id) AS n_active
+         |FROM uw JOIN c ON uw.user_id = c.user_id
+         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     // Independent formulation: DuckDB's native ASOF join vs the Spark
     // union+window re-expression — the hash match proves the last-value
