@@ -26,6 +26,10 @@ object DedupPack {
 
   private val NumHashes = 16
   private val BandSize  = 4   // 4 bands × 4 rows
+  /** Min-label rounds for near-dup clustering — exact for cluster
+    * diameters ≤ 4 (near-dup chains are short; the oracle unrolls the
+    * same fixed-round recurrence, so the compare holds regardless). */
+  private val ClusterIters = 4
 
   /** (doc_id, shingle) distinct word-3-gram rows (session-cached: the
     * LSH, signature, and Jaccard queries all start here). */
@@ -158,6 +162,30 @@ object DedupPack {
         .orderBy(col("new_doc"), col("dup_of"))
     }),
 
+    // Near-dup CLUSTERS → canonical representative — the step that makes
+    // dedup actionable: verified LSH pairs (exact Jaccard ≥ 0.8 on
+    // band-join candidates only) become an undirected graph, fixed-round
+    // min-label propagation (same BSP discipline as graph_components;
+    // near-dup cluster diameters are tiny, ClusterIters rounds is
+    // generous) labels every clustered doc with its cluster's minimum
+    // doc_id — the doc a keep-one pass retains. Singleton docs never
+    // enter the loop: state is bounded by docs-with-a-duplicate, a few
+    // percent of any real corpus. The oracle unrolls the identical
+    // recurrence.
+    "dedup_cluster_canonical" -> ((s, d) => {
+      val cand = graft.api.Dedup.lshCandidates(
+        graft.api.Dedup.lshBands(signatures(s, d), BandSize))
+      val pairs = graft.api.Dedup.jaccardOf(shingleRows(s, d), cand)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("i"), col("j"))
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      graft.graph.DFGraphAlgs.connectedComponents(edges, ClusterIters)
+        .groupBy(col("comp").as("canonical_doc"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .orderBy(col("canonical_doc"))
+    }),
+
     // SimHash: 32-bit fingerprint from distinct-token hashes; near-dup =
     // pairs within Hamming distance 6. Bit j of the fingerprint is the
     // sign of Σ_tokens (±1 by bit j of the token hash).
@@ -247,6 +275,40 @@ object DedupPack {
          |JOIN sz sy ON sy.doc_id = iv.j
          |WHERE iv.c * 1.0 / (sx.n + sy.n - iv.c) >= 0.8
          |ORDER BY new_doc, dup_of""".stripMargin,
+
+    "dedup_cluster_canonical" -> {
+      val rounds = (1 to ClusterIters).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT n.id, least(n.comp, r.m) AS comp
+           |  FROM c${k - 1} n LEFT JOIN (
+           |    SELECT e.dst AS id, MIN(p.comp) AS m
+           |    FROM cedges e JOIN c${k - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) r ON r.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $signaturesSql,
+         |bands AS (SELECT doc_id, CAST(j // $BandSize AS INT) AS band,
+         |    SUM((j % $BandSize + 1) * mh) AS bucket
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.i, c.j, COUNT(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.i
+         |  JOIN sh y ON y.doc_id = c.j AND x.sh = y.sh
+         |  GROUP BY c.i, c.j),
+         |dpairs AS (SELECT iv.i, iv.j FROM inter iv
+         |  JOIN sz sx ON sx.doc_id = iv.i
+         |  JOIN sz sy ON sy.doc_id = iv.j
+         |  WHERE iv.c * 1.0 / (sx.n + sy.n - iv.c) >= 0.8),
+         |cedges AS MATERIALIZED (SELECT i AS src, j AS dst FROM dpairs
+         |  UNION ALL SELECT j AS src, i AS dst FROM dpairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+         |c0 AS (SELECT id, id AS comp FROM cnodes),
+         |$rounds
+         |SELECT comp AS canonical_doc, COUNT(*) AS n_docs, MAX(id) AS max_doc
+         |FROM c$ClusterIters GROUP BY comp ORDER BY canonical_doc""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleRowsSql,
