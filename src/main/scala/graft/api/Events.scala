@@ -91,6 +91,37 @@ object Events {
       .drop("__lastA")
   }
 
+  /** SCD Type-2 from a change log: collapse each key's CONSECUTIVE runs
+    * of the same `state` value (ordered by `tsUs`, ties broken by `ord`
+    * — pass a unique column or run boundaries are nondeterministic) into
+    * validity intervals. Returns one row per run: (key, state,
+    * valid_from, valid_to, n_events, is_current, run) where valid_to is
+    * the NEXT run's start (null on the current run) and run is the
+    * per-key 1-based run sequence. All windows partition by the key —
+    * nothing global. */
+  def scd2Ranges(events: DataFrame, key: Column, tsUs: Column, ord: Column,
+      state: Column): DataFrame = {
+    val clash = Seq("__chg", "run", "valid_from", "valid_to", "is_current", "n_events")
+      .filter(c => events.columns.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"input frame already has column(s) ${clash.mkString(", ")}; rename them")
+    val w = Window.partitionBy(key).orderBy(tsUs, ord)
+    val runs = events
+      .withColumn("__chg",
+        when(lag(state, 1).over(w).isNull || lag(state, 1).over(w) =!= state, 1)
+          .otherwise(0))
+      .withColumn("run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(key.as("key"), col("run"), state.as("state"))
+      .agg(min(tsUs).as("valid_from"), count(lit(1)).as("n_events"))
+    // run is the tie-break: adjacent runs share valid_from when duplicate
+    // timestamps straddle a boundary, and run order IS event order.
+    val w2 = Window.partitionBy(col("key")).orderBy(col("valid_from"), col("run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** Gap-based sessionization (the SQL islands form): a session breaks
     * when the gap to the user's previous event exceeds `gapUs`. Returns
     * one row per (user, session) with n_events and exact duration. */

@@ -263,6 +263,32 @@ object DFGraphAlgs {
         col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Local clustering coefficient per vertex over a CANONICAL undirected
+    * edge list (x < y): lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for
+    * deg ≥ 2. Triangles come from [[triangleCount]]'s two-join chain —
+    * each canonical triangle credits its three corners via one explode,
+    * so the whole operator is equi-joins + hash aggregates (no per-corner
+    * re-join, no all-pairs product). Returns (v, deg, n_tri, lcc). */
+  def localClusteringCoeff(pairs: DataFrame): DataFrame = {
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.y") === col("e2.x"))
+      .join(pairs.as("e3"),
+        col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    val perV = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    val deg = pairs.select(col("x").as("v"))
+      .union(pairs.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(perV, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 6).as("lcc"))
+  }
+
   /** Undirected total degree per vertex. Ref data_processor.py:83-93. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))

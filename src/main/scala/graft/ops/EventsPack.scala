@@ -139,28 +139,14 @@ object EventsPack {
     // user key and no global sort exists. Ordering is total (ts, then
     // event_id) so run boundaries are deterministic on both engines.
     "events_scd2_ranges" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      val runs = withMicros(s, d)
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
-            .otherwise(0))
-        .withColumn("run", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("run"), col("event_type"))
-        .agg(min(col("ts_us")).as("valid_from"), count(lit(1)).as("n_events"))
-      // run is the tie-break: adjacent runs can share valid_from when
-      // duplicate timestamps straddle a boundary (ts ties broken by
-      // event_id in the run window), and run order IS event order.
-      val w2 = Window.partitionBy(col("user_id"))
-        .orderBy(col("valid_from"), col("run"))
-      runs
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
-        .withColumn("is_current", col("valid_to").isNull.cast("int"))
-        .select(col("user_id"), col("event_type"), col("valid_from"),
-          col("valid_to"), col("n_events"), col("is_current"), col("run"))
+      graft.api.Events.scd2Ranges(
+          withMicros(s, d)
+            .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type")),
+          key = col("user_id"), tsUs = col("ts_us"), ord = col("event_id"),
+          state = col("event_type"))
+        .select(col("key").as("user_id"), col("state").as("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          col("is_current"), col("run"))
         .orderBy(col("user_id"), col("run"))
         .drop("run")
         .limit(5000)

@@ -225,6 +225,45 @@ class ApiSpec extends SparkSpec {
     assert(got((3L, 100L)) == 1)
   }
 
+  test("events: scd2Ranges collapses runs into chained validity intervals") {
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"),   // run 1: A from 10
+      (1L, 30L, 3L, "B"),                        // run 2: B from 30
+      (1L, 30L, 4L, "A"),                        // run 3: A from 30 (dup-ts
+      (2L, 5L, 5L, "X")                          //   boundary, eid order)
+    ).toDF("uid", "t_us", "eid", "st")
+    val got = Graft.events.scd2Ranges(ev, col("uid"), col("t_us"),
+        col("eid"), col("st"))
+      .select("key", "run", "state", "valid_from", "valid_to", "n_events", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), Option(r.get(4)), r.getLong(5), r.getInt(6))))
+      .toMap
+    assert(got((1L, 1L)) == (("A", 10L, Some(30L), 2L, 0)),
+      "consecutive As collapse; valid_to = next run's start")
+    assert(got((1L, 2L)) == (("B", 30L, Some(30L), 1L, 0)),
+      "dup-ts boundary: B's interval closes at the same timestamp")
+    assert(got((1L, 3L)) == (("A", 30L, None, 1L, 1)), "last run is current")
+    assert(got((2L, 1L)) == (("X", 5L, None, 1L, 1)))
+  }
+
+  test("dedup: near-dup pairs cluster to their minimum doc id") {
+    // The keep-one composition: verified LSH pairs -> symmetric edges ->
+    // fixed-round min-label components. Docs 1 and 2 are exact dups, so
+    // they must land in one cluster whose canonical id is 1; every
+    // cluster label must equal the min of its members by construction.
+    val pairs = Graft.dedup.lshNearDupPairs(corpus, "doc_id", "text", 0.8)
+      .select(col("i"), col("j"))
+    val edges = pairs.select($"i".as("src"), $"j".as("dst"))
+      .union(pairs.select($"j".as("src"), $"i".as("dst")))
+    val comp = graft.graph.DFGraphAlgs.connectedComponents(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L, s"1 and 2 must cluster under 1: $comp")
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min,
+        s"cluster $label must be labeled by its min member: $members")
+    }
+  }
+
   test("events: gap sessionization splits exactly at gap violations") {
     val gap = 100L
     val ev = Seq((1L, 0L), (1L, 50L), (1L, 151L), (1L, 200L), (2L, 0L))

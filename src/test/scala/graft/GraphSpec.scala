@@ -39,6 +39,21 @@ class GraphSpec extends SparkSpec {
     assert(gx.toLong == n, s"GraphX twin disagrees: $gx vs $n")
   }
 
+  test("localClusteringCoeff: hand-golden on the two-triangle micro graph") {
+    // Same canonical pairs as the triangle golden: triangles {1,2,3} and
+    // {2,3,4} share edge (2,3); 5-6 is an isolated edge (deg 1 — excluded).
+    // deg: 1→2, 2→3, 3→3, 4→2; tri: 1→1, 2→2, 3→2, 4→1.
+    // lcc: 1→1.0, 2→2·2/(3·2)=0.666667, 3→0.666667, 4→1.0.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (5L, 6L))
+      .toDF("x", "y")
+    val got = DFGraphAlgs.localClusteringCoeff(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((3L, 2L, 0.666667)),
+      3L -> ((3L, 2L, 0.666667)), 4L -> ((2L, 1L, 1.0))), s"got $got")
+  }
+
   test("BSP rounds run through RELIABLE checkpoint when opted in") {
     // Cluster-lifetime knob: with spark.graft.reliableCheckpoint=true and
     // a checkpoint dir set, mat() writes through checkpoint() (survives
