@@ -19,6 +19,7 @@ object Warm {
     "graph.edges"    -> (() => GraphPack.edges(s, d)),
     "graph.wedges"   -> (() => GraphPack.weightedEdges(s, d)),
     "graph.bfs"      -> (() => GraphPack.bfsDists(s, d)),
+    "graph.tripairs" -> (() => GraphPack.triPairs(s, d)),
     "graph.ssspPred" -> (() => GraphPack.ssspState(s, d)),
     "ml.edges"       -> (() => MLPack.edges(s, d)),
     "sim.comps"      -> (() => SimilarityPack.comps(s, d)),
