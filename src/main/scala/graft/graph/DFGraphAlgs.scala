@@ -263,6 +263,28 @@ object DFGraphAlgs {
         col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Fixed-round k-core peel over a SYMMETRIC edge list (src, dst): each
+    * round drops every vertex of degree < k and its incident edges.
+    * After `iters` rounds the survivors are the exact k-core when a round
+    * reaches a fixed point (peeling cascades at most `iters` deep
+    * otherwise — same fixed-round semantics as the BFS family; the
+    * oracle unrolls the identical recurrence). Returns the surviving
+    * symmetric edges. Each round is one hash aggregation + two semi
+    * joins on the vertex key — shuffle-bounded by the shrinking edge
+    * list, nothing global. */
+  def kcore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    var e = mat(edges.select(col("src"), col("dst")))
+    for (_ <- 1 to iters) {
+      // Undirected degree = out-degree on the symmetric list.
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("src").as("v"))
+      e = mat(e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+    }
+    e
+  }
+
   /** Local clustering coefficient per vertex over a CANONICAL undirected
     * edge list (x < y): lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for
     * deg ≥ 2. Triangles come from [[triangleCount]]'s two-join chain —

@@ -367,6 +367,54 @@ object MLPack {
     // co-purchase graph, so degree heterogeneity is the only learnable
     // structure — this pipeline reaches ~0.62 AUC / ~0.40 AP at sf0.1,
     // well above the 0.5 chance bar the spec enforces, and the feature/
+    // M4 with an ORACLE: exact ROC-AUC of the deterministic Adamic-Adar
+    // scorer under the same leak-free half-split as ml_train_eval
+    // (features from hash-half A, labels = co-purchase in half B). AUC
+    // is the tie-aware Mann-Whitney rank statistic computed from the
+    // SCORE DISTRIBUTION: group by score (map-side combined), cumulative
+    // count over the distinct-score frame (distribution-sized — same
+    // bounded-window pattern as ana_degree_ccdf), and the rank sum is
+    // kept in INTEGER arithmetic (doubled ranks) until the final
+    // division, so both engines agree bitwise — the eval metric the
+    // LBFGS query can't oracle-check, made checkable.
+    "ml_auc_exact" -> ((s, d) => {
+      val e = edges(s, d)
+      val parity = h28(concat_ws("_", col("c"), col("p"))) % 2
+      val eA = e.filter(parity === 0)
+      val eB = e.filter(parity === 1)
+      val pairs = pairSample(s, d)
+      val pos = pairs
+        .join(eB.select(col("c").as("c1"), col("p")), "c1")
+        .join(eB.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .select(col("c1"), col("c2")).distinct()
+        .withColumn("label", lit(1L))
+      val degA = eA.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+      val ewA = eA.join(degA, "p")
+      val aa = pairs
+        .join(ewA.select(col("c").as("c1"), col("p"), col("pdeg")), "c1")
+        .join(ewA.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(round(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)), 6).as("score"))
+      val scored = pairs
+        .join(aa, Seq("c1", "c2"), "left")
+        .join(pos, Seq("c1", "c2"), "left")
+        .select(coalesce(col("score"), lit(0.0)).as("score"),
+          coalesce(col("label"), lit(0L)).as("label"))
+      val grp = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("np"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grp.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+        // doubled tie-average rank: 2·rank_avg = 2·cum + n + 1 (integer)
+        .agg(sum(col("np")).as("npos"), sum(col("n")).as("ntot"),
+          sum(col("np") * (lit(2) * col("cum") + col("n") + 1)).as("rs2"))
+        .select(col("npos").as("n_pos"), (col("ntot") - col("npos")).as("n_neg"),
+          round((col("rs2") - col("npos") * (col("npos") + 1)).cast("double") /
+            (lit(2.0) * col("npos") * (col("ntot") - col("npos"))), 6).as("auc"))
+    }),
+
     // split/eval plumbing is exactly what the real-data run would use.
     // M4/M7 — the actual MLlib pipeline: features from one hash-half of
     // the graph predict co-purchase links observed in the other half;
@@ -448,6 +496,42 @@ object MLPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // Tie-aware Mann-Whitney AUC in integer rank arithmetic (doubled
+    // average ranks) — fp touches only the final division.
+    "ml_auc_exact" ->
+      s"""WITH $edgesSql, $pairSampleSql,
+         |ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),
+         |eb AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 1),
+         |pos AS (SELECT DISTINCT pr.c1, pr.c2 FROM pairs pr
+         |  JOIN eb e1 ON e1.c = pr.c1
+         |  JOIN eb e2 ON e2.c = pr.c2 AND e2.p = e1.p),
+         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM ea GROUP BY p),
+         |aa AS (SELECT pr.c1, pr.c2,
+         |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE), 6) AS score
+         |  FROM pairs pr
+         |  JOIN ea e1 ON e1.c = pr.c1
+         |  JOIN ea e2 ON e2.c = pr.c2 AND e2.p = e1.p
+         |  JOIN pdeg d ON d.p = e1.p
+         |  GROUP BY pr.c1, pr.c2),
+         |scored AS (SELECT COALESCE(aa.score, 0.0) AS score,
+         |    CASE WHEN pos.c1 IS NOT NULL THEN 1 ELSE 0 END AS label
+         |  FROM pairs pr
+         |  LEFT JOIN aa ON aa.c1 = pr.c1 AND aa.c2 = pr.c2
+         |  LEFT JOIN pos ON pos.c1 = pr.c1 AND pos.c2 = pr.c2),
+         |grp AS (SELECT score, COUNT(*) AS n, SUM(label) AS np
+         |  FROM scored GROUP BY score),
+         |rk AS (SELECT score, n, np,
+         |    COALESCE(SUM(n) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM grp),
+         |s AS (SELECT SUM(np) AS npos, SUM(n) AS ntot,
+         |    SUM(np * (2 * cum + n + 1)) AS rs2 FROM rk)
+         |SELECT CAST(npos AS BIGINT) AS n_pos,
+         |  CAST(ntot - npos AS BIGINT) AS n_neg,
+         |  round(CAST(rs2 - npos * (npos + 1) AS DOUBLE)
+         |    / (2.0 * npos * (ntot - npos)), 6) AS auc
+         |FROM s""".stripMargin,
+
     "ml_link_split" ->
       s"""WITH $edgesSql,
          |b AS (SELECT CASE

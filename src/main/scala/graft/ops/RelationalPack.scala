@@ -242,6 +242,37 @@ object RelationalPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Batch MERGE (upsert): a deterministic change batch — updates for
+    // every key ≡ 3 (mod 10), inserts keyed above the live range for
+    // every key ≡ 7 (mod 100) — merged into the customer dimension.
+    // ONE full-outer equi-join on the key decides matched/new/kept per
+    // row (the warehouse MERGE core); with both sides bucketed on the
+    // key the exchange disappears entirely (etl_bucketed_join shows
+    // that layout), otherwise it's a single key shuffle — never a scan
+    // per branch.
+    "etl_merge_upsert" -> ((s, d) => {
+      val tgt = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      val upd = tgt.filter(col("k") % 10 === 3)
+        .select(col("k"), col("name"), round(col("bal") + 100.0, 2).as("bal"))
+      val ins = tgt.filter(col("k") % 100 === 7)
+        .select((col("k") + 10000000L).as("k"),
+          concat(lit("NEW#"), col("k") + 10000000L).as("name"),
+          lit(0.0).as("bal"))
+      val src = upd.unionByName(ins)
+      tgt.select(col("k"), col("name").as("t_name"), col("bal").as("t_bal"))
+        .join(src.select(col("k"), col("name").as("s_name"), col("bal").as("s_bal")),
+          Seq("k"), "full_outer")
+        .select(col("k").as("c_custkey"),
+          coalesce(col("s_name"), col("t_name")).as("c_name"),
+          coalesce(col("s_bal"), col("t_bal")).as("c_acctbal"),
+          when(col("s_name").isNotNull && col("t_name").isNotNull, "update")
+            .when(col("t_name").isNull, "insert")
+            .otherwise("keep").as("action"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // P13 — composite string key synthesis (ref notebook cell 31).
     "etl_composite_key" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -255,6 +286,23 @@ object RelationalPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_merge_upsert" ->
+      """WITH tgt AS (SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+        |  FROM customer),
+        |src AS (
+        |  SELECT k, name, round(bal + 100.0, 2) AS bal FROM tgt WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k + 10000000, 'NEW#' || CAST(k + 10000000 AS VARCHAR), 0.0
+        |  FROM tgt WHERE k % 100 = 7)
+        |SELECT COALESCE(t.k, s.k) AS c_custkey,
+        |  COALESCE(s.name, t.name) AS c_name,
+        |  COALESCE(s.bal, t.bal) AS c_acctbal,
+        |  CASE WHEN s.name IS NOT NULL AND t.name IS NOT NULL THEN 'update'
+        |       WHEN t.name IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action
+        |FROM tgt t FULL OUTER JOIN src s ON s.k = t.k
+        |ORDER BY c_custkey""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -54,6 +54,21 @@ class GraphSpec extends SparkSpec {
       3L -> ((3L, 2L, 0.666667)), 4L -> ((2L, 1L, 1.0))), s"got $got")
   }
 
+  test("kcore: peel drops the pendant, keeps the triangle, cascades") {
+    // Triangle 1-2-3 with chain 3-4-5: round 1 drops 5 (deg 1), round 2
+    // drops 4 (deg fell to 1) — the cascade fixed-round peeling models.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    val sym = pairs.select($"x".as("src"), $"y".as("dst"))
+      .union(pairs.select($"y".as("src"), $"x".as("dst")))
+    val after1 = DFGraphAlgs.kcore(sym, 2, 1)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(after1 == Set(1L, 2L, 3L, 4L), s"round 1 must drop only 5: $after1")
+    val core = DFGraphAlgs.kcore(sym, 2, 2)
+      .select($"src").distinct().as[Long].collect().toSet
+    assert(core == Set(1L, 2L, 3L), s"round 2 must cascade 4 out: $core")
+  }
+
   test("BSP rounds run through RELIABLE checkpoint when opted in") {
     // Cluster-lifetime knob: with spark.graft.reliableCheckpoint=true and
     // a checkpoint dir set, mat() writes through checkpoint() (survives

@@ -120,4 +120,28 @@ class PlanSpec extends SparkSpec {
       "near-dup phase 1 must join on the block-pair key, not ia<ib")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("sim_centroid_by_group aggregates with a map-side partial combine") {
+    // The shuffle must carry |labels|·dim partial sums, not the exploded
+    // component rows: a partial_ aggregate before the exchange is what
+    // bounds the reduce side by class count at corpus scale.
+    val p = planOf(graft.ops.SimilarityPack.queries("sim_centroid_by_group")(spark, sf()))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "centroid aggregation lost its map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("clustering coefficient and merge-upsert plan equi-joins only") {
+    import spark.implicits._
+    // The operator proper (the query's input adds only the documented
+    // broadcast-scalar threshold join shared with graph_triangles).
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y")
+    val p1 = planOf(graft.graph.DFGraphAlgs.localClusteringCoeff(pairs))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      "triangle corner-credit must stay equi-join work")
+    val p2 = planOf(RelationalPack.queries("etl_merge_upsert")(spark, sf()))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "MERGE must be one full-outer equi-join on the key")
+    assert(p2.contains("FullOuter"), "merge-upsert must plan a full-outer join")
+  }
 }
