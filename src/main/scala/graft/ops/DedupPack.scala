@@ -162,6 +162,33 @@ object DedupPack {
         .orderBy(col("new_doc"), col("dup_of"))
     }),
 
+    // Containment near-dup — the SUBSET-duplicate detector Jaccard
+    // misses: a short doc fully embedded in a longer one has
+    // |A∩B|/min(|A|,|B|) ≈ 1 while Jaccard = |A∩B|/|A∪B| stays low.
+    // Candidates still come from the LSH band join only (never
+    // all-pairs); both scores are reported for every candidate with
+    // containment ≥ 0.9 so the gap is visible.
+    "dedup_containment" -> ((s, d) => {
+      val cand = graft.api.Dedup.lshCandidates(
+        graft.api.Dedup.lshBands(signatures(s, d), BandSize))
+      val ds = shingleRows(s, d)
+      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(ds.as("x"), col("i") === col("x.doc_id"))
+        .join(ds.as("y"), col("j") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      inter
+        .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .select(col("i"), col("j"),
+          round(col("c") / least(col("ni"), col("nj")).cast("double"), 6)
+            .as("containment"),
+          round(col("c") / (col("ni") + col("nj") - col("c")).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Near-dup CLUSTERS → canonical representative — the step that makes
     // dedup actionable: verified LSH pairs (exact Jaccard ≥ 0.8 on
     // band-join candidates only) become an undirected graph, fixed-round
@@ -275,6 +302,29 @@ object DedupPack {
          |JOIN sz sy ON sy.doc_id = iv.j
          |WHERE iv.c * 1.0 / (sx.n + sy.n - iv.c) >= 0.8
          |ORDER BY new_doc, dup_of""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $signaturesSql,
+         |bands AS (SELECT doc_id, CAST(j // $BandSize AS INT) AS band,
+         |    SUM((j % $BandSize + 1) * mh) AS bucket
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.i, c.j, COUNT(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.i
+         |  JOIN sh y ON y.doc_id = c.j AND x.sh = y.sh
+         |  GROUP BY c.i, c.j)
+         |SELECT iv.i, iv.j,
+         |  round(iv.c / CAST(least(sx.n, sy.n) AS DOUBLE), 6) AS containment,
+         |  round(iv.c * 1.0 / (sx.n + sy.n - iv.c), 6) AS jaccard
+         |FROM inter iv
+         |JOIN sz sx ON sx.doc_id = iv.i
+         |JOIN sz sy ON sy.doc_id = iv.j
+         |WHERE round(iv.c / CAST(least(sx.n, sy.n) AS DOUBLE), 6) >= 0.9
+         |ORDER BY iv.i, iv.j""".stripMargin,
 
     "dedup_cluster_canonical" -> {
       val rounds = (1 to ClusterIters).map { k =>

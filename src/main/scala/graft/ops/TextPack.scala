@@ -148,6 +148,40 @@ object TextPack {
         .limit(20)
     }),
 
+    // Bigram language-model quality score — the statistical-LM corpus
+    // filter (low average bigram log-likelihood ⇒ disfluent/garbled
+    // text): the corpus's own add-1-smoothed bigram model scores every
+    // document, bottom-20 reported. Bigrams come from one lead() window
+    // per doc (a single doc-key shuffle); model counts are two hash
+    // aggregations over the bigram stream; per-doc scores sum through
+    // exact decimals (order-independent) — the same one-corpus-pass
+    // discipline as the rest of the pack.
+    "text_bigram_lm_score" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      val big = tok
+        .withColumn("w2", lead(col("term"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("term").as("w1"), col("w2"))
+      val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      val vocab = tok.agg(countDistinct(col("term")).as("v"))
+      big
+        .join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((col("n2") + 1) / (col("n1") + col("v"))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp").cast("decimal(28,15)")).cast("double") /
+            count(lit(1)), 6).as("lm_score"))
+        .orderBy(col("lm_score").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // Fingerprint-based exact-ordered-dup audit (groups sharing a
     // fingerprint), the scalable "same content, same order" check.
     "text_fingerprint_dups" -> ((s, d) => {
@@ -161,6 +195,30 @@ object TextPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // Parallel unnest aligns (term, pos); lead() mirrors the Spark window.
+    "text_bigram_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |big AS MATERIALIZED (SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, term AS w1,
+        |      lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok)
+        |  WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM tok)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(ln((c2.n2 + 1) / CAST(c1.n1 + v.v AS DOUBLE))
+        |      AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+        |FROM big b
+        |JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |JOIN c1 ON c1.w1 = b.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id
+        |ORDER BY lm_score ASC, doc_id ASC LIMIT 20""".stripMargin,
+
     "text_token_stats" ->
       s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -54,6 +54,21 @@ class GraphSpec extends SparkSpec {
       3L -> ((3L, 2L, 0.666667)), 4L -> ((2L, 1L, 1.0))), s"got $got")
   }
 
+  test("localClusteringCoeff per-vertex triangles agree with GraphX") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (5L, 6L))
+      .toDF("x", "y")
+    val ours = DFGraphAlgs.localClusteringCoeff(pairs)
+      .select($"v", $"n_tri").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = pairs.select($"x".as("src"), $"y".as("dst"), lit(1.0).as("w"))
+    val g = GraphAlgs.fromEdgeDF(
+      sym.union(sym.select($"dst".as("src"), $"src".as("dst"), $"w")))
+    val gx = g.partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.collect().toMap
+    ours.foreach { case (v, n) =>
+      assert(gx(v).toLong == n, s"vertex $v: GraphX ${gx(v)} vs ours $n")
+    }
+  }
+
   test("kcore: peel drops the pendant, keeps the triangle, cascades") {
     // Triangle 1-2-3 with chain 3-4-5: round 1 drops 5 (deg 1), round 2
     // drops 4 (deg fell to 1) — the cascade fixed-round peeling models.
