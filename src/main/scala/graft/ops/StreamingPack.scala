@@ -82,6 +82,19 @@ object StreamingPack {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming SCD2: closed validity intervals emitted live (one open
+    // run of state per user; append-mode discipline — a row leaves the
+    // operator only when it can never change). Must equal the batch
+    // islands form's closed intervals.
+    "stream_scd2" -> ((s, d) => {
+      val name = s"graft_stream_scd2_${counter.incrementAndGet()}"
+      val res = StreamOps.runToMemoryAppend(s,
+        StreamOps.scd2Stateful(StreamOps.eventsStream(s, d)), name)
+      res.select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"))
+        .orderBy(col("user_id"), col("valid_from"), col("valid_to"), col("event_type"))
+    }),
+
     // Native session_window sessionization run as a stream, rolled up to
     // the batch events_sessionize shape — stream must equal batch.
     "stream_sessionize" -> ((s, d) => {
@@ -98,6 +111,35 @@ object StreamingPack {
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
     "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
     "stream_funnel"        -> EventsPack.oracle("events_funnel"),
+
+    // Batch SCD2 islands restricted to CLOSED intervals — exactly what
+    // the append-mode stateful operator may emit.
+    "stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    event_type FROM events),
+        |l AS (SELECT user_id, event_id, ts_us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |b AS (SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM l),
+        |r AS (SELECT user_id, ts_us, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b),
+        |runs AS (SELECT user_id, run, event_type,
+        |    MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run, event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, run) AS valid_to,
+        |    n_events
+        |  FROM runs)
+        |SELECT user_id, event_type, valid_from, valid_to, n_events
+        |FROM iv WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from, valid_to, event_type""".stripMargin,
 
     // Batch range-join twin of the watermarked stream-stream join.
     "stream_interval_join" ->

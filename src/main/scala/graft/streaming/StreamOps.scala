@@ -220,6 +220,53 @@ object StreamOps {
       .toDF()
   }
 
+  /** Typed rows of the stateful SCD2 operator. */
+  case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  /** Carried SCD2 state: the user's OPEN run (type, start, event count). */
+  case class Scd2State(curType: String, validFrom: Long, n: Long)
+  /** A CLOSED validity interval (the open run stays in state). */
+  case class Scd2Out(user_id: Long, event_type: String, valid_from: Long,
+    valid_to: Long, n_events: Long)
+
+  /** STATEFUL streaming SCD Type-2 — the live form of
+    * api.Events.scd2Ranges: each user's open run is ONE row of carried
+    * state; an incoming type change CLOSES the run (emits the finished
+    * validity interval, valid_to = the new run's start) and opens the
+    * next. Emitted rows are exactly the batch form's closed intervals
+    * (`valid_to IS NOT NULL`) — the still-open run is state, not output,
+    * which is what append-mode semantics require: a row is emitted only
+    * once its contents can never change. Per-batch slices fold in
+    * (ts, event_id) order — the same total order as the batch window —
+    * with the same in-order-source caveat as [[funnelStateful]]. */
+  def scd2Stateful(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .as[Scd2Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          evs.foreach { e =>
+            if (cur == null) cur = Scd2State(e.event_type, e.ts_us, 1L)
+            else if (e.event_type == cur.curType) cur = cur.copy(n = cur.n + 1)
+            else {
+              out += Scd2Out(uid, cur.curType, cur.validFrom, e.ts_us, cur.n)
+              cur = Scd2State(e.event_type, e.ts_us, 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Stream-static enrichment join: the event stream against a broadcast
     * dimension table (users → market segment), rolled up per segment.
     * Stream-static joins are stateless — each micro-batch probes the
