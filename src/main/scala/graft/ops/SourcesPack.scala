@@ -52,6 +52,28 @@ object SourcesPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // CSV sink then scan — the interchange format every ingest still
+    // meets: quoted strings (supplier comments carry commas), explicit
+    // header, schema re-applied on read (never inferSchema at scale —
+    // inference is a second full pass over the files). Round-trip must
+    // be lossless for the quoted/escaped column.
+    "src_csv_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "documents_csv")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("quoteAll", "true")
+        .csv(out)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("header", "true")
+        .csv(out)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("text_len"),
+          md5(col("text")).as("text_md5"))   // content-exact round trip
+        .orderBy(col("doc_id"))
+    }),
+
     // Schema evolution across parquet generations: v1 files carry
     // (key, name), v2 files (key, regionkey); a mergeSchema read unions
     // the schemas and nulls the columns a generation lacks — the
@@ -170,6 +192,11 @@ object SourcesPack {
 
     "src_multifile_union" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    // The CSV round-trip must reproduce the source content byte-exactly.
+    "src_csv_roundtrip" ->
+      """SELECT doc_id, lang, length(text) AS text_len, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The merged read sees every row twice, with each generation's
     // missing column null — equivalently, per-column counts over nation.
