@@ -96,6 +96,33 @@ class StreamingSpec extends SparkSpec {
       s"got $emitted")
   }
 
+  test("streaming SCD2 emits closed intervals as they close, one state row per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)] // (user, event_id, ts_us, type)
+    val df = mem.toDF().toDF("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000)           // nanos, as stored
+    val q = StreamOps.scd2Stateful(df)
+      .writeStream.format("memory").queryName("spec_scd2")
+      .outputMode("append").start()
+    // Batch 1: u1 A,A then B — run A closes AT the type change; B open.
+    mem.addData((1L, 1L, 100L, "A"), (1L, 2L, 200L, "A"), (1L, 3L, 300L, "B"))
+    q.processAllAvailable()
+    val after1 = spark.table("spec_scd2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(after1.toSeq == Seq((1L, "A", 100L, 300L, 2L)),
+      s"run A must close with valid_to = B's start: ${after1.toSeq}")
+    // Batch 2: the type flips back — the OPEN run B (carried state, not
+    // output) closes across the micro-batch boundary.
+    mem.addData((1L, 4L, 400L, "A"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("spec_scd2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(t => t._3)
+    assert(all == Seq((1L, "A", 100L, 300L, 2L), (1L, "B", 300L, 400L, 1L)),
+      s"cross-batch close must carry the open run through state: $all")
+  }
+
   test("session_window boundary: event exactly at gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]            // (ts_us, user)
