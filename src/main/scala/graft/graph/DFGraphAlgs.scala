@@ -263,6 +263,34 @@ object DFGraphAlgs {
         col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Fixed-round synchronous label propagation (community detection)
+    * over a SYMMETRIC edge list: every vertex starts as its own label;
+    * each round every vertex adopts the most frequent label among its
+    * neighbors (ties broken by the SMALLEST label — a total,
+    * engine-agnostic order; plain LPA's random tie-break is what makes
+    * it non-reproducible). Isolated-in-round vertices keep their label.
+    * Fixed rounds, same BSP discipline as the rest of the family; the
+    * oracle unrolls the identical recurrence. Returns (id, lbl). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e = mat(edges.select(col("src"), col("dst")))
+    val nodes = e.select(col("src").as("id")).distinct()
+    var lbl = mat(nodes.select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to iters) {
+      // argmax by (count desc, label asc) as a struct-max hash aggregate:
+      // map-side combinable, no per-vertex sort window.
+      val best = e.join(lbl, e("src") === lbl("id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("dst").as("id"),
+          struct(col("n"), (-col("lbl")).as("neg")).as("c"))
+        .groupBy(col("id")).agg(max(col("c")).as("c"))
+        .select(col("id"), (-col("c.neg")).as("nlbl"))
+      lbl = mat(lbl.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl")))
+    }
+    lbl
+  }
+
   /** Fixed-round k-core peel over a SYMMETRIC edge list (src, dst): each
     * round drops every vertex of degree < k and its incident edges.
     * After `iters` rounds the survivors are the exact k-core when a round

@@ -30,6 +30,8 @@ object EventsPack {
   val RangeJoinUs: Long = 6L * 3600 * 1000000
   /** Retention-cohort bucket: one week (micros), epoch-aligned. */
   val WeekUs: Long = 7L * 24 * 3600 * 1000000
+  /** Time-decay constant τ: one day (micros). */
+  val DecayTauUs: Long = 24L * 3600 * 1000000
 
   /** events with an integer-micros event-time column. */
   def withMicros(s: SparkSession, d: String): DataFrame =
@@ -169,6 +171,24 @@ object EventsPack {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Exponential time-decay engagement score — the recency-weighted
+    // activity feature (each event contributes e^(−Δt/τ) against the
+    // corpus horizon, τ = 1 day): one broadcast scalar (the horizon) and
+    // one map-side-combined aggregation per user; the weights sum
+    // through exact decimals so the score is order-independent.
+    "events_decay_score" -> ((s, d) => {
+      val e = withMicros(s, d)
+      val mx = e.agg(max(col("ts_us")).as("mx"))
+      e.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          exp((col("ts_us") - col("mx")).cast("double") / DecayTauUs).as("wgt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("wgt").cast("decimal(28,15)")).cast("double"), 6)
+            .as("decay_score"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -241,6 +261,14 @@ object EventsPack {
         |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
         |    IS NULL AS INT) AS is_current
         |FROM runs ORDER BY user_id, run LIMIT 5000""".stripMargin,
+
+    "events_decay_score" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |m AS (SELECT MAX(ts_us) AS mx FROM e)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  round(CAST(SUM(CAST(exp((ts_us - mx) / $DecayTauUs.0) AS DECIMAL(28,15)))
+         |    AS DOUBLE), 6) AS decay_score
+         |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_retention_cohorts" ->
       s"""WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // $WeekUs AS wk

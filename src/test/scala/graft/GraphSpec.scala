@@ -69,6 +69,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two cliques joined by a bridge form two communities") {
+    // Cliques {1,2,3} and {10,11,12} with bridge 3-10. With the
+    // deterministic smallest-label tie-break, three rounds settle on
+    // label 1 for the first clique and label 3 for the second (hand-
+    // traced: the bridge pulls 10's label down via 3, then the clique
+    // majority overrides the bridge).
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val fwd = pairs.toDF("src", "dst")
+    val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val got = DFGraphAlgs.labelPropagation(sym, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+  }
+
   test("kcore: peel drops the pendant, keeps the triangle, cascades") {
     // Triangle 1-2-3 with chain 3-4-5: round 1 drops 5 (deg 1), round 2
     // drops 4 (deg fell to 1) — the cascade fixed-round peeling models.
