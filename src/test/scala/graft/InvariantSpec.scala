@@ -58,6 +58,30 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("kcore peeling is monotone: every surviving edge was in the input") {
+    import spark.implicits._
+    val li = graft.tables.Tables.lineitem(spark, sf())
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("sk"))
+    val pairs = graft.api.Analytics.cooccurrencePairs(li, "okey", "sk", 32)
+      .select($"p1".as("x"), $"p2".as("y"))
+    val sym = pairs.select($"x".as("src"), $"y".as("dst"))
+      .union(pairs.select($"y".as("src"), $"x".as("dst")))
+    val r1 = graft.graph.DFGraphAlgs.kcore(sym, 3, 1)
+    val r2 = graft.graph.DFGraphAlgs.kcore(sym, 3, 2)
+    assert(r2.count() <= r1.count(), "a later round can only shrink the core")
+    assert(r2.join(sym, Seq("src", "dst"), "left_anti").count() == 0,
+      "the core must be a subgraph of the input")
+  }
+
+  test("precision@k output is internally consistent") {
+    val row = graft.ops.MLPack.queries("ml_precision_at_k")(spark, sf()).head()
+    val (k, nq, nrec, nhits) =
+      (row.getInt(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nrec <= k * nq, "at most K recommendations per query")
+    assert(nhits <= nrec, "hits are a subset of recommendations")
+    assert(math.abs(row.getDouble(4) - nhits.toDouble / nrec) < 1e-6)
+  }
+
   test("CCDF is monotone non-increasing and starts at 1") {
     val rows = AnalyticsPack.queries("ana_degree_ccdf")(spark, sf())
       .select("ccdf").collect().map(_.getDouble(0))
