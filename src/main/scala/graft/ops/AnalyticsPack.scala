@@ -20,6 +20,9 @@ object AnalyticsPack {
   /** Per-key item cap of the co-occurrence pairing — bounds any task at
     * CoocCap²/2 generated pairs (hot-key protection on power-law data). */
   private val CoocCap = 32
+  /** Range-bucket count of the two-phase Gini rank — constant, never
+    * data-scale (same role as Sampling.IdxBuckets). */
+  private val GiniBuckets = 1024
 
   /** Degree of each customer in the order graph. */
   private def degrees(s: SparkSession, d: String): DataFrame =
@@ -162,6 +165,44 @@ object AnalyticsPack {
         round(expr("percentile(o_totalprice, 0.95)"), 6).as("q95"))
     }),
 
+    // Exact Gini coefficient of customer spend — the inequality summary
+    // that goes with a power-law analysis (hub concentration in money
+    // rather than degree). Needs every row's GLOBAL ascending rank;
+    // computed with the same two-phase rank as Sampling.denseIndex:
+    // values hash into range buckets, row_number runs PER BUCKET, and
+    // bucket offsets come from a window over the ≤ GiniBuckets-row
+    // histogram — no single-partition global sort at any scale. Rank
+    // sums stay in exact decimals; Σ i·x_i is permutation-invariant
+    // over ties, so the (value, key) total order is deterministic on
+    // both engines. gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx).
+    "ana_gini_spend" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,4)")).as("v"))
+      val stats = spend.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val bucketed = spend.crossJoin(broadcast(stats))
+        .withColumn("bkt", least(
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * GiniBuckets),
+          lit(GiniBuckets - 1)).cast("long"))
+      val ranked = bucketed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("v"), col("o_custkey"))).cast("long"))
+      val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      ranked.join(broadcast(offs), "bkt")
+        .select(col("v"), (col("off") + col("rn")).as("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sx"),
+          sum(col("i").cast("decimal(28,4)") * col("v")).as("six"))
+        .select(col("n"),
+          col("sx").cast("double").as("total_spend"),
+          // numerator/denominator each exact decimal, ONE double division
+          round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double"), 6).as("gini"))
+    }),
+
     // Per-GROUP exact interpolated quantiles — the distribution summary
     // of ana_quantiles broken down by category (per-segment corpus
     // stats). One hash aggregation keyed on the group; at 100 TB the
@@ -271,6 +312,20 @@ object AnalyticsPack {
         |  round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
         |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
         |FROM orders""".stripMargin,
+
+    // Plain global row_number is the small-data oracle of record for the
+    // two-phase bucketed rank; Σ i·x_i is tie-permutation-invariant.
+    "ana_gini_spend" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS v
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i
+        |  FROM spend)
+        |SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total_spend,
+        |  round(CAST(2 * SUM(CAST(i AS DECIMAL(28,4)) * v)
+        |      - (COUNT(*) + 1) * SUM(v) AS DOUBLE)
+        |    / CAST(COUNT(*) * SUM(v) AS DOUBLE), 6) AS gini
+        |FROM rk""".stripMargin,
 
     "ana_group_quantiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
