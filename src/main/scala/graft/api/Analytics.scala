@@ -93,6 +93,51 @@ object Analytics {
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_cooc"))
   }
 
+  /** Exact Gini coefficient of `value` over one row per `key` — the
+    * inequality summary behind `ana_gini_spend`, over an arbitrary frame.
+    * Needs every row's GLOBAL ascending rank; computed with a two-phase
+    * rank (range buckets → per-bucket row_number → histogram-window
+    * offsets) so no single-partition global sort exists at any scale.
+    * Rank sums stay in exact decimals; (value, key) is a total order so
+    * Σ i·x_i is deterministic. Returns one row (n, total, gini) with
+    * gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), rounded to 6 places.
+    * A degenerate range (all values equal) is exactly gini = 0. */
+  def gini(df: DataFrame, key: Column, value: Column,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = df.select(key.as("__k"), value.cast("decimal(28,4)").as("v"))
+    val stats = spend.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bucketed = spend.crossJoin(broadcast(stats))
+      // Degenerate range guard: with mx == mn the ratio is null, the bkt
+      // join would drop all rows and the query would return an empty
+      // frame instead of gini = 0; one bucket ranks the all-ties case.
+      .withColumn("bkt", when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * buckets),
+          lit(buckets - 1))).cast("long"))
+    val ranked = bucketed.withColumn("rn", row_number().over(
+      Window.partitionBy(col("bkt")).orderBy(col("v"), col("__k"))).cast("long"))
+    // Unpartitioned window on purpose: the frame is the bucket
+    // HISTOGRAM — at most `buckets` rows regardless of data scale — so
+    // the single-partition WindowExec is a constant-size prefix sum,
+    // not a scale hazard.
+    val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    ranked.join(broadcast(offs), "bkt")
+      .select(col("v"), (col("off") + col("rn")).as("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sx"),
+        sum(col("i").cast("decimal(28,4)") * col("v")).as("six"))
+      .select(col("n"),
+        col("sx").cast("double").as("total"),
+        // numerator/denominator each exact decimal, ONE double division
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+  }
+
   /** Degree CCDF over a pre-aggregated (k, cnt) degree distribution:
     * P(K >= k) per k, cumulative window over the sorted degrees. */
   def ccdf(dist: DataFrame, k: String = "k", cnt: String = "cnt"): DataFrame = {

@@ -179,28 +179,8 @@ object AnalyticsPack {
       val spend = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(28,4)")).as("v"))
-      val stats = spend.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      val bucketed = spend.crossJoin(broadcast(stats))
-        .withColumn("bkt", least(
-          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * GiniBuckets),
-          lit(GiniBuckets - 1)).cast("long"))
-      val ranked = bucketed.withColumn("rn", row_number().over(
-        Window.partitionBy(col("bkt")).orderBy(col("v"), col("o_custkey"))).cast("long"))
-      val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("off"))
-      ranked.join(broadcast(offs), "bkt")
-        .select(col("v"), (col("off") + col("rn")).as("i"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("v")).as("sx"),
-          sum(col("i").cast("decimal(28,4)") * col("v")).as("six"))
-        .select(col("n"),
-          col("sx").cast("double").as("total_spend"),
-          // numerator/denominator each exact decimal, ONE double division
-          round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
-            (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      graft.api.Analytics.gini(spend, col("o_custkey"), col("v"), GiniBuckets)
+        .select(col("n"), col("total").as("total_spend"), col("gini"))
     }),
 
     // Per-GROUP exact interpolated quantiles — the distribution summary

@@ -249,16 +249,24 @@ object RelationalPack {
     // row (the warehouse MERGE core); with both sides bucketed on the
     // key the exchange disappears entirely (etl_bucketed_join shows
     // that layout), otherwise it's a single key shuffle — never a scan
-    // per branch.
+    // per branch. Insert keys sit at max(k) + 1 + k — derived from the
+    // live range (one broadcast scalar), not a constant that a large
+    // enough sf would collide with.
     "etl_merge_upsert" -> ((s, d) => {
       val tgt = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_name").as("name"),
           col("c_acctbal").as("bal"))
       val upd = tgt.filter(col("k") % 10 === 3)
         .select(col("k"), col("name"), round(col("bal") + 100.0, 2).as("bal"))
+      // Broadcast-scalar idiom (1-row aggregate, O(n) fanout — the same
+      // shape as meanImpute/minmaxNormalize/gini); PlanSpec sanctions
+      // exactly this one single-row nested-loop broadcast and still
+      // forbids any unbounded nested loop in the MERGE itself.
+      val off = tgt.agg((max(col("k")) + 1L).as("__off"))
       val ins = tgt.filter(col("k") % 100 === 7)
-        .select((col("k") + 10000000L).as("k"),
-          concat(lit("NEW#"), col("k") + 10000000L).as("name"),
+        .crossJoin(broadcast(off))
+        .select((col("k") + col("__off")).as("k"),
+          concat(lit("NEW#"), col("k") + col("__off")).as("name"),
           lit(0.0).as("bal"))
       val src = upd.unionByName(ins)
       tgt.select(col("k"), col("name").as("t_name"), col("bal").as("t_bal"))
@@ -289,11 +297,12 @@ object RelationalPack {
     "etl_merge_upsert" ->
       """WITH tgt AS (SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
         |  FROM customer),
+        |off AS (SELECT max(k) + 1 AS o FROM tgt),
         |src AS (
         |  SELECT k, name, round(bal + 100.0, 2) AS bal FROM tgt WHERE k % 10 = 3
         |  UNION ALL
-        |  SELECT k + 10000000, 'NEW#' || CAST(k + 10000000 AS VARCHAR), 0.0
-        |  FROM tgt WHERE k % 100 = 7)
+        |  SELECT k + o, 'NEW#' || CAST(k + o AS VARCHAR), 0.0
+        |  FROM tgt, off WHERE k % 100 = 7)
         |SELECT COALESCE(t.k, s.k) AS c_custkey,
         |  COALESCE(s.name, t.name) AS c_name,
         |  COALESCE(s.bal, t.bal) AS c_acctbal,

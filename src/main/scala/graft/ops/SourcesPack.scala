@@ -64,9 +64,16 @@ object SourcesPack {
         .write.mode(SaveMode.Overwrite)
         .option("header", "true").option("quoteAll", "true")
         .csv(out)
+      // multiLine keeps the round-trip lossless when a document's text
+      // carries an embedded newline (quoteAll on the write quotes it;
+      // without multiLine the read would split it into corrupt rows).
+      // Tradeoff, stated: multiLine CSV files are not line-splittable —
+      // parallelism comes from file count, which the partitioned write
+      // above provides; parquet remains the scale format (SURVEY §4).
       s.read
         .schema("doc_id BIGINT, lang STRING, text STRING")
         .option("header", "true")
+        .option("multiLine", "true")
         .csv(out)
         .select(col("doc_id"), col("lang"),
           length(col("text")).as("text_len"),

@@ -22,6 +22,9 @@ object Warm {
     "graph.tripairs" -> (() => GraphPack.triPairs(s, d)),
     "graph.ssspPred" -> (() => GraphPack.ssspState(s, d)),
     "ml.edges"       -> (() => MLPack.edges(s, d)),
+    "ml.edgesA"      -> (() => MLPack.edgesHalfA(s, d)),
+    "ml.edgesB"      -> (() => MLPack.edgesHalfB(s, d)),
+    "ml.pdegA"       -> (() => MLPack.pdegA(s, d)),
     "sim.comps"      -> (() => SimilarityPack.comps(s, d)),
     "sim.buckets"    -> (() => SimilarityPack.buckets(s, d)),
     "sim.ivfcent"    -> (() => SimilarityPack.kmeansCentroids(s, d)),

@@ -190,32 +190,69 @@ object StreamOps {
     * regardless of history length. Exact when micro-batch boundaries
     * respect event-time order (the AvailableNow backfill case and any
     * in-order source); cross-batch stragglers fall back to the carried
-    * state like every per-key streaming fold. */
+    * state like every per-key streaming fold.
+    *
+    * STATE EVICTION (the 100 TB contract): a carried `lastA` is only
+    * live while a future step-B could still convert against it — i.e.
+    * until event time passes `lastA + windowUs`. Each update arms an
+    * EventTimeTimeout at exactly that deadline; when the WATERMARK
+    * passes it the state row is dropped, so the store is bounded by the
+    * number of users ACTIVE within one funnel window, not by every user
+    * ever seen. Users with no step-A yet keep no state at all. A step-B
+    * arriving after its user's state was evicted counts as unconverted —
+    * identical to the batch semantics, because an evicted `lastA` was by
+    * construction too old to satisfy `ts_b - lastA <= windowUs` for any
+    * event at-or-after the watermark. */
   def funnelStateful(events: DataFrame, stepA: String, stepB: String,
-      windowUs: Long): DataFrame = {
+      windowUs: Long, watermarkDelay: String = "1 hour"): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermarkDelay)
+      // event_time must survive the projection: EventTimeTimeout requires
+      // the watermark attribute in the stateful operator's input (the
+      // typed encoder below just ignores the extra column).
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("event_time"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state) =>
-          val evs = it.toSeq.sortBy(e => (e.ts_us, if (e.event_type == stepA) 0 else 1))
-          var lastA = state.getOption.map(_.lastA).getOrElse(Long.MinValue)
-          var nB = 0L
-          var nConv = 0L
-          evs.foreach { e =>
-            if (e.event_type == stepA) lastA = e.ts_us
-            else if (e.event_type == stepB) {
-              nB += 1
-              if (lastA != Long.MinValue && e.ts_us - lastA <= windowUs) nConv += 1
+          if (state.hasTimedOut) {
+            // Watermark passed lastA + windowUs: no future in-watermark
+            // step-B can convert against this state — drop it.
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts_us, if (e.event_type == stepA) 0 else 1))
+            var lastA = state.getOption.map(_.lastA).getOrElse(Long.MinValue)
+            var nB = 0L
+            var nConv = 0L
+            evs.foreach { e =>
+              if (e.event_type == stepA) lastA = e.ts_us
+              else if (e.event_type == stepB) {
+                nB += 1
+                if (lastA != Long.MinValue && e.ts_us - lastA <= windowUs) nConv += 1
+              }
             }
+            if (lastA == Long.MinValue) {
+              // No step-A seen for this user yet: nothing worth carrying.
+              if (state.exists) state.remove()
+            } else {
+              state.update(FunnelState(lastA))
+              // Dead once the watermark passes lastA + windowUs (ceil to
+              // ms); the floor keeps Spark's "timeout must be ahead of
+              // the current watermark" invariant when lastA is already
+              // near-expired at update time.
+              val deadlineMs = (lastA + windowUs) / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            if (nB > 0) Iterator(FunnelOut(uid, nB, nConv)) else Iterator.empty
           }
-          state.update(FunnelState(lastA))
-          if (nB > 0) Iterator(FunnelOut(uid, nB, nConv)) else Iterator.empty
       }
       .toDF()
   }
@@ -237,7 +274,19 @@ object StreamOps {
     * which is what append-mode semantics require: a row is emitted only
     * once its contents can never change. Per-batch slices fold in
     * (ts, event_id) order — the same total order as the batch window —
-    * with the same in-order-source caveat as [[funnelStateful]]. */
+    * with the same in-order-source caveat as [[funnelStateful]].
+    *
+    * STATE CONTRACT — why this operator keeps `NoTimeout` while the
+    * funnel evicts: SCD2 state is REQUIRED BY SEMANTICS, not a cache.
+    * A key's open run stays open until a type change arrives — which can
+    * be arbitrarily far in the future — and evicting it would emit a
+    * wrong interval (or silently drop one) on the key's next event. So
+    * the store is bounded by the number of ACTIVE KEYS (one fixed-size
+    * row each), the minimum any correct SCD2 implementation must hold;
+    * dimension keyspaces are bounded entities (users, products), unlike
+    * the funnel's `lastA` timestamps whose usefulness expires after
+    * `windowUs`. Watermark-evictable state (funnel, interval join) times
+    * out; semantically-live state (this) must not. */
   def scd2Stateful(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._

