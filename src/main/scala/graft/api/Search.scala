@@ -103,15 +103,35 @@ object Search {
   /** Blocked similarity self-join: equality blocking on `blockKey` of the
     * normalized name, exact bounded edit distance within blocks only —
     * the join shape that survives corpus scale (never all-pairs).
-    * Returns (i, j, dist) with i < j and dist <= maxDist. */
+    * Returns (i, j, dist) with i < j and dist <= maxDist.
+    *
+    * The pairwise stage runs over DISTINCT strings, not rows: repeated
+    * strings are the norm in a real corpus (one brand name, millions of
+    * rows), and comparing rows directly multiplies every block's pair
+    * count by copies² — the sf1 scale checkpoint measured exactly that
+    * blowup (1200× time for 10× rows) before this collapse. Each
+    * distinct pair is edit-distanced ONCE, then qualifying pairs fan
+    * back out to id pairs through two equi-joins; identical-string
+    * groups are dist-0 by definition and never touch the DP at all. */
   def blockedSimJoin(df: DataFrame, id: String, name: String,
       blockKey: Column => Column, maxDist: Int): DataFrame = {
     val names = df.select(col(id).as("id"), normalizeKey(col(name)).as("nm"))
+    val dn = names.select(col("nm")).distinct()
       .withColumn("blk", blockKey(col("nm")))
-    names.as("a").join(names.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
+    val sp = dn.as("a").join(dn.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("nma"), col("b.nm").as("nmb"),
         levenshtein(col("a.nm"), col("b.nm"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+    val ids = names.select(col("nm"), col("id"))
+    val cross = sp
+      .join(ids.select(col("nm").as("nma"), col("id").as("ia")), "nma")
+      .join(ids.select(col("nm").as("nmb"), col("id").as("ib")), "nmb")
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("dist"))
+    val same = ids.as("a").join(ids.as("b"),
+        col("a.nm") === col("b.nm") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"), lit(0L).as("dist"))
+    cross.unionByName(same)
   }
 }

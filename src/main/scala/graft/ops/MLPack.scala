@@ -413,13 +413,21 @@ object MLPack {
         .withColumn("rk", row_number().over(Window.partitionBy(col("qc"))
           .orderBy(col("score").desc, col("cand").asc)))
         .filter(col("rk") <= K)
-      // Hit-labeling probes ONLY the label edges of ranked customers:
-      // the ≤ 50-query / ≤ 50·K-candidate key sets broadcast-semi-filter
-      // eB before any shuffle, and the second join is an explicit
-      // composite-key (cand, p) equi-join rather than a post-join filter.
-      val eBq = eB.join(broadcast(ranked.select(col("qc").as("c")).distinct()), "c")
+      // Hit-labeling probes ONLY the label edges of the ranking's
+      // query/candidate customers. Both key sets come from CHEAP
+      // subtrees — queries are the ≤50 filter, candidates are the
+      // customers sharing an A-half supplier with a query (a superset
+      // of the ranked candidates) — so the ranked window above is built
+      // once, not recomputed per key set. The broadcast semi-filters
+      // shrink eB before any shuffle, and the second join is an
+      // explicit composite-key (cand, p) equi-join rather than a
+      // post-join filter.
+      val qKeys = q.select(col("qc").as("c")).distinct()
+      val candKeys = eA.join(broadcast(q.select(col("p")).distinct()), "p")
+        .select(col("c")).distinct()
+      val eBq = eB.join(broadcast(qKeys), "c")
         .select(col("c").as("qc"), col("p"))
-      val eBc = eB.join(broadcast(ranked.select(col("cand").as("c")).distinct()), "c")
+      val eBc = eB.join(broadcast(candKeys), "c")
         .select(col("c").as("cand"), col("p"))
       val hits = ranked.select(col("qc"), col("cand"))
         .join(eBq, "qc")

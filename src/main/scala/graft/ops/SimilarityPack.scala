@@ -51,6 +51,11 @@ object SimilarityPack {
   /** Cells probed per query (nprobe — the standard IVF recall/cost knob;
     * 3 of 8 cells ≈ 3/8 of the corpus scanned instead of all of it). */
   private val NProbe    = 3
+  /** Cosine threshold of the SemDeDup drop rule (dedup_semantic). The
+    * paper uses 1 − ε with ε ≈ 0.05-0.5 depending on corpus; the fixture
+    * embeddings are near-isotropic, so 0.4 sits in the near-dup band the
+    * sweep query also reports. */
+  private val SemThresh = 0.4
 
   /** Exact order-independent sum at unit scale: products of normalized
     * embedding components need 15 fractional digits (OpsUtil.dsum's
@@ -388,6 +393,31 @@ object SimilarityPack {
         .select(col("j").as("vec_id"), col("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup at
+    // corpus scale — pairwise cosine is computed ONLY between vectors the
+    // fitted IVF coarse quantizer assigns to the same cell, never across
+    // the corpus: the k-means partition bounds candidate generation the
+    // way LSH bands do for MinHash (Σ cell² pairs, cells ≈ n/k), and the
+    // quantizer is the SAME fitted artifact sim_ivf_topk probes (cached,
+    // oracle-checked). Drop rule: a vector is a semantic duplicate when a
+    // SMALLER-id cell-mate sits at ≥ SemThresh cosine — the deterministic
+    // keep-the-min-id form of the paper's keep-one-per-cluster step.
+    // Output is the drop list with its evidence (how many better copies,
+    // and the closest one's cosine).
+    "dedup_semantic" -> ((s, d) => {
+      val assign = ivfAssign(s, d)
+      val pairs = assign.select(col("vec_id").as("i"), col("cid"))
+        .join(assign.select(col("vec_id").as("j"), col("cid")), "cid")
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+      cosineOf(comps(s, d), pairs)
+        .filter(col("cosine") >= SemThresh)
+        .groupBy(col("j").as("vec_id"))
+        .agg(count(lit(1)).as("n_better_dups"),
+          max(col("cosine")).as("max_cosine"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -538,6 +568,17 @@ object SimilarityPack {
          |    AND b.vec_id <> $QueryVec),
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
-         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $compsSql, $normsSql,
+         |$ivfKmeansSql,
+         |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |  FROM afin a JOIN afin b ON b.cid = a.cid AND a.vec_id < b.vec_id),
+         |$cosinePairSql
+         |SELECT j AS vec_id, COUNT(*) AS n_better_dups,
+         |  max(cosine) AS max_cosine
+         |FROM cos WHERE cosine >= $SemThresh
+         |GROUP BY j ORDER BY vec_id""".stripMargin
   )
 }

@@ -28,6 +28,9 @@ object TextPack {
   private val Bm25K1 = 1.2
   private val Bm25B  = 0.75
   private val BmQueryTerms = Seq("spark", "query", "join")
+  /** Probe-document bound of the text_contamination query: docs with
+    * doc_id <= ProbeDocs play the role of the external benchmark file. */
+  private val ProbeDocs = 5L
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -191,6 +194,74 @@ object TextPack {
         .groupBy(col("fingerprint")).agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_distinct_fp"),
              sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"))
+    }),
+
+    // Benchmark DECONTAMINATION probe — the n-gram overlap check every
+    // training-corpus build runs against its eval sets (the GPT-3
+    // 13-gram dedup, Brown et al. 2020 app. C, at the fixture's word
+    // 3-grams): the "benchmark" is a fixed probe document set (doc_id <=
+    // ProbeDocs, a stand-in for an external eval file); every corpus
+    // document sharing a shingle with it is flagged with its overlap
+    // evidence. The probe shingle set is tiny and BROADCAST; the corpus
+    // side is the SAME cached shingle pass the dedup family uses — one
+    // semi-shaped equi-join on shingle, no text comparison, which is the
+    // 100 TB decontamination shape (eval sets are KB, corpora are TB).
+    "text_contamination" -> ((s, d) => {
+      val sh = DedupPack.shingleRows(s, d)
+      val probe = sh.filter(col("doc_id") <= ProbeDocs)
+        .select(col("sh")).distinct()
+      val tot = sh.filter(col("doc_id") > ProbeDocs)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      sh.filter(col("doc_id") > ProbeDocs)
+        .join(broadcast(probe), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_shingles"))
+        .join(tot, "doc_id")
+        .select(col("doc_id"), col("n_hit_shingles"), col("n_shingles"),
+          round(col("n_hit_shingles") / col("n_shingles").cast("double"), 6)
+            .as("overlap_frac"))
+        .orderBy(col("overlap_frac").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Within-document REPETITION metrics — the Gopher repetition filters
+    // (Rae et al. 2021, §A1.3): duplicate-n-gram fraction and
+    // top-n-gram fraction per document, for n = 2 and 3. A doc whose
+    // mass concentrates in few repeated n-grams is boilerplate/spam; the
+    // filter gates on these fractions. Bigram/trigram streams come from
+    // one posexplode + per-doc lead window (the text_bigram_lm idiom) —
+    // per-doc-key shuffles only, linear in corpus size.
+    "text_repetition" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val g = tok
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+      def gramStats(gram: org.apache.spark.sql.Column, pfx: String) =
+        g.filter(gram.isNotNull)
+          .groupBy(col("doc_id"), gram.as("gram"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n")).as(s"${pfx}_total"),
+            count(lit(1)).as(s"${pfx}_distinct"),
+            max(col("n")).as(s"${pfx}_max"))
+      val b2 = gramStats(when(col("t1").isNotNull,
+        concat_ws(" ", col("tok"), col("t1"))), "b")
+      val b3 = gramStats(when(col("t2").isNotNull,
+        concat_ws(" ", col("tok"), col("t1"), col("t2"))), "t")
+      b2.join(b3, "doc_id")
+        .select(col("doc_id"),
+          round((col("b_total") - col("b_distinct")) /
+            col("b_total").cast("double"), 6).as("dup_bigram_frac"),
+          round(col("b_max") / col("b_total").cast("double"), 6)
+            .as("top_bigram_frac"),
+          round((col("t_total") - col("t_distinct")) /
+            col("t_total").cast("double"), 6).as("dup_trigram_frac"),
+          round(col("t_max") / col("t_total").cast("double"), 6)
+            .as("top_trigram_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -308,6 +379,48 @@ object TextPack {
          |g AS (SELECT fingerprint, COUNT(*) AS n FROM fp GROUP BY fingerprint)
          |SELECT COUNT(*) AS n_distinct_fp,
          |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    unnest(${shingles3Sql("text")}) AS sh
+         |  FROM documents),
+         |probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id <= $ProbeDocs),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+         |  WHERE doc_id > $ProbeDocs GROUP BY doc_id),
+         |hits AS (SELECT s.doc_id, COUNT(*) AS n_hit_shingles
+         |  FROM sh s JOIN probe p ON p.sh = s.sh
+         |  WHERE s.doc_id > $ProbeDocs GROUP BY s.doc_id)
+         |SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
+         |  round(h.n_hit_shingles / CAST(t.n_shingles AS DOUBLE), 6) AS overlap_frac
+         |FROM hits h JOIN tot t ON t.doc_id = h.doc_id
+         |ORDER BY overlap_frac DESC, h.doc_id ASC LIMIT 20""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id, tok,
+        |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |  FROM tok),
+        |b2 AS (SELECT doc_id, SUM(n) AS b_total, COUNT(*) AS b_distinct,
+        |    MAX(n) AS b_max
+        |  FROM (SELECT doc_id, tok || ' ' || t1 AS gram, COUNT(*) AS n
+        |    FROM g WHERE t1 IS NOT NULL GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        |b3 AS (SELECT doc_id, SUM(n) AS t_total, COUNT(*) AS t_distinct,
+        |    MAX(n) AS t_max
+        |  FROM (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS gram, COUNT(*) AS n
+        |    FROM g WHERE t2 IS NOT NULL GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT b2.doc_id,
+        |  round((b_total - b_distinct) / CAST(b_total AS DOUBLE), 6) AS dup_bigram_frac,
+        |  round(b_max / CAST(b_total AS DOUBLE), 6) AS top_bigram_frac,
+        |  round((t_total - t_distinct) / CAST(t_total AS DOUBLE), 6) AS dup_trigram_frac,
+        |  round(t_max / CAST(t_total AS DOUBLE), 6) AS top_trigram_frac
+        |FROM b2 JOIN b3 ON b3.doc_id = b2.doc_id
+        |ORDER BY b2.doc_id""".stripMargin
   )
 }

@@ -162,4 +162,42 @@ class TrainingDataSpec extends SparkSpec {
       col("quality") < 0 || col("quality") > 1).count()
     assert(bad == 0)
   }
+
+  test("semantic dedup drops are cell-mates of a smaller survivor near threshold") {
+    import org.apache.spark.sql.functions._
+    val dropped = SimilarityPack.queries("dedup_semantic")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dropped.nonEmpty, "fixture should contain semantic near-dups")
+    // Every drop has >= 1 smaller-id mate and its max cosine clears the
+    // threshold; the drop rule keeps the min id, so the GLOBAL min vec_id
+    // can never be dropped.
+    assert(dropped.forall { case (_, n, c) => n >= 1 && c >= 0.4 })
+    val minVec = graft.tables.Tables.embeddings(spark, sf())
+      .agg(min(col("vec_id"))).head().getLong(0)
+    assert(!dropped.map(_._1).contains(minVec))
+  }
+
+  test("contamination probe flags the corpus docs sharing probe shingles") {
+    val rows = TextPack.queries("text_contamination")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "some corpus doc should overlap the probe docs")
+    // Overlap fraction is hits/total in (0, 1]; probe docs themselves are
+    // excluded from the corpus side.
+    assert(rows.forall { case (id, h, t, f) =>
+      id > 5 && h >= 1 && h <= t && f > 0 && f <= 1.0 })
+  }
+
+  test("repetition metrics: fractions in [0,1), top >= dup contribution floor") {
+    val rows = TextPack.queries("text_repetition")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, dup2, top2, dup3, top3) =>
+      assert(dup2 >= 0 && dup2 < 1 && dup3 >= 0 && dup3 < 1, s"doc $id dup fracs")
+      assert(top2 > 0 && top2 <= 1 && top3 > 0 && top3 <= 1, s"doc $id top fracs")
+    }
+    // A repeated trigram forces its bigrams to repeat, so corpus-wide
+    // some doc shows dup2 >= dup3 unless nothing repeats at all.
+    assert(rows.forall { case (_, dup2, _, dup3, _) => dup3 == 0 || dup2 > 0 })
+  }
 }
