@@ -38,10 +38,19 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
+    // A failed query returns NEGATIVE elapsed time so it can never be
+    // mistaken for a fast run — a swallowed exception recorded as 0.01 s
+    // is the same misattribution class as host-load noise.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+          false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
     }
     // Two full passes per query; report the min. A single pass at whatever
     // host load exists has produced up to 20x misattribution (an 8-row
@@ -58,9 +67,14 @@ object Bench {
       }.toMap
     }
     val loadAfter = loadAvg()
+    // Per-query: min over SUCCESSFUL passes; a query with no successful
+    // pass keeps a negative time and lands in `failed`.
     val results = selected.map { case (name, _) =>
-      name -> runs.map(_(name)).min
+      val rs = runs.map(_(name))
+      val good = rs.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else rs.max)
     }.toMap
+    val failed = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -75,9 +89,10 @@ object Bench {
     // sum of the min times.
     val queriesTotal = if (results.nonEmpty) results.values.sum else 0.0
     val total = queriesTotal + sharedSec
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
-        s""""shared_warmup_entries":$warmJson,"passes":$passes,""" +
+        s""""shared_warmup_entries":$warmJson,"passes":$passes,"failed":$failedJson,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
         s""""queries_total":$queriesTotal,"queries":$qs,"queries_runs":$runsJson,"sf":"$sfDir"}"""
     // stdout is the driver contract, but a long tail can truncate there —

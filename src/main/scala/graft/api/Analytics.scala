@@ -139,7 +139,10 @@ object Analytics {
   }
 
   /** Degree CCDF over a pre-aggregated (k, cnt) degree distribution:
-    * P(K >= k) per k, cumulative window over the sorted degrees. */
+    * P(K >= k) per k, cumulative window over the sorted degrees.
+    * The unpartitioned window runs over the DISTRIBUTION (one row per
+    * distinct degree — thousands at any corpus scale, never the raw
+    * rows), so the single-partition WindowExec is bounded by design. */
   def ccdf(dist: DataFrame, k: String = "k", cnt: String = "cnt"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col(k)).rowsBetween(Window.unboundedPreceding, -1)
