@@ -131,6 +131,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("new pipeline ops: broadcast probe, no cartesian in semantic dedup / sim join") {
+    // Contamination: the benchmark probe set must broadcast (eval sets
+    // are KB, corpora are TB — a shuffled probe join would be wrong).
+    val p1 = planOf(graft.ops.TextPack.queries("text_contamination")(spark, sf()))
+    assert(p1.contains("BroadcastHashJoin"), "probe set must broadcast")
+    assert(!p1.contains("CartesianProduct"))
+    // Semantic dedup: within-cell pairs come from the cid equi-join and
+    // the prefilter probes packed arrays — never an all-pairs product.
+    val p2 = planOf(graft.ops.SimilarityPack.queries("dedup_semantic")(spark, sf()))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup must stay equi-join work")
+    assert(p2.contains("cosine_sim"), "prefilter must use the native packed-array scan")
+    // Blocked sim join: distinct-string pairwise stage + id fan-out are
+    // all equi-joins.
+    val p3 = planOf(graft.ops.SearchPack.queries("search_blocked_simjoin")(spark, sf()))
+    assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"),
+      "blocked sim join must never plan an all-pairs product")
+  }
+
   test("clustering coefficient and merge-upsert plan equi-joins only") {
     import spark.implicits._
     // The operator proper (the query's input adds only the documented
