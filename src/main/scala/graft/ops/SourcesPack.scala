@@ -63,6 +63,11 @@ object SourcesPack {
         .select(col("doc_id"), col("lang"), col("text"))
         .write.mode(SaveMode.Overwrite)
         .option("header", "true").option("quoteAll", "true")
+        // The CSV WRITER trims field whitespace by default (both
+        // ignore*WhiteSpace options default true on write) — a document
+        // ending in whitespace/newline would round-trip lossily.
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(out)
       // multiLine keeps the round-trip lossless when a document's text
       // carries an embedded newline (quoteAll on the write quotes it;

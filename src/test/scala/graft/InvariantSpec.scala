@@ -73,6 +73,31 @@ class InvariantSpec extends SparkSpec {
       "the core must be a subgraph of the input")
   }
 
+  test("CSV round-trip stays lossless for embedded newlines and quotes") {
+    // The src_csv_roundtrip option contract (quoteAll on write, header +
+    // multiLine on read) pinned on content the fixtures don't currently
+    // have: embedded newlines, quotes, and commas must survive byte-exact.
+    val docs = Seq(
+      (1L, "en", "plain text"),
+      (2L, "en", "line one\nline two\nline three"),
+      (3L, "de", "a \"quoted\" phrase, with commas"),
+      (4L, "fr", "trailing newline\n")).toDF("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_nl").toString
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      // writer-side trims default ON — disabling them is part of the
+      // lossless contract (this test caught the trailing-newline trim)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .option("header", "true").option("multiLine", "true").csv(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == want, s"lossy round-trip: $back")
+  }
+
   test("gini: constant values are exactly 0, not an empty frame") {
     // The degenerate-range case the bucketing guard exists for: mx == mn
     // used to null the bucket expression and silently drop every row.
