@@ -31,6 +31,13 @@ object TextPack {
   /** Probe-document bound of the text_contamination query: docs with
     * doc_id <= ProbeDocs play the role of the external benchmark file. */
   private val ProbeDocs = 5L
+  /** Token budget per packed training sequence (text_pack_sequences). */
+  private val SeqLen = 512L
+  /** Range buckets of the two-phase global prefix sum in
+    * text_pack_sequences (same discipline as Analytics.gini /
+    * Sampling.denseIndex: per-bucket window + histogram offsets, never a
+    * single-partition global window). */
+  private val PackBuckets = 64L
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -262,6 +269,42 @@ object TextPack {
           round(col("t_max") / col("t_total").cast("double"), 6)
             .as("top_trigram_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Training-sequence PACKING — the concat-and-chunk step that turns a
+    // filtered corpus into fixed-budget training rows: documents are
+    // concatenated in deterministic doc_id order and chunked every
+    // SeqLen tokens; a document belongs to the chunk holding its first
+    // token (bin = global-prefix-tokens div SeqLen). The global ordered
+    // prefix sum is TWO-PHASE (contiguous doc_id range buckets →
+    // per-bucket cumulative window → offsets from the ≤PackBuckets-row
+    // histogram window) — no single-partition global window at any
+    // scale, same discipline as Analytics.gini / Sampling.denseIndex.
+    // Output: per bin, how many documents start in it and their tokens.
+    "text_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      val mx = t.agg(max(col("doc_id")).as("mx"))
+      val bucketed = t.crossJoin(broadcast(mx))
+        .withColumn("bkt",
+          (col("doc_id") * PackBuckets / (col("mx") + 1)).cast("long"))
+      val within = bucketed.withColumn("wcum", sum(col("n")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Unpartitioned window over the ≤PackBuckets-row bucket totals
+      // only — constant-size regardless of corpus scale.
+      val offs = bucketed.groupBy(col("bkt")).agg(sum(col("n")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      within.join(broadcast(offs), "bkt")
+        .select(col("doc_id"), col("n"),
+          (col("off") + col("wcum") - col("n")).as("start"))
+        .groupBy(expr(s"start div $SeqLen").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -421,6 +464,20 @@ object TextPack {
         |  round((t_total - t_distinct) / CAST(t_total AS DOUBLE), 6) AS dup_trigram_frac,
         |  round(t_max / CAST(t_total AS DOUBLE), 6) AS top_trigram_frac
         |FROM b2 JOIN b3 ON b3.doc_id = b2.doc_id
-        |ORDER BY b2.doc_id""".stripMargin
+        |ORDER BY b2.doc_id""".stripMargin,
+
+    // The oracle computes the SAME global prefix sum with a plain window
+    // (DuckDB is single-node; the two-phase form must agree exactly).
+    "text_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, n,
+         |    SUM(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT CAST((cum - n) // $SeqLen AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

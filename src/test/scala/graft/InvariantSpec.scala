@@ -123,6 +123,35 @@ class InvariantSpec extends SparkSpec {
     assert(math.abs(got - want) < 5e-7, s"got $got want $want")
   }
 
+  test("sequence packing conserves tokens and fills bins in order") {
+    import graft.ops.TextPack
+    val bins = TextPack.queries("text_pack_sequences")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bins.nonEmpty)
+    val totalTokens = graft.tables.Tables.documents(spark, sf())
+      .select(org.apache.spark.sql.functions.expr("size(split(text, ' '))").cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(bins.map(_._3).sum == totalTokens,
+      "every document's tokens must land in exactly one bin")
+    assert(bins.map(_._1).toSeq == bins.map(_._1).toSeq.sorted, "bins ordered")
+    assert(bins.forall(_._2 >= 1), "listed bins each start >= 1 document")
+    // The two-phase global prefix sum must MATCH a driver-side fold: the
+    // point of the discipline is exactness, not approximation.
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("size(split(text, ' '))").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    docs.foreach { case (_, n) =>
+      val bin = cum / 512
+      val (c, t) = want.getOrElse(bin, (0L, 0L))
+      want(bin) = (c + 1, t + n)
+      cum += n
+    }
+    assert(bins.map(b => b._1 -> (b._2, b._3)).toMap == want.toMap)
+  }
+
   test("precision@k output is internally consistent") {
     val row = graft.ops.MLPack.queries("ml_precision_at_k")(spark, sf()).head()
     val (k, nq, nrec, nhits) =
