@@ -90,14 +90,17 @@ object Bench {
     val queriesTotal = if (results.nonEmpty) results.values.sum else 0.0
     val total = queriesTotal + sharedSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
-        s""""shared_warmup_entries":$warmJson,"passes":$passes,"failed":$failedJson,""" +
+    val common =
+      s""""metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
+        s""""passes":$passes,"failed":$failedJson,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
-        s""""queries_total":$queriesTotal,"queries":$qs,"queries_runs":$runsJson,"sf":"$sfDir"}"""
-    // stdout is the driver contract, but a long tail can truncate there —
-    // the same line also lands in a file for reliable parsing.
-    println(line)
+        s""""queries_total":$queriesTotal,"queries":$qs,"sf":"$sfDir""""
+    // stdout is the driver contract and long lines have truncated there
+    // (round 4's captured line died mid-JSON) — so stdout carries the
+    // COMPACT line and the per-pass runs + per-entry warmup detail land
+    // only in the file artifact.
+    println(s"{$common}")
+    val line = s"""{$common,"shared_warmup_entries":$warmJson,"queries_runs":$runsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
