@@ -95,6 +95,36 @@ object Similarity {
         (col("dot") / (col("ni") * col("nj"))).as("cosine"))
   }
 
+  /** SemDeDup drop list (Abbas et al. 2023): semantic duplicates over a
+    * cell partition — `cells` is (id-named-vec_id, cid), typically a
+    * fitted coarse quantizer's assignment ([[ivfAssign]]). Pairwise work
+    * happens ONLY within a cell (Σcell² pairs — size cells so they stay
+    * ~constant: k ∝ corpus), via the native packed-array cosine
+    * prefilter with a small margin and the exact decimal cosine deciding
+    * the threshold on survivors. A vector is dropped when a SMALLER-id
+    * cell-mate sits at ≥ `threshold` cosine (keep-the-min-id rule);
+    * returns (vec_id, n_better_dups, max_cosine). */
+  def semanticDropList(emb: DataFrame, id: String, vec: String,
+      cells: DataFrame, threshold: Double, pairParts: Int = 256): DataFrame = {
+    val pairs = cells.select(col("vec_id").as("i"), col("cid"))
+      .join(cells.select(col("vec_id").as("j"), col("cid")), "cid")
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      // spread the Σcell² pair stream so per-task join state stays small
+      .repartition(pairParts, col("i"), col("j"))
+    val cand = pairs
+      .join(emb.select(col(id).as("i"), col(vec).as("va")), "i")
+      .join(emb.select(col(id).as("j"), col(vec).as("vb")), "j")
+      .filter(call_function("cosine_sim", col("va"), col("vb")) >= threshold - 1e-4)
+      .select(col("i"), col("j"))
+    cosineOf(components(emb, id, vec), cand)
+      .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("j").as("vec_id"))
+      .agg(count(lit(1)).as("n_better_dups"),
+        max(col("cosine")).as("max_cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: native-expression prefilter
     * over all pairs with a small margin, exact decimal verify on the
     * survivors (engine-exact results at the threshold). */

@@ -78,4 +78,91 @@ object Text {
       .select(col("doc_id"), col("rk").cast("long").as("rk"),
         col("term"), col("tf"), col("tfidf"))
   }
+
+  /** Benchmark decontamination over PRE-SHINGLED frames — (doc_id, sh)
+    * corpus rows vs a probe shingle set (the eval file's n-grams). The
+    * probe side is broadcast (eval sets are KB, corpora are TB); returns
+    * per contaminated doc (doc_id, n_hit_shingles, n_shingles,
+    * overlap_frac). Build shingle frames with [[Dedup.shingleRows]]. */
+  def contaminationFromShingles(corpusSh: DataFrame, probeSh: DataFrame): DataFrame = {
+    val probe = probeSh.select(col("sh")).distinct()
+    val tot = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    corpusSh.join(broadcast(probe), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("n_hit_shingles"), col("n_shingles"),
+        round(col("n_hit_shingles") / col("n_shingles").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
+  /** Within-document repetition metrics (the Gopher repetition filters,
+    * Rae et al. 2021 §A1.3): duplicate-n-gram and top-n-gram fractions
+    * per document for n = 2, 3. One posexplode + per-doc lead window —
+    * per-doc-key shuffles only, linear in corpus size. Documents with
+    * fewer than 3 tokens produce no trigram and are omitted. */
+  def repetitionMetrics(corpus: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = corpus
+      .select(col(id).as("doc_id"), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val g = tok
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+    def gramStats(gram: org.apache.spark.sql.Column, pfx: String) =
+      g.filter(gram.isNotNull)
+        .groupBy(col("doc_id"), gram.as("gram"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as(s"${pfx}_total"),
+          count(lit(1)).as(s"${pfx}_distinct"),
+          max(col("n")).as(s"${pfx}_max"))
+    val b2 = gramStats(when(col("t1").isNotNull,
+      concat_ws(" ", col("tok"), col("t1"))), "b")
+    val b3 = gramStats(when(col("t2").isNotNull,
+      concat_ws(" ", col("tok"), col("t1"), col("t2"))), "t")
+    b2.join(b3, "doc_id")
+      .select(col("doc_id"),
+        round((col("b_total") - col("b_distinct")) /
+          col("b_total").cast("double"), 6).as("dup_bigram_frac"),
+        round(col("b_max") / col("b_total").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round((col("t_total") - col("t_distinct")) /
+          col("t_total").cast("double"), 6).as("dup_trigram_frac"),
+        round(col("t_max") / col("t_total").cast("double"), 6)
+          .as("top_trigram_frac"))
+  }
+
+  /** Training-sequence packing (concat-and-chunk): documents concatenate
+    * in ascending `id` order and chunk every `seqLen` whitespace tokens;
+    * a document belongs to the bin holding its first token. The global
+    * ordered prefix sum is TWO-PHASE — contiguous id-range buckets →
+    * per-bucket cumulative window → offsets from the ≤`buckets`-row
+    * histogram window — so no single-partition window exists at any
+    * scale. Returns (bin, n_docs, n_tokens) of documents STARTING in
+    * each bin. `id` must be non-negative. */
+  def packSequences(corpus: DataFrame, id: String, text: String,
+      seqLen: Long, buckets: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = corpus
+      .select(col(id).as("doc_id"), size(tokens(col(text))).cast("long").as("n"))
+    val mx = t.agg(max(col("doc_id")).as("mx"))
+    val bucketed = t.crossJoin(broadcast(mx))
+      .withColumn("bkt",
+        (col("doc_id") * buckets / (col("mx") + 1)).cast("long"))
+    val within = bucketed.withColumn("wcum", sum(col("n")).over(
+      Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Unpartitioned window over the ≤`buckets`-row histogram only.
+    val offs = bucketed.groupBy(col("bkt")).agg(sum(col("n")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    within.join(broadcast(offs), "bkt")
+      .select(col("doc_id"), col("n"),
+        (col("off") + col("wcum") - col("n")).as("start"))
+      .groupBy(expr(s"start div $seqLen").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+  }
 }

@@ -414,32 +414,8 @@ object SimilarityPack {
     // Output is the drop list with its evidence (how many better copies,
     // and the closest one's cosine).
     "dedup_semantic" -> ((s, d) => {
-      val assign = ivfAssign(s, d)
-      val pairs = assign.select(col("vec_id").as("i"), col("cid"))
-        .join(assign.select(col("vec_id").as("j"), col("cid")), "cid")
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j"))
-        // Spread the pair stream well past the session default so each
-        // task's join state stays small (the sf1 checkpoint OOM-retried
-        // here at 32 partitions); AQE coalesces the tail at tiny sf.
-        .repartition(256, col("i"), col("j"))
-      // Native-prefilter + exact-verify (the cosineNearDups discipline):
-      // the codegen'd cosine_sim expression scans PACKED arrays — O(Dim)
-      // per pair with no ×Dim posexplode fan-out, which is what makes
-      // the Σcell² pair stream affordable — and the exact decimal
-      // cosine then decides the threshold on the few survivors only, so
-      // both engines agree bitwise at the boundary.
-      val emb = Tables.embeddings(s, d)
-      val cand = pairs
-        .join(emb.select(col("vec_id").as("i"), col("embedding").as("va")), "i")
-        .join(emb.select(col("vec_id").as("j"), col("embedding").as("vb")), "j")
-        .filter(call_function("cosine_sim", col("va"), col("vb")) >= SemThresh - 1e-4)
-        .select(col("i"), col("j"))
-      cosineOf(comps(s, d), cand)
-        .filter(col("cosine") >= SemThresh)
-        .groupBy(col("j").as("vec_id"))
-        .agg(count(lit(1)).as("n_better_dups"),
-          max(col("cosine")).as("max_cosine"))
+      graft.api.Similarity.semanticDropList(Tables.embeddings(s, d),
+          "vec_id", "embedding", ivfAssign(s, d), SemThresh)
         .orderBy(col("vec_id"))
     })
   )

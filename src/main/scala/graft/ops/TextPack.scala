@@ -215,18 +215,9 @@ object TextPack {
     // 100 TB decontamination shape (eval sets are KB, corpora are TB).
     "text_contamination" -> ((s, d) => {
       val sh = DedupPack.shingleRows(s, d)
-      val probe = sh.filter(col("doc_id") <= ProbeDocs)
-        .select(col("sh")).distinct()
-      val tot = sh.filter(col("doc_id") > ProbeDocs)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      sh.filter(col("doc_id") > ProbeDocs)
-        .join(broadcast(probe), "sh")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_hit_shingles"))
-        .join(tot, "doc_id")
-        .select(col("doc_id"), col("n_hit_shingles"), col("n_shingles"),
-          round(col("n_hit_shingles") / col("n_shingles").cast("double"), 6)
-            .as("overlap_frac"))
+      graft.api.Text.contaminationFromShingles(
+          sh.filter(col("doc_id") > ProbeDocs),
+          sh.filter(col("doc_id") <= ProbeDocs))
         .orderBy(col("overlap_frac").desc, col("doc_id").asc)
         .limit(20)
     }),
@@ -239,35 +230,7 @@ object TextPack {
     // one posexplode + per-doc lead window (the text_bigram_lm idiom) —
     // per-doc-key shuffles only, linear in corpus size.
     "text_repetition" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val g = tok
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-      def gramStats(gram: org.apache.spark.sql.Column, pfx: String) =
-        g.filter(gram.isNotNull)
-          .groupBy(col("doc_id"), gram.as("gram"))
-          .agg(count(lit(1)).as("n"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("n")).as(s"${pfx}_total"),
-            count(lit(1)).as(s"${pfx}_distinct"),
-            max(col("n")).as(s"${pfx}_max"))
-      val b2 = gramStats(when(col("t1").isNotNull,
-        concat_ws(" ", col("tok"), col("t1"))), "b")
-      val b3 = gramStats(when(col("t2").isNotNull,
-        concat_ws(" ", col("tok"), col("t1"), col("t2"))), "t")
-      b2.join(b3, "doc_id")
-        .select(col("doc_id"),
-          round((col("b_total") - col("b_distinct")) /
-            col("b_total").cast("double"), 6).as("dup_bigram_frac"),
-          round(col("b_max") / col("b_total").cast("double"), 6)
-            .as("top_bigram_frac"),
-          round((col("t_total") - col("t_distinct")) /
-            col("t_total").cast("double"), 6).as("dup_trigram_frac"),
-          round(col("t_max") / col("t_total").cast("double"), 6)
-            .as("top_trigram_frac"))
+      graft.api.Text.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -282,28 +245,8 @@ object TextPack {
     // scale, same discipline as Analytics.gini / Sampling.denseIndex.
     // Output: per bin, how many documents start in it and their tokens.
     "text_pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
-      val mx = t.agg(max(col("doc_id")).as("mx"))
-      val bucketed = t.crossJoin(broadcast(mx))
-        .withColumn("bkt",
-          (col("doc_id") * PackBuckets / (col("mx") + 1)).cast("long"))
-      val within = bucketed.withColumn("wcum", sum(col("n")).over(
-        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // Unpartitioned window over the ≤PackBuckets-row bucket totals
-      // only — constant-size regardless of corpus scale.
-      val offs = bucketed.groupBy(col("bkt")).agg(sum(col("n")).as("tot"))
-        .withColumn("off", coalesce(sum(col("tot")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bkt"), col("off"))
-      within.join(broadcast(offs), "bkt")
-        .select(col("doc_id"), col("n"),
-          (col("off") + col("wcum") - col("n")).as("start"))
-        .groupBy(expr(s"start div $SeqLen").as("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      graft.api.Text.packSequences(Tables.documents(s, d), "doc_id", "text",
+          SeqLen, PackBuckets)
         .orderBy(col("bin"))
     })
   )

@@ -274,6 +274,52 @@ class ApiSpec extends SparkSpec {
     assert(sess == Set((1L, 2L, 50L), (1L, 2L, 49L), (2L, 1L, 0L)))
   }
 
+  test("text: repetitionMetrics computes Gopher fractions on a known doc") {
+    val docs = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("id", "body")
+    val got = Graft.text.repetitionMetrics(docs, "id", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1 bigrams: "a a","a a","a b" -> dup 1/3, top 2/3;
+    // trigrams: "a a a","a a b" -> dup 0, top 1/2.
+    assert(got(1L) == (0.333333, 0.666667, 0.0, 0.5), s"${got(1L)}")
+    // doc 2: nothing repeats.
+    assert(got(2L) == (0.0, 0.333333, 0.0, 0.5))
+  }
+
+  test("text: packSequences bins documents by global token prefix sums") {
+    val docs = Seq(
+      (1L, "t t t"), (2L, "t t"), (3L, "t t t t"), (4L, "t"), (5L, "t t"))
+      .toDF("id", "body")
+    val bins = Graft.text.packSequences(docs, "id", "body", seqLen = 4L, buckets = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // starts: 0,3,5,9,10 -> bins 0,0,1,2,2
+    assert(bins == Set((0L, 2L, 5L), (1L, 1L, 4L), (2L, 2L, 3L)), s"$bins")
+  }
+
+  test("text: contaminationFromShingles flags overlap against a probe set") {
+    val corpus = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z"))
+      .toDF("doc_id", "sh")
+    val probe = Seq((1L, "b c d"), (1L, "q q q")).toDF("doc_id", "sh")
+    val got = Graft.text.contaminationFromShingles(corpus, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((10L, 1L, 2L, 0.5)), s"${got.toSeq}")
+  }
+
+  test("similarity: semanticDropList keeps min id, drops in-cell near-dups only") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cell A
+      (2L, Array(1.0f, 0.0f)),   // cell A: identical to 1 -> dropped
+      (3L, Array(0.99f, 0.1f)),  // cell A: near 1 -> dropped
+      (4L, Array(1.0f, 0.0f)))   // cell B: identical to 1 but OTHER cell -> kept
+      .toDF("vid", "emb")
+    val cells = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L))
+      .toDF("vec_id", "cid")
+    val drops = Graft.similarity.semanticDropList(emb, "vid", "emb", cells,
+        threshold = 0.9, pairParts = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(drops == Set(2L, 3L), s"$drops")
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
