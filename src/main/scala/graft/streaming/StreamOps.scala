@@ -232,7 +232,10 @@ object StreamOps {
             var nB = 0L
             var nConv = 0L
             evs.foreach { e =>
-              if (e.event_type == stepA) lastA = e.ts_us
+              // max, not overwrite: within the sorted slice they agree,
+              // and a cross-batch straggler A older than the carried
+              // lastA must not regress it (batch keeps the max prior A).
+              if (e.event_type == stepA) lastA = math.max(lastA, e.ts_us)
               else if (e.event_type == stepB) {
                 nB += 1
                 if (lastA != Long.MinValue && e.ts_us - lastA <= windowUs) nConv += 1

@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, 1L, 1L), (2L, 1L, 0L)))
   }
 
+  test("stateful funnel: a straggler step-A cannot regress the carried lastA") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000)
+    val T = EventsPack.FunnelUs
+    val q = StreamOps.funnelStateful(df, "view", "purchase", T,
+        watermarkDelay = "10 hours")
+      .writeStream.format("memory").queryName("spec_funnel_straggler")
+      .outputMode("append").start()
+    val H = 3600L * 1000 * 1000
+    mem.addData((1L, 5 * H, "view"))
+    q.processAllAvailable()
+    // A late (but in-watermark) straggler view arrives with the next
+    // batch alongside a purchase within T of the NEWER carried view —
+    // the fold must keep max(A) like the batch window, not the last-seen.
+    mem.addData((1L, 4 * H, "view"), (1L, 5 * H + T / 2, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spec_funnel_straggler")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 1L)), s"${rows.toSeq}")
+  }
+
   test("session_window boundary: event exactly at gap starts a new session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]            // (ts_us, user)
