@@ -95,8 +95,15 @@ object SimilarityPack {
        |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
 
   /** 16-bit LSH bucket per vector: bit j = sign of dot(v, plane_j). */
+  // Session-cached: the bucket index is a prebuilt artifact queries
+  // PROBE (sim_lsh_buckets/sim_lsh_topk each reference it on BOTH sides
+  // of their self-join — uncached, one query built it twice; this was
+  // the worst sf1 scale ratio at 7.2× before caching, and it is already
+  // a Warm.scala entry so the build cost stays attributed).
   private[ops] def buckets(s: SparkSession, d: String): DataFrame =
-    graft.api.Similarity.lshBuckets(comps(s, d), planes(s))
+    DFCache.cached(s, s"sim.buckets:$d") {
+      graft.api.Similarity.lshBuckets(comps(s, d), planes(s))
+    }
 
   private val bucketsSql =
     s"""proj AS (SELECT c.vec_id, p.j,
