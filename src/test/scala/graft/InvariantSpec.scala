@@ -123,6 +123,51 @@ class InvariantSpec extends SparkSpec {
     assert(math.abs(got - want) < 5e-7, s"got $got want $want")
   }
 
+  test("packSequences on random corpora always matches the driver-side fold") {
+    // Randomized (seeded) inputs: sparse non-contiguous ids, docs of
+    // 1-20 tokens — the two-phase distributed prefix sum must equal a
+    // sequential fold for ANY input, not just the fixture.
+    for (seed <- Seq(7, 21)) {
+      val r = new scala.util.Random(seed)
+      val docs = (1 to 150).map { _ =>
+        (r.nextInt(100000).toLong, Seq.fill(1 + r.nextInt(20))("t").mkString(" "))
+      }.distinctBy(_._1)
+      val df = docs.toDF("id", "body")
+      val got = graft.api.Text.packSequences(df, "id", "body", seqLen = 16L, buckets = 8L)
+        .collect().map(r0 => r0.getLong(0) -> (r0.getLong(1), r0.getLong(2))).toMap
+      var cum = 0L
+      val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      docs.sortBy(_._1).foreach { case (_, body) =>
+        val n = body.split(" ").length.toLong
+        val bin = cum / 16
+        val (c, t) = want.getOrElse(bin, (0L, 0L))
+        want(bin) = (c + 1, t + n)
+        cum += n
+      }
+      assert(got == want.toMap, s"seed $seed: $got vs $want")
+    }
+  }
+
+  test("semanticDropList never drops a cell's minimum id on random input") {
+    val r = new scala.util.Random(11)
+    val emb = (1 to 60).map { i =>
+      (i.toLong, Array.fill(8)(r.nextFloat() * 2 - 1))
+    }
+    val cells = emb.map { case (id, _) => (id, (id % 5).toLong) }
+    val drops = graft.api.Similarity.semanticDropList(
+        emb.toDF("vid", "emb"), "vid", "emb",
+        cells.toDF("vec_id", "cid"), threshold = 0.5, pairParts = 8)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    val minPerCell = cells.groupBy(_._2).map { case (_, m) => m.map(_._1).min }.toSet
+    assert(minPerCell.forall(id => !drops.contains(id)),
+      "the keep-the-min-id rule can never drop a cell's min id")
+    val cellSize = cells.groupBy(_._2).map { case (c, m) => c -> m.size }
+    drops.foreach { case (id, n) =>
+      assert(n >= 1 && n <= cellSize((id % 5).toLong) - 1,
+        s"drop $id reports $n better copies, cell holds ${cellSize(id % 5)}")
+    }
+  }
+
   test("sequence packing conserves tokens and fills bins in order") {
     import graft.ops.TextPack
     val bins = TextPack.queries("text_pack_sequences")(spark, sf())
