@@ -15,12 +15,21 @@ object Bench {
     // JVM/codegen/shuffle warmup on throwaway data so the first measured
     // query isn't charged ~5 s of class loading and codegen compilation.
     // No fixture table is touched — no result data is pre-cached.
-    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm")
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
-      .write.mode("overwrite").parquet(warmDir)
-    val w = spark.read.parquet(warmDir)
+      .write.mode("overwrite").parquet(warmDir.toString)
+    val w = spark.read.parquet(warmDir.toString)
     w.groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).count()
     w.join(w.limit(10).hint("broadcast"), "k").count()
+    // The warmup actions above are complete (count() materialized), so the
+    // dir can go now — a long-running host otherwise accumulates graft_warm*.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(rmTree)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(warmDir)
     // Shared-intermediate warm pass: DFCache entries several queries
     // reuse are built HERE and reported as one explicit _shared_warmup
     // line (counted in the total), so per-query times are attributable
@@ -86,21 +95,34 @@ object Bench {
     // intermediate build time is its own top-level field. `value` (the
     // round-comparable total) INCLUDES shared_warmup — same semantics as
     // earlier rounds' totals — and `queries_total` is the pure per-query
-    // sum of the min times.
-    val queriesTotal = if (results.nonEmpty) results.values.sum else 0.0
+    // sum of the min times. Failed queries (negative time) are EXCLUDED
+    // from both totals: summing a negative marker would make a broken
+    // query read as a speedup to anyone diffing `value` across rounds.
+    // The `failed` list plus the negative per-query entries in the file
+    // artifact carry the failure signal.
+    val queriesTotal = results.values.filter(_ >= 0).sum
     val total = queriesTotal + sharedSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val common =
+    // Noise self-identification: count queries whose successful passes
+    // disagree by more than 3x (min-of-2 hides pass-2 load spikes — r3-r5
+    // each burned judge time re-deriving this from the runs array).
+    val skewed = selected.count { case (name, _) =>
+      val good = runs.map(_(name)).filter(_ >= 0.0)
+      good.size >= 2 && good.min > 0.0 && good.max / good.min > 3.0
+    }
+    val scalar =
       s""""metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
-        s""""passes":$passes,"failed":$failedJson,""" +
+        s""""passes":$passes,"failed":$failedJson,"max_over_min_gt3":$skewed,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
-        s""""queries_total":$queriesTotal,"queries":$qs,"sf":"$sfDir""""
-    // stdout is the driver contract and long lines have truncated there
-    // (round 4's captured line died mid-JSON) — so stdout carries the
-    // COMPACT line and the per-pass runs + per-entry warmup detail land
-    // only in the file artifact.
-    println(s"{$common}")
-    val line = s"""{$common,"shared_warmup_entries":$warmJson,"queries_runs":$runsJson}"""
+        s""""queries_total":$queriesTotal,"sf":"$sfDir""""
+    // stdout is the driver contract and long lines truncate there: its
+    // capture keeps only a ~2.2 KB tail, so rounds 1-5 all recorded
+    // "parsed": null from a line carrying the 124-entry per-query map.
+    // stdout now carries ONLY the scalar fields (~300 bytes); per-query
+    // detail (map, per-pass runs, warmup entries) lives solely in the
+    // SPARK_GRAFT_BENCH_OUT file artifact.
+    println(s"{$scalar}")
+    val line = s"""{$scalar,"queries":$qs,"shared_warmup_entries":$warmJson,"queries_runs":$runsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
