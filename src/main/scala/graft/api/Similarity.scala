@@ -69,7 +69,8 @@ object Similarity {
 
   /** IVF coarse assignment: nearest pivot per vector by native cosine
     * (pivot set from a k-means fit at scale; any seed frame works).
-    * Returns (vec_id, cell). */
+    * Returns (vec_id, cid) — the column name [[semanticDropList]]'s
+    * `cells` parameter joins on, so the output feeds it directly. */
   def ivfAssign(emb: DataFrame, id: String, vec: String, pivots: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     emb.crossJoin(broadcast(pivots.select(col("pivot_id"), col("pivot_vec"))))
@@ -78,7 +79,7 @@ object Similarity {
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("pivot_id").asc)))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("pivot_id").as("cell"))
+      .select(col("vec_id"), col("pivot_id").as("cid"))
   }
 
   /** Exact decimal pairwise cosine for given candidate pairs (i, j). */
@@ -124,6 +125,59 @@ object Similarity {
       .agg(count(lit(1)).as("n_better_dups"),
         max(col("cosine")).as("max_cosine"))
   }
+
+  /** Coarse quantizer sized for SemDeDup's k ∝ n contract (Abbas et al.
+    * 2023 fit 50k-110k clusters for exactly this reason): the cell count
+    * is DERIVED from a target cell size — k = ceil(n / targetCellSize) —
+    * so cells stay ~constant-sized as the corpus grows and
+    * [[semanticDropList]]'s within-cell sweep stays LINEAR in n
+    * (Σcell² ≈ n · targetCellSize), instead of quadratic under a fixed k.
+    *
+    * Seeds are the k hash-minimal ids (deterministic, order-free — a
+    * uniform sample under any id distribution), optionally refined by
+    * `lloydRounds` cosine-assign / cell-mean rounds. The single
+    * driver-side action is the sizing `count()` — k must be a plan
+    * constant (broadcast pivot frame, fixed seed limit), the same class
+    * of bounded action as the BSP convergence counts. At SemDeDup's
+    * production k the pivot frame is ~k·dim doubles (50k × 64 ≈ 25 MB) —
+    * still broadcastable; past that, assignment wants its own ANN probe,
+    * which is [[lshBuckets]]' job, not this one's.
+    * Returns (vec_id, cid) ready for [[semanticDropList]]. */
+  def sizedCells(emb: DataFrame, id: String, vec: String,
+      targetCellSize: Int, lloydRounds: Int = 2): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    val n = emb.count()
+    val k = math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+    val pivots = emb
+      .orderBy(h28(col(id).cast("string")).asc, col(id).asc)
+      .limit(k)
+      .select(col(id).as("pivot_id"), col(vec).as("pivot_vec"))
+    var assign = ivfAssign(emb, id, vec, pivots)
+    for (_ <- 1 to lloydRounds) {
+      // Cell means, re-packed to an array pivot frame: empty cells simply
+      // vanish (standard Lloyd), ids stay the seed ids for determinism.
+      val cm = components(emb, id, vec).join(assign, "vec_id")
+        .groupBy(col("cid"), col("pos"))
+        .agg((psum(col("v")) / count(lit(1))).as("cv"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("cid").as("pivot_id"),
+          expr("transform(pc, x -> x.cv)").as("pivot_vec"))
+      assign = ivfAssign(emb, id, vec, cm)
+    }
+    assign
+  }
+
+  /** [[semanticDropList]] under the k ∝ n knob: cells come from
+    * [[sizedCells]] at `targetCellSize`, so the pair sweep is linear in
+    * the corpus by construction. The fixture query keeps the oracle's
+    * fixed-k quantizer; this is the production entry point. */
+  def semanticDropListSized(emb: DataFrame, id: String, vec: String,
+      targetCellSize: Int, threshold: Double,
+      lloydRounds: Int = 2, pairParts: Int = 256): DataFrame =
+    semanticDropList(emb, id, vec,
+      sizedCells(emb, id, vec, targetCellSize, lloydRounds),
+      threshold, pairParts)
 
   /** Embedding-cosine near-duplicate pairs: native-expression prefilter
     * over all pairs with a small margin, exact decimal verify on the

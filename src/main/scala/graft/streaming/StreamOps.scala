@@ -199,10 +199,15 @@ object StreamOps {
     * passes it the state row is dropped, so the store is bounded by the
     * number of users ACTIVE within one funnel window, not by every user
     * ever seen. Users with no step-A yet keep no state at all. A step-B
-    * arriving after its user's state was evicted counts as unconverted —
-    * identical to the batch semantics, because an evicted `lastA` was by
-    * construction too old to satisfy `ts_b - lastA <= windowUs` for any
-    * event at-or-after the watermark. */
+    * whose event time is BELOW the watermark never reaches this operator
+    * at all — Spark drops sub-watermark rows before stateful operators
+    * (standard watermark semantics), so such stragglers are missing from
+    * `n_b` as well as `n_conv`, an undercount versus batch. The batch
+    * equivalence claimed above therefore holds exactly for events
+    * at-or-after the watermark: for those, a step-B arriving after its
+    * user's state was evicted counts as unconverted, because an evicted
+    * `lastA` was by construction too old to satisfy
+    * `ts_b - lastA <= windowUs` for any at-or-after-watermark event. */
   def funnelStateful(events: DataFrame, stepA: String, stepB: String,
       windowUs: Long, watermarkDelay: String = "1 hour"): DataFrame = {
     val s = events.sparkSession
