@@ -320,6 +320,50 @@ class ApiSpec extends SparkSpec {
     assert(drops == Set(2L, 3L), s"$drops")
   }
 
+  test("similarity: sizedCells keeps per-cell pair work ~flat as the corpus grows") {
+    // The k ∝ n contract: at a fixed targetCellSize, 4x the corpus must
+    // get ~4x the cells — NOT 4x the cell size — so the within-cell pair
+    // sweep (Σ cell²) stays linear in n. Measured as pairs-per-vector.
+    val r = new scala.util.Random(7)
+    def corpus(n: Int) = (1 to n).map { i =>
+      (i.toLong, Array.fill(8)(r.nextFloat() * 2 - 1))
+    }.toDF("vid", "emb")
+    def pairsPerVector(n: Int): Double = {
+      val cells = Graft.similarity.sizedCells(corpus(n), "vid", "emb",
+        targetCellSize = 50)
+      val sizes = cells.groupBy(col("cid")).count()
+        .collect().map(_.getLong(1))
+      assert(sizes.sum == n.toLong, "every vector lands in exactly one cell")
+      assert(sizes.length >= n / 50 / 2,
+        s"n=$n: expected ~${n / 50} cells, got ${sizes.length}")
+      sizes.map(c => c * (c - 1) / 2.0).sum / n
+    }
+    val small = pairsPerVector(400)
+    val large = pairsPerVector(1600)
+    // Fixed k would make this ratio ~4; the knob keeps it ~1 (cell-size
+    // skew under random seeds allows some slack, never the 4x signature).
+    assert(large / small < 2.5,
+      s"pairs/vector grew ${large / small}x for 4x data ($small -> $large)")
+  }
+
+  test("similarity: semanticDropListSized agrees with the fixed-cells form on its own cells") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 1.0f)))
+      .toDF("vid", "emb")
+    val sized = Graft.similarity.semanticDropListSized(emb, "vid", "emb",
+        targetCellSize = 2, threshold = 0.9, pairParts = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    val cells = Graft.similarity.sizedCells(emb, "vid", "emb", targetCellSize = 2)
+    val fixed = Graft.similarity.semanticDropList(emb, "vid", "emb", cells,
+        threshold = 0.9, pairParts = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(sized == fixed)
+    // Whatever the fitted cells, the keep-min-id rule holds: 1 and 3 are
+    // their duplicate-pair minima, so only 2 and/or 4 can ever drop.
+    assert(sized.subsetOf(Set(2L, 4L)), s"$sized")
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")

@@ -148,6 +148,64 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("partialRatio matches a plain-Scala best-window reference on random strings") {
+    // The window arithmetic (api/Search.scala partialRatio: substr is
+    // 1-based, nWin = Δlen+1, denominator = |shorter|) mirrored in
+    // straightforward Scala: the shorter string against every
+    // same-length window of the longer, best levenshtein ratio wins.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(x: String, y: String): Double = {
+      val (sh, lo) = if (x.length <= y.length) (x, y) else (y, x)
+      if (sh.isEmpty) 0.0
+      else (0 to lo.length - sh.length).map { i =>
+        round6(100.0 * (1.0 - lev(sh, lo.substring(i, i + sh.length)).toDouble / sh.length))
+      }.max
+    }
+    val alphabet = "ab c"
+    def randStr(maxLen: Int): String =
+      Seq.fill(rng.nextInt(maxLen + 1))(alphabet(rng.nextInt(alphabet.length))).mkString
+    // Randomized cases plus the edge shapes the advice flagged: empty
+    // sides, equal lengths (single window), and the off-by-one-prone
+    // Δlen = 1 boundary.
+    val cases = Seq.fill(300)((randStr(12), randStr(12))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("ab", "ba"), ("abc", "abcd"), ("a", "a a a"), (" ", "  "))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.api.Search.partialRatio(col("x"), col("y")).as("pr"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y),
+        s"partialRatio('$x','$y') = ${got((x, y))}, reference says ${ref(x, y)}")
+    }
+  }
+
+  test("partialRatio is symmetric and bounded on random strings") {
+    val alphabet = "xyz "
+    val pairs = Seq.fill(120)((
+      Seq.fill(rng.nextInt(10))(alphabet(rng.nextInt(4))).mkString,
+      Seq.fill(rng.nextInt(10))(alphabet(rng.nextInt(4))).mkString))
+    val rows = pairs.toDF("x", "y")
+      .select(graft.api.Search.partialRatio(col("x"), col("y")).as("xy"),
+        graft.api.Search.partialRatio(col("y"), col("x")).as("yx"))
+      .collect()
+    rows.foreach { r =>
+      val (xy, yx) = (r.getDouble(0), r.getDouble(1))
+      assert(xy == yx, s"asymmetric: $xy vs $yx")
+      assert(xy >= 0.0 && xy <= 100.0, s"out of range: $xy")
+    }
+  }
+
   test("semanticDropList never drops a cell's minimum id on random input") {
     val r = new scala.util.Random(11)
     val emb = (1 to 60).map { i =>
