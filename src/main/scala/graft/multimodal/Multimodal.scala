@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * with typed metadata, and decode / feature-extract / frame-sample as
   * per-partition batch operators over a typed Dataset.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * DETERMINISTIC FAKE (byte statistics in place of pixel decoding) —
-  * clearly marked; the Spark-side plumbing around it is the real thing:
-  * binary columns survive parquet round-trips, the typed Encoder schema
-  * is explicit, and extraction runs via mapPartitions so a real codec
-  * would amortize per-batch model/codec setup exactly here (the Scala
-  * analog of the reference's batched GPU inference, predicter.py:230).
+  * The decode step is PLUGGABLE: [[MediaDecoder]] is the seam a real
+  * codec slots into. The container has no image/audio codecs, so the
+  * default [[StubDecoder]] is a DETERMINISTIC FAKE (byte statistics in
+  * place of pixel decoding) — clearly marked; the Spark-side plumbing
+  * around it is the real thing: binary columns survive parquet
+  * round-trips, the typed Encoder schema is explicit, and extraction
+  * runs via mapPartitions so a real codec amortizes per-batch
+  * model/codec setup exactly here (the Scala analog of the reference's
+  * batched GPU inference, predicter.py:230).
   *
   * Payloads are synthesized from document text (UTF-8 bytes) since the
   * fixtures carry no true media; at 100 TB the payload column is the
@@ -38,6 +40,10 @@ object Multimodal {
   val FrameBytes  = 16
   val SampleEvery = 4
 
+  /** Session conf key naming the [[MediaDecoder]] implementation class
+    * (or Scala object, `...$` suffix) to decode with; unset → stub. */
+  val DecoderConfKey = "spark.graft.multimodal.decoder"
+
   /** documents → media table: payload = UTF-8 bytes, media type faked
     * from the doc id (even=image, odd=audio). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -49,11 +55,68 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB DECODER — deterministic fake standing in for a codec call.
-    * Real implementation would decode `payload` with an image/audio
-    * library; the byte statistics keep every downstream contract
-    * (schema, determinism, batch shape) testable without codecs. */
-  def decodeStub(row: MediaRow): MediaFeatures = {
+  /** Back-compat alias for the default decoder's decode step. */
+  def decodeStub(row: MediaRow): MediaFeatures = StubDecoder.decode(row)
+
+  /** The decoder an unconfigured session gets: [[DecoderConfKey]] names
+    * an implementation (a class with a no-arg constructor, or a Scala
+    * `object` via its `...$` class name); unset falls back to the stub.
+    * Conf-driven so cluster jobs swap decoders with a `--conf`, not a
+    * rebuild, and the `mm_*` queries stay unchanged. */
+  def resolveDecoder(s: SparkSession): MediaDecoder =
+    s.conf.getOption(DecoderConfKey).filter(_.nonEmpty) match {
+      case None => StubDecoder
+      case Some(cn) =>
+        val cls = Class.forName(cn, true, Thread.currentThread().getContextClassLoader)
+        if (cn.endsWith("$"))
+          cls.getField("MODULE$").get(null).asInstanceOf[MediaDecoder]
+        else cls.getDeclaredConstructor().newInstance().asInstanceOf[MediaDecoder]
+    }
+
+  /** Feature extraction over partitions — the batch boundary where a
+    * real codec/model initializes once per partition ([[MediaDecoder.open]]).
+    * The decoder is serialized into the task closure, standard Spark
+    * practice for per-partition resources. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      decoder.open()
+      rows.map(decoder.decode)
+    }
+  }
+
+  /** DataFrame view of extracted features for the query layer, using the
+    * session-configured decoder (stub by default). */
+  def featuresDF(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(s, dir), resolveDecoder(s)).toDF()
+}
+
+/** The decode seam: implement this to plug a real codec into the
+  * multimodal pipeline without touching the query layer — either pass
+  * an instance to [[Multimodal.extractFeatures]], or set
+  * [[Multimodal.DecoderConfKey]] to the implementation's class name and
+  * every `mm_*` query on that session uses it.
+  *
+  * Contract: `decode` must be deterministic per payload (downstream
+  * oracle checks and retried tasks both rely on it) and the instance
+  * must survive Java serialization into the task closure. */
+trait MediaDecoder extends Serializable {
+  /** Called once per partition before its rows decode — load codecs /
+    * models / native handles here, never in `decode`. Default no-op. */
+  def open(): Unit = ()
+
+  def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures
+}
+
+/** STUB DECODER — deterministic fake standing in for a codec call.
+  * A real implementation would decode `payload` with an image/audio
+  * library; the byte statistics keep every downstream contract
+  * (schema, determinism, batch shape) testable without codecs. */
+object StubDecoder extends MediaDecoder {
+  import Multimodal.{FrameBytes, MediaFeatures, MediaRow, SampleEvery}
+
+  def decode(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     var sum = 0L
     var i = 0
@@ -76,18 +139,4 @@ object Multimodal {
       if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length,
       nFrames, sampled, checksum)
   }
-
-  /** Feature extraction over partitions — the batch boundary where a real
-    * codec/model would be initialized once per partition. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // (real codec: initialize decoder/model here, once per partition)
-      rows.map(decodeStub)
-    }
-  }
-
-  /** DataFrame view of extracted features for the query layer. */
-  def featuresDF(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaTable(s, dir)).toDF()
 }

@@ -49,4 +49,62 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.featuresDF(spark, sf()).collect().toSeq.sortBy(_.getLong(0))
     assert(a == b)
   }
+
+  test("a custom decoder injects via conf and flows through unchanged mm_* queries") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set(Multimodal.DecoderConfKey, classOf[HalfFrameDecoder].getName)
+    try {
+      // resolveDecoder honors the conf...
+      assert(Multimodal.resolveDecoder(spark).isInstanceOf[HalfFrameDecoder])
+      // ...and the UNMODIFIED query surface picks it up: n_frames halves.
+      val custom = graft.ops.MultimodalPack.queries("mm_decode_features")(spark, sf())
+        .select(col("doc_id"), col("n_frames"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      spark.conf.unset(Multimodal.DecoderConfKey)
+      val stub = graft.ops.MultimodalPack.queries("mm_decode_features")(spark, sf())
+        .select(col("doc_id"), col("n_frames"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(custom.keySet == stub.keySet && custom.nonEmpty)
+      assert(custom.forall { case (id, nf) => nf == stub(id) / 2 })
+    } finally spark.conf.unset(Multimodal.DecoderConfKey)
+  }
+
+  test("a Scala-object decoder resolves through its MODULE$ class name") {
+    spark.conf.set(Multimodal.DecoderConfKey, graft.ObjectDecoder.getClass.getName)
+    try assert(Multimodal.resolveDecoder(spark) eq graft.ObjectDecoder)
+    finally spark.conf.unset(Multimodal.DecoderConfKey)
+  }
+
+  test("open() runs before decode on every partition") {
+    val media = Multimodal.mediaTable(spark, sf()).repartition(4)
+    val got = Multimodal.extractFeatures(media, new OpenCountingDecoder).collect()
+    // Each row decoded AFTER its partition's open(): the decoder marks
+    // rows decoded-before-open with media_type "NOT_OPENED".
+    assert(got.nonEmpty && got.forall(_.media_type != "NOT_OPENED"))
+  }
+}
+
+/** Test decoder: halves the frame count (as if frames were 2x the stub's
+  * width) — distinguishable from the stub on any multi-frame payload. */
+class HalfFrameDecoder extends graft.multimodal.MediaDecoder {
+  def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    val f = graft.multimodal.StubDecoder.decode(row)
+    f.copy(n_frames = f.n_frames / 2, n_sampled = f.n_sampled / 2)
+  }
+}
+
+/** Test decoder defined as a Scala object (resolved via `...$`). */
+object ObjectDecoder extends graft.multimodal.MediaDecoder {
+  def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures =
+    graft.multimodal.StubDecoder.decode(row)
+}
+
+/** Test decoder proving the per-partition open() ordering contract. */
+class OpenCountingDecoder extends graft.multimodal.MediaDecoder {
+  @transient private var opened = false
+  override def open(): Unit = { opened = true }
+  def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    val f = graft.multimodal.StubDecoder.decode(row)
+    if (opened) f else f.copy(media_type = "NOT_OPENED")
+  }
 }
