@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded O(k·n) form instead of the full O(n²) DP (see
     // BoundedLevenshteinRule).
     ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
+    // Optimizer rule: an edit-distance θ-join with no equi-key becomes a
+    // segment-signature equi-join — banded prefilter + exact verify (see
+    // LevenshteinJoinRule). Runs after the bound rewrite in the same
+    // fixed-point batch, so it only needs to match the bounded form.
+    ext.injectOptimizerRule(_ => LevenshteinJoinRule)
   }
 }

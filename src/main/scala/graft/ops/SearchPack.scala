@@ -141,6 +141,28 @@ object SearchPack {
       graft.api.Search.blockedSimJoin(Tables.customer(s, d),
           "c_custkey", "c_name", nm => substring(nm, -2, 2), maxDist = 1)
         .orderBy(col("i"), col("j")).limit(5000)
+    }),
+
+    // The auto-derived form of the blocked sim-join: the query spells the
+    // NATURAL theta-join — no hand blocking — and graft.ext
+    // .LevenshteinJoinRule rewrites it into a segment-signature equi-join
+    // (PassJoin pigeonhole: distance <= 1 implies one of 2 even segments
+    // survives verbatim within +-1 positions), then verifies with the
+    // bounded DP. PlanSpec asserts the physical plan carries no
+    // nested-loop join. Unlike search_blocked_simjoin's substring block
+    // (a recall heuristic), the derived block is SOUND: this is the
+    // exact edit-distance join, which is why the oracle can be the
+    // all-pairs DuckDB form.
+    "search_lev_autojoin" -> ((s, d) => {
+      val names = Tables.customer(s, d)
+        .select(col("c_custkey"), norm(col("c_name")).as("nm"))
+      val a = names.select(col("c_custkey").as("i"), col("nm").as("na"))
+      val b = names.select(col("c_custkey").as("j"), col("nm").as("nb"))
+      a.join(b, col("i") < col("j") &&
+          levenshtein(col("na"), col("nb")) <= 1)
+        .select(col("i"), col("j"),
+          levenshtein(col("na"), col("nb")).as("dist"))
+        .orderBy(col("i"), col("j")).limit(5000)
     })
   )
 
@@ -184,6 +206,16 @@ object SearchPack {
          |blk AS (SELECT id, nm, substr(nm, length(nm) - 1, 2) AS blk FROM names)
          |SELECT a.id AS i, b.id AS j, levenshtein(a.nm, b.nm) AS dist
          |FROM blk a JOIN blk b ON a.blk = b.blk AND a.id < b.id
+         |WHERE levenshtein(a.nm, b.nm) <= 1
+         |ORDER BY i, j LIMIT 5000""".stripMargin,
+
+    // all-pairs in DuckDB (sound blocking means the exact join), blocked
+    // equi-join in Spark via LevenshteinJoinRule
+    "search_lev_autojoin" ->
+      s"""WITH names AS (SELECT c_custkey AS id, ${normSql("c_name")} AS nm
+         |  FROM customer)
+         |SELECT a.id AS i, b.id AS j, levenshtein(a.nm, b.nm) AS dist
+         |FROM names a JOIN names b ON a.id < b.id
          |WHERE levenshtein(a.nm, b.nm) <= 1
          |ORDER BY i, j LIMIT 5000""".stripMargin
   )

@@ -38,6 +38,76 @@ class ExtensionsSpec extends SparkSpec {
     assert(!viaRule.contains((1L, 4L)))
   }
 
+  test("edit-distance theta-join rewrites to a segment-signature equi-join") {
+    val a = names.select(col("id").as("i"), col("nm").as("na"))
+    val b = names.select(col("id").as("j"), col("nm").as("nb"))
+    val q = a.join(b, col("i") < col("j") &&
+      levenshtein(col("na"), col("nb")) <= 1)
+    // logical: the join gained Generate(explode) inputs and equi-keys
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Generate explode"),
+      s"no segment explode in:\n$optimized")
+    // physical: an equi-join, NOT a nested-loop over all pairs
+    val phys = q.queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"still a nested-loop join:\n$phys")
+  }
+
+  test("segment-signature rewrite keeps exact results and multiplicity") {
+    // duplicate rows on purpose: (1,customer#01) vs TWO copies of id-5's
+    // identical string must yield both pairs; each pair exactly once.
+    val withDup = names.union(Seq((6L, "customer#02")).toDF("id", "nm"))
+    val a = withDup.select(col("id").as("i"), col("nm").as("na"))
+    val b = withDup.select(col("id").as("j"), col("nm").as("nb"))
+    def run(): Seq[(Long, Long)] = a.join(b, col("i") < col("j") &&
+        levenshtein(col("na"), col("nb")) <= 1)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val viaRule = run()
+    spark.conf.set("spark.graft.levjoin.enabled", "false")
+    val ground = try run() finally
+      spark.conf.set("spark.graft.levjoin.enabled", "true")
+    assert(viaRule == ground, s"rule changed results:\n$viaRule\nvs\n$ground")
+    assert(viaRule.size == viaRule.distinct.size, "duplicate pairs emitted")
+    assert(viaRule.contains((2L, 6L)) && viaRule.contains((1L, 6L)))
+  }
+
+  test("segment-signature rewrite agrees with ground truth on random strings") {
+    val rnd = new scala.util.Random(421)
+    def randStr(): String = {
+      val n = rnd.nextInt(8) // includes empty and shorter-than-k+1 strings
+      (0 until n).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+    }
+    val rows = (1L to 60L).map(id => (id, randStr()))
+    val df = rows.toDF("id", "nm")
+    for (k <- Seq(1, 2)) {
+      val a = df.select(col("id").as("i"), col("nm").as("na"))
+      val b = df.select(col("id").as("j"), col("nm").as("nb"))
+      def run(): Set[(Long, Long)] = a.join(b, col("i") < col("j") &&
+          levenshtein(col("na"), col("nb")) <= k)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaRule = run()
+      spark.conf.set("spark.graft.levjoin.enabled", "false")
+      val ground = try run() finally
+        spark.conf.set("spark.graft.levjoin.enabled", "true")
+      assert(viaRule == ground,
+        s"k=$k mismatch: missing=${ground -- viaRule} extra=${viaRule -- ground}")
+    }
+  }
+
+  test("theta-join with an existing equi-key is left alone") {
+    val a = names.select(col("id").as("i"), col("nm").as("na"),
+      (col("id") % 2).as("ka"))
+    val b = names.select(col("id").as("j"), col("nm").as("nb"),
+      (col("id") % 2).as("kb"))
+    val q = a.join(b, col("ka") === col("kb") && col("i") < col("j") &&
+      levenshtein(col("na"), col("nb")) <= 1)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Generate explode"),
+      s"rule fired despite an equi-key:\n$optimized")
+  }
+
   test("strict < and = comparisons rewrite without changing results") {
     val base = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),

@@ -148,6 +148,12 @@ class PlanSpec extends SparkSpec {
     val p3 = planOf(graft.ops.SearchPack.queries("search_blocked_simjoin")(spark, sf()))
     assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"),
       "blocked sim join must never plan an all-pairs product")
+    // The auto-derived sim-join: the query is a natural theta-join, so
+    // only LevenshteinJoinRule's segment-signature rewrite keeps a
+    // nested-loop out of the plan.
+    val p4 = planOf(graft.ops.SearchPack.queries("search_lev_autojoin")(spark, sf()))
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      "the edit-distance theta-join must be rewritten to an equi-join")
   }
 
   test("clustering coefficient and merge-upsert plan equi-joins only") {

@@ -47,12 +47,27 @@ def type_mismatch(con, out_dir, name, sql):
             for c in set(got) | set(want) if got.get(c) != want.get(c)}
 
 def main(out_dir, sf_dir):
+    import os, time
+    # Sweep knobs (both optional): CHECK_ONLY=<substr,substr> restricts to
+    # matching query names; CHECK_SKIP=<substr,substr> drops names whose
+    # DuckDB twin is infeasible at the current scale (e.g. the all-pairs
+    # levenshtein oracle at sf1); CHECK_TIMES=1 prints per-query seconds.
+    only = [s for s in os.environ.get("CHECK_ONLY", "").split(",") if s]
+    skip = [s for s in os.environ.get("CHECK_SKIP", "").split(",") if s]
+    times = os.environ.get("CHECK_TIMES") == "1"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if only and not any(s in name for s in only):
+            continue
+        if any(s in name for s in skip):
+            print(f"SKIP {name} (CHECK_SKIP)")
+            n_skip += 1
+            continue
+        t0 = time.time()
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
@@ -81,9 +96,11 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            suffix = f" [{time.time() - t0:.1f}s]" if times else ""
+            print(f"PASS {name} ({len(g)} rows){suffix}", flush=True)
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skipped = f", {n_skip} skip" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
