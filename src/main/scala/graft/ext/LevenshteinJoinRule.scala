@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
-/** Optimizer rule: thresholded edit-distance θ-joins become segment-signature
+/** Optimizer rule: thresholded edit-distance θ-joins become signature
   * equi-joins (banded prefilter + exact verify), automatically.
   *
   * `A join B on levenshtein(a, b) <= k` has no equi-key, so Spark plans a
@@ -17,30 +17,51 @@ import org.apache.spark.sql.types._
   * fuzzy_search.py:54-60); this rule derives that shape for ANY user query
   * that spells the predicate the natural way, using a blocking key that is
   * SOUND for edit distance (substring blocks are not: an edit can change
-  * any chosen block).
+  * any chosen block). Two signature schemes, picked by
+  * `spark.graft.levjoin.strategy` (auto | deletion | segment):
   *
-  * Pigeonhole (PassJoin, Li et al., VLDB 2011): split `a` into k+1
-  * contiguous segments; ≤ k edits can touch at most k of them, so some
-  * segment survives VERBATIM in `b`, shifted by at most k positions (a
-  * shift is one insertion/deletion before the segment). Therefore
+  * **Deletion neighborhood** (k = 1; FastSS, Bocek et al. 2007, after
+  * Mor & Fraenkel 1982): sigs(s) = {s} ∪ {s minus char i : i a run
+  * start}. Two strings at distance ≤ 1 share a signature (substitution at
+  * p: delete p from both; indel: the shorter string IS a deletion
+  * signature of the longer), and restricting to run starts enumerates
+  * each DISTINCT one-deletion neighbor exactly once, which makes the
+  * shared distinct signature UNIQUE for every pair at distance exactly 1
+  * (equal pairs share everything and are pinned to the identity×identity
+  * coordinate by a row-local conjunct). So
+  *
+  *   explode both sides: (pos ∈ {-1} ∪ run-starts, sig)   — ≤ len+1 rows
+  *   equi-join on sig; keep (pos_a = pos_b = -1) iff a = b;
+  *   verify levenshtein(a, b, 1) >= 0
+  *
+  * emits each qualifying pair exactly once with no dedup aggregate. The
+  * key is a near-unique string, so the join stays selective even when the
+  * whole corpus shares a long literal prefix (ids, URLs, "customer#…") —
+  * the distribution where positional segments collapse to one hot key and
+  * the equi-join degenerates to the |A|·|B| scan it was meant to replace
+  * (caught by the sf1 scale checkpoint). Cost: ~runs(s)+1 explode rows of
+  * ~len bytes each, i.e. O(len²) shuffle bytes per row — the right trade
+  * for short join keys; for long strings force `segment`.
+  *
+  * **Positional segments** (k ≥ 2; PassJoin, Li et al., VLDB 2011): split
+  * `a` into k+1 contiguous segments; ≤ k edits leave some segment
+  * surviving VERBATIM in `b`, shifted by at most k positions. Therefore
   *
   *   explode A:  (len(a), i, segment_i(a))                 — k+1 rows
   *   explode B:  (lcand, i, substr(b, start_i(lcand)+δ, len_i(lcand)))
   *               for lcand ∈ len(b)±k, i ∈ 0..k, δ ∈ -k..k — (k+1)(2k+1)² rows
   *   equi-join on the triple, verify levenshtein(a, b, k) >= 0
   *
-  * never loses a qualifying pair, and the join is hash-partitionable on the
-  * segment string — the shape that survives 1000 executors. Output
-  * multiplicity is exact: a pair may match on several (i, δ) coordinates,
-  * so a row-local conjunct keeps only the lexicographically smallest
-  * matching coordinate (unrolled — k is a literal), making each qualifying
-  * (a-row, b-row) pair appear exactly once with NO dedup aggregate and no
-  * reliance on row ids.
+  * with exact output multiplicity: a pair may match on several (i, δ)
+  * coordinates, so a row-local conjunct keeps only the lexicographically
+  * smallest matching coordinate (unrolled — k is a literal). Explode
+  * fanout is constant and each signature is ~len/(k+1) bytes — O(len)
+  * shuffle bytes per row — but positional segments inherit the corpus's
+  * entropy: a shared prefix puts every row in one bucket.
   *
   * Fires only when the join has no other equi-conjunct (else Spark already
   * hash-joins and the explode would only add cost) and k ≤
-  * `spark.graft.levjoin.maxThreshold` (default 2 — right-side fanout is
-  * (k+1)(2k+1)², i.e. 18× at k=1, 75× at k=2). Disable with
+  * `spark.graft.levjoin.maxThreshold` (default 2). Disable with
   * `spark.graft.levjoin.enabled=false`.
   *
   * Note: at k=2 the 75-struct explode exceeds janino's method-size limit,
@@ -54,6 +75,9 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     SQLConf.get.getConfString("spark.graft.levjoin.enabled", "true").toBoolean
   private def maxK: Int =
     SQLConf.get.getConfString("spark.graft.levjoin.maxThreshold", "2").toInt
+  /** auto → deletion for k=1 (skew-proof), segment for k≥2. */
+  private def strategy: String =
+    SQLConf.get.getConfString("spark.graft.levjoin.strategy", "auto")
 
   /** floor((i*len)/(k+1)) on non-negative operands, as IntegerType. */
   private def segStart(len: Expression, i: Int, k: Int): Expression =
@@ -138,6 +162,67 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case None => j
           case Some((a, b, k, pred)) =>
             val residual = conjuncts.filterNot(_ eq pred)
+            val useDeletion = strategy match {
+              case "deletion" => k == 1
+              case "segment"  => false
+              case _          => k == 1 // auto
+            }
+            if (useDeletion)
+              deletionRewrite(j, left, right, a, b, pred, residual)
+            else
+              segmentRewrite(j, left, right, a, b, k, pred, residual)
+        }
+    }
+  }
+
+  /** One side of the deletion-neighborhood join: explode `s` into
+    * (pos, sig) rows — pos = -1 carries the identity signature (sig = s),
+    * pos = i ≥ 0 the string minus its i-th char, generated only at run
+    * starts (i = 0 or s[i] ≠ s[i-1]) so each distinct neighbor appears
+    * exactly once. A null `s` explodes to no rows (inner-join semantics).
+    */
+  private def deletionSide(plan: LogicalPlan, s: Expression, tag: String)
+      : (LogicalPlan, Attribute, Attribute) = {
+    val pos = AttributeReference(s"__graft_${tag}pos", IntegerType, nullable = false)()
+    // timeZoneId must be pre-filled: the analyzer's ResolveTimeZone has
+    // already run, and an unresolved TimeZoneAwareExpression fails the
+    // optimizer's plan-validation (integer sequences never consult it).
+    val gen = Generate(
+      Explode(Sequence(Literal(-1), Subtract(Length(s), Literal(1)), None,
+        Some(SQLConf.get.sessionLocalTimeZone))),
+      Nil, outer = false, None, Seq(pos), plan)
+    val runStart = Or(LessThanOrEqual(pos, Literal(0)),
+      Not(EqualTo(Substring(s, Add(pos, Literal(1)), Literal(1)),
+        Substring(s, pos, Literal(1)))))
+    val sig = If(EqualTo(pos, Literal(-1)), s,
+      Concat(Seq(Substring(s, Literal(1), pos),
+        Substring(s, Add(pos, Literal(2)), Length(s)))))
+    val sigAl = Alias(sig, s"__graft_${tag}sig")()
+    val proj = Project(plan.output ++ Seq(pos, sigAl), Filter(runStart, gen))
+    (proj, pos, sigAl.toAttribute)
+  }
+
+  private def deletionRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      a: Expression, b: Expression, pred: Expression,
+      residual: Seq[Expression]): LogicalPlan = {
+    val (leftD, lpos, lsig) = deletionSide(left, a, "l")
+    val (rightD, rpos, rsig) = deletionSide(right, b, "r")
+    // Equal pairs share every signature; pin them to the identity
+    // coordinate. Distance-1 pairs share exactly ONE distinct signature
+    // (substitution at p: all matching deletion coordinates produce the
+    // same string delete(a,p) = delete(b,p); indel: the one run-start
+    // deletion of the longer side), so no further dedup is needed; the
+    // verify predicate rejects distance ≥ 2 signature collisions.
+    val eqPin = Or(Not(EqualTo(a, b)),
+      And(EqualTo(lpos, Literal(-1)), EqualTo(rpos, Literal(-1))))
+    val newCond =
+      (Seq(EqualTo(lsig, rsig), pred, eqPin) ++ residual).reduce(And)
+    Project(j.output, Join(leftD, rightD, Inner, Some(newCond), JoinHint.NONE))
+  }
+
+  private def segmentRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      a: Expression, b: Expression, k: Int, pred: Expression,
+      residual: Seq[Expression]): LogicalPlan = {
             val lenA = Length(a)
             val lenB = Length(b)
 
@@ -191,7 +276,5 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
             val newCond = (keys ++ Seq(pred) ++ minMatch ++ residual).reduce(And)
             Project(j.output, Join(leftG, rightG, Inner, Some(newCond), JoinHint.NONE))
-        }
-    }
   }
 }

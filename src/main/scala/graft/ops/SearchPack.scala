@@ -145,10 +145,11 @@ object SearchPack {
 
     // The auto-derived form of the blocked sim-join: the query spells the
     // NATURAL theta-join — no hand blocking — and graft.ext
-    // .LevenshteinJoinRule rewrites it into a segment-signature equi-join
-    // (PassJoin pigeonhole: distance <= 1 implies one of 2 even segments
-    // survives verbatim within +-1 positions), then verifies with the
-    // bounded DP. PlanSpec asserts the physical plan carries no
+    // .LevenshteinJoinRule rewrites it into a signature equi-join
+    // (k=1: deletion-neighborhood signatures — skew-proof on this
+    // corpus's shared "customer#" prefix, where positional segments
+    // collapse to one hot key; k>=2: PassJoin segments), then verifies
+    // with the bounded DP. PlanSpec asserts the physical plan carries no
     // nested-loop join. Unlike search_blocked_simjoin's substring block
     // (a recall heuristic), the derived block is SOUND: this is the
     // exact edit-distance join, which is why the oracle can be the

@@ -38,23 +38,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(!viaRule.contains((1L, 4L)))
   }
 
-  test("edit-distance theta-join rewrites to a segment-signature equi-join") {
+  test("edit-distance theta-join rewrites to a signature equi-join") {
     val a = names.select(col("id").as("i"), col("nm").as("na"))
     val b = names.select(col("id").as("j"), col("nm").as("nb"))
     val q = a.join(b, col("i") < col("j") &&
       levenshtein(col("na"), col("nb")) <= 1)
-    // logical: the join gained Generate(explode) inputs and equi-keys
+    // logical: the join gained Generate(explode) inputs and equi-keys;
+    // k=1 takes the deletion-neighborhood path (skew-proof signatures)
     val optimized = q.queryExecution.optimizedPlan.toString
     assert(optimized.contains("Generate explode"),
-      s"no segment explode in:\n$optimized")
+      s"no signature explode in:\n$optimized")
+    assert(optimized.contains("__graft_lsig"),
+      s"k=1 should use deletion-neighborhood signatures:\n$optimized")
     // physical: an equi-join, NOT a nested-loop over all pairs
     val phys = q.queryExecution.sparkPlan.toString
     assert(!phys.contains("BroadcastNestedLoopJoin") &&
       !phys.contains("CartesianProduct"),
       s"still a nested-loop join:\n$phys")
+    // forced segment strategy produces the positional-segment shape
+    spark.conf.set("spark.graft.levjoin.strategy", "segment")
+    try {
+      val seg = a.join(b, col("i") < col("j") &&
+          levenshtein(col("na"), col("nb")) <= 1)
+        .queryExecution.optimizedPlan.toString
+      assert(seg.contains("__graft_lseg"),
+        s"strategy=segment ignored:\n$seg")
+    } finally spark.conf.unset("spark.graft.levjoin.strategy")
   }
 
-  test("segment-signature rewrite keeps exact results and multiplicity") {
+  test("signature rewrite keeps exact results and multiplicity") {
     // duplicate rows on purpose: (1,customer#01) vs TWO copies of id-5's
     // identical string must yield both pairs; each pair exactly once.
     val withDup = names.union(Seq((6L, "customer#02")).toDF("id", "nm"))
@@ -73,7 +85,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaRule.contains((2L, 6L)) && viaRule.contains((1L, 6L)))
   }
 
-  test("segment-signature rewrite agrees with ground truth on random strings") {
+  test("signature rewrite agrees with ground truth on random strings") {
     val rnd = new scala.util.Random(421)
     def randStr(): String = {
       val n = rnd.nextInt(8) // includes empty and shorter-than-k+1 strings
@@ -81,18 +93,26 @@ class ExtensionsSpec extends SparkSpec {
     }
     val rows = (1L to 60L).map(id => (id, randStr()))
     val df = rows.toDF("id", "nm")
-    for (k <- Seq(1, 2)) {
+    // k=1 under both strategies (auto = deletion neighborhood, forced
+    // segment) and k=2 (segment); a low-alphabet corpus with empty and
+    // near-equal strings stresses run-start dedup and shift handling.
+    for ((k, strat) <- Seq((1, "auto"), (1, "segment"), (2, "auto"))) {
       val a = df.select(col("id").as("i"), col("nm").as("na"))
       val b = df.select(col("id").as("j"), col("nm").as("nb"))
-      def run(): Set[(Long, Long)] = a.join(b, col("i") < col("j") &&
+      def run(): Seq[(Long, Long)] = a.join(b, col("i") < col("j") &&
           levenshtein(col("na"), col("nb")) <= k)
-        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val viaRule = run()
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      spark.conf.set("spark.graft.levjoin.strategy", strat)
+      val viaRule = try run() finally
+        spark.conf.unset("spark.graft.levjoin.strategy")
       spark.conf.set("spark.graft.levjoin.enabled", "false")
       val ground = try run() finally
         spark.conf.set("spark.graft.levjoin.enabled", "true")
       assert(viaRule == ground,
-        s"k=$k mismatch: missing=${ground -- viaRule} extra=${viaRule -- ground}")
+        s"k=$k strat=$strat mismatch: missing=${ground.toSet -- viaRule.toSet} " +
+          s"extra=${viaRule.toSet -- ground.toSet} " +
+          s"dupes=${viaRule.diff(viaRule.distinct).distinct}")
     }
   }
 
