@@ -133,6 +133,83 @@ object Text {
           .as("top_trigram_frac"))
   }
 
+  /** PII patterns shared by [[piiRedact]] and its DuckDB oracle twin —
+    * the RE2-compatible core (no lookahead/backreferences) so Java regex
+    * (Spark) and RE2 (DuckDB) match identically. */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePattern = """\b\d{2,3}-\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Pattern  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** PII redaction — the scrub step every public-corpus build runs
+    * before training (emails / phone numbers / IPv4 literals →
+    * placeholder tags). Pure per-row regex work inside whole-stage
+    * codegen: no shuffle, one corpus pass, trivially linear at any
+    * scale. Emails are redacted FIRST so their digit-bearing domains
+    * can't be re-matched as phone/IP fragments; match counts are taken
+    * on the raw text. Returns (doc_id, n_emails, n_phones, n_ipv4,
+    * redacted). */
+  def piiRedact(corpus: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    corpus.select(col(id).as("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).as("n_ipv4"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+  }
+
+  /** URL pattern shared by [[urlRows]] and the oracle: scheme + host,
+    * then any run of non-space/non-delimiter path chars. (No quote
+    * chars in the class so the pattern embeds verbatim in SQL.) */
+  val UrlPattern = """https?://[A-Za-z0-9.-]+[^ "<>]*"""
+
+  /** Explode every URL mention out of a corpus — (doc_id, url, domain)
+    * rows. Per-row regex extraction in codegen + one explode: linear,
+    * no shuffle. The domain column is what blocklist / reputation
+    * filters key on (C4's badwords-domain filter, Dolma's URL filter);
+    * join it against a broadcast blocklist downstream. */
+  def urlRows(corpus: DataFrame, id: String, text: String): DataFrame =
+    corpus
+      .select(col(id).as("doc_id"),
+        explode(regexp_extract_all(col(text), lit(UrlPattern), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Per-domain corpus stats with a broadcast blocklist filter — the
+    * domain-level gate of a web-corpus build: how many URL mentions and
+    * how many distinct documents cite each allowed domain. One shuffle
+    * (the domain groupBy); the blocklist is a local Seq (eval-set-sized,
+    * KB) folded into the scan filter. */
+  def urlDomainStats(corpus: DataFrame, id: String, text: String,
+      blocklist: Seq[String]): DataFrame =
+    urlRows(corpus, id, text)
+      .filter(!col("domain").isin(blocklist: _*))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Token-level Shannon entropy per document — the information-theoretic
+    * quality gate (near-zero entropy ⇒ one token repeated ⇒ spam;
+    * complements the Gopher repetition fractions). H = ln(N) − Σc·ln(c)/N
+    * over token frequencies c; the Σc·ln(c) sum runs through exact
+    * decimals so the double result is accumulation-order-independent
+    * (the same determinism trick as the BM25/bigram scores). Two hash
+    * aggregations on doc-keys: linear, skew-free. */
+  def tokenEntropy(corpus: DataFrame, id: String, text: String): DataFrame =
+    corpus
+      .select(col(id).as("doc_id"), explode(tokens(col(text))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum((col("c") * log(col("c").cast("double")))
+              .cast("decimal(28,15)")).cast("double") /
+              sum(col("c")).cast("double"),
+          6).as("entropy"))
+
   /** Training-sequence packing (concat-and-chunk): documents concatenate
     * in ascending `id` order and chunk every `seqLen` whitespace tokens;
     * a document belongs to the bin holding its first token. The global

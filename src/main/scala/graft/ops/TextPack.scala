@@ -33,6 +33,10 @@ object TextPack {
   private val ProbeDocs = 5L
   /** Token budget per packed training sequence (text_pack_sequences). */
   private val SeqLen = 512L
+  /** Domain blocklist of the text_url_domains query (the C4/Dolma-style
+    * URL gate); mirror.example.com is guaranteed present in the derived
+    * corpus so the filter provably removes rows. */
+  private val UrlBlocklist = Seq("mirror.example.com", "ads.example.com")
   /** Range buckets of the two-phase global prefix sum in
     * text_pack_sequences (same discipline as Analytics.gini /
     * Sampling.denseIndex: per-bucket window + histogram offsets, never a
@@ -248,8 +252,84 @@ object TextPack {
       graft.api.Text.packSequences(Tables.documents(s, d), "doc_id", "text",
           SeqLen, PackBuckets)
         .orderBy(col("bin"))
+    }),
+
+    // PII REDACTION — the scrub pass (emails/phones/IPv4 → placeholder
+    // tags) every public-corpus build runs before training. The fixture
+    // tables carry no organic PII, so the query derives a deterministic
+    // contact-card text from customer-key arithmetic (identical CASE/
+    // concat logic in the oracle: both engines redact the same input) —
+    // the operator itself (graft.api.Text.piiRedact) is generic and
+    // pure per-row codegen'd regex work, no shuffle at any scale.
+    "text_pii_redact" -> ((s, d) => {
+      graft.api.Text.piiRedact(piiProfiles(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL DOMAIN GATE — extract every URL mention, key by domain, drop
+    // blocklisted domains (the C4 badwords-domain / Dolma URL filter
+    // shape). URL-bearing text is derived deterministically from
+    // (source, doc_id) arithmetic; extraction is per-row regex in
+    // codegen + one explode, the only shuffle is the domain groupBy,
+    // and the blocklist folds into the scan filter (eval-set-sized).
+    "text_url_domains" -> ((s, d) => {
+      graft.api.Text.urlDomainStats(urlCorpus(s, d), "doc_id", "text",
+          UrlBlocklist)
+        .orderBy(col("n_urls").desc, col("domain").asc)
+    }),
+
+    // Token-level Shannon ENTROPY per document — the information-
+    // theoretic quality gate (near-zero entropy = one token repeated =
+    // spam; complements the Gopher repetition fractions). Two hash
+    // aggregations on doc keys; the c·ln(c) mass sums through exact
+    // decimals so the double score is accumulation-order-independent.
+    "text_token_entropy" -> ((s, d) => {
+      graft.api.Text.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Deterministic PII-bearing contact cards derived from customer-key
+    * arithmetic (the fixture has no organic PII): every key gets a name,
+    * keys ≡ 0,1 (mod 3) an email, even keys a phone, keys ≡ 0 (mod 4)
+    * an IPv4 literal — so match counts vary per row and absent fields
+    * exercise the zero-match path. Mirrored 1:1 in the oracle SQL. */
+  private def piiProfiles(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val email = when(k % 3 < 2,
+      concat(lit("user"), k.cast("string"), lit("@ex"),
+        (k % 5).cast("string"), lit(".com"))).otherwise(lit(""))
+    val phone = when(k % 2 === 0,
+      concat((k % 90 + 10).cast("string"), lit("-"),
+        (k % 900 + 100).cast("string"), lit("-"),
+        ((k * 7) % 900 + 100).cast("string"), lit("-"),
+        ((k * 13) % 9000 + 1000).cast("string"))).otherwise(lit(""))
+    val ip = when(k % 4 === 0,
+      concat((k % 256).cast("string"), lit("."),
+        ((k * 3) % 256).cast("string"), lit("."),
+        ((k * 5) % 256).cast("string"), lit("."),
+        ((k * 7) % 256).cast("string"))).otherwise(lit(""))
+    Tables.customer(s, d).select(k.as("doc_id"),
+      concat_ws(" ", col("c_name"), lit("contact"), email,
+        lit("tel"), phone, lit("host"), ip).as("text"))
+  }
+
+  /** Documents text with deterministic URL mentions appended from
+    * (source, doc_id) arithmetic: one primary URL per doc across a
+    * source×7×3 domain grid, plus a mirror.example.com citation on
+    * every 4th doc (so the blocklist provably filters rows). Mirrored
+    * 1:1 in the oracle SQL. */
+  private def urlCorpus(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val tld = when(id % 3 === 0, "com").when(id % 3 === 1, "org").otherwise("net")
+    Tables.documents(s, d).select(id.as("doc_id"),
+      concat(col("text"), lit(" see http://"), col("source"),
+        (id % 7).cast("string"), lit(".example."), tld,
+        lit("/p/"), id.cast("string"),
+        when(id % 4 === 0,
+          concat(lit(" plus https://mirror.example.com/p/"), id.cast("string")))
+          .otherwise(lit(""))).as("text"))
+  }
 
   val oracle: Map[String, String] = Map(
     // Parallel unnest aligns (term, pos); lead() mirrors the Spark window.
@@ -408,6 +488,69 @@ object TextPack {
         |  round(t_max / CAST(t_total AS DOUBLE), 6) AS top_trigram_frac
         |FROM b2 JOIN b3 ON b3.doc_id = b2.doc_id
         |ORDER BY b2.doc_id""".stripMargin,
+
+    // The derived contact-card text is the SAME CASE/concat arithmetic
+    // as piiProfiles; DuckDB regexp_* needs the 'g' flag to mirror
+    // Spark's replace-all semantics.
+    "text_pii_redact" ->
+      s"""WITH t AS (SELECT c_custkey AS doc_id,
+         |    concat_ws(' ', c_name, 'contact',
+         |      CASE WHEN c_custkey % 3 < 2 THEN 'user' || CAST(c_custkey AS VARCHAR)
+         |        || '@ex' || CAST(c_custkey % 5 AS VARCHAR) || '.com' ELSE '' END,
+         |      'tel',
+         |      CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey % 90 + 10 AS VARCHAR)
+         |        || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+         |        || '-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)
+         |        || '-' || CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR) ELSE '' END,
+         |      'host',
+         |      CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 256 AS VARCHAR)
+         |        || '.' || CAST((c_custkey * 3) % 256 AS VARCHAR)
+         |        || '.' || CAST((c_custkey * 5) % 256 AS VARCHAR)
+         |        || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR) ELSE '' END) AS text
+         |  FROM customer)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.api.Text.EmailPattern}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.api.Text.PhonePattern}')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${graft.api.Text.Ipv4Pattern}')) AS INT) AS n_ipv4,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${graft.api.Text.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${graft.api.Text.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${graft.api.Text.PhonePattern}', '<PHONE>', 'g') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Same (source, doc_id) URL-grid derivation as urlCorpus.
+    "text_url_domains" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' see http://' || source || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.example.'
+         |      || CASE WHEN doc_id % 3 = 0 THEN 'com'
+         |              WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END
+         |      || '/p/' || CAST(doc_id AS VARCHAR)
+         |      || CASE WHEN doc_id % 4 = 0
+         |           THEN ' plus https://mirror.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |           ELSE '' END AS text
+         |  FROM documents),
+         |u AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${graft.api.Text.UrlPattern}')) AS url
+         |  FROM t),
+         |d AS (SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+         |  FROM u)
+         |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM d
+         |WHERE domain NOT IN (${UrlBlocklist.map(b => s"'$b'").mkString(", ")})
+         |GROUP BY domain
+         |ORDER BY n_urls DESC, domain ASC""".stripMargin,
+
+    "text_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(SUM(c) AS DOUBLE))
+        |    - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,15))) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The oracle computes the SAME global prefix sum with a plain window
     // (DuckDB is single-node; the two-phase form must agree exactly).

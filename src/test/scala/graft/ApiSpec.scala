@@ -296,6 +296,39 @@ class ApiSpec extends SparkSpec {
     assert(bins == Set((0L, 2L, 5L), (1L, 1L, 4L), (2L, 2L, 3L)), s"$bins")
   }
 
+  test("text: piiRedact counts and masks emails/phones/IPv4, zero-match safe") {
+    val docs = Seq(
+      (1L, "mail bob@x.com tel 12-345-678-9012 ip 10.0.0.1 end"),
+      (2L, "no pii in this one"),
+      (3L, "two mails a@b.io c@d.net")).toDF("id", "body")
+    val got = Graft.text.piiRedact(docs, "id", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == (1, 1, 1, "mail <EMAIL> tel <PHONE> ip <IP> end"), s"${got(1L)}")
+    assert(got(2L) == (0, 0, 0, "no pii in this one"))
+    assert(got(3L) == (2, 0, 0, "two mails <EMAIL> <EMAIL>"))
+  }
+
+  test("text: urlDomainStats extracts domains and drops blocklisted ones") {
+    val docs = Seq(
+      (1L, "see http://a.com/x and https://b.org/y?q=1"),
+      (2L, "also http://a.com/z plain text"),
+      (3L, "nothing linked")).toDF("id", "body")
+    val got = Graft.text.urlDomainStats(docs, "id", "body", Seq("b.org"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a.com", 2L, 2L)), s"$got")
+  }
+
+  test("text: tokenEntropy is 0 for one-token docs and ln(2) for a fair pair") {
+    val docs = Seq((1L, "a a a a"), (2L, "a b"), (3L, "x y z w"))
+      .toDF("id", "body")
+    val got = Graft.text.tokenEntropy(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (4L, 0.0), s"${got(1L)}")
+    assert(got(2L) == (2L, 0.693147), s"${got(2L)}")   // ln 2
+    assert(got(3L) == (4L, 1.386294), s"${got(3L)}")   // ln 4
+  }
+
   test("text: contaminationFromShingles flags overlap against a probe set") {
     val corpus = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z"))
       .toDF("doc_id", "sh")
