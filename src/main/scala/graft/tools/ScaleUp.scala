@@ -21,6 +21,14 @@ import graft.tables.Tables
   *   replicas it rewrites most shingles, so the dedup workload scales
   *   ~linearly instead of creating 10²× phantom cross-replica dup pairs
   *   no real corpus would have.
+  * - `customer.c_name`/`supplier.s_name` are REGENERATED from the offset
+  *   key (`Customer#%09d` of the new key) so names stay bijective with
+  *   keys, as in the source fixture. Leaving them verbatim would give
+  *   every name 10 exact copies and square the edit-distance-join
+  *   output (measured: 2.18M → 217.85M candidate pairs, a 100× blowup
+  *   that benchmarks the fixture artifact, not the plan); with the
+  *   rewrite, cross-replica names differ in the leading replica digit —
+  *   a constant 45 extra distance-1 pairs per base key, linear in n.
   * - `embeddings.embedding` is cyclically shifted by `replica × 7`
   *   positions: a coordinate permutation preserves all within-replica
   *   cosines (ANN index structure scales honestly) while cross-replica
@@ -79,11 +87,15 @@ object ScaleUp {
     new java.io.File(dst).mkdirs()
     write("region", Tables.region(spark, src))
     write("nation", Tables.nation(spark, src))
+    def named(pfx: String, key: String) =
+      concat(lit(pfx), lpad((col(key) + col("__r") * Stride).cast("string"),
+        9, "0"))
     write("customer", rep(Tables.customer(spark, src)).select(
-      off("c_custkey"), col("c_name"), col("c_nationkey"),
-      col("c_acctbal"), col("c_mktsegment")))
+      off("c_custkey"), named("Customer#", "c_custkey").as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
     write("supplier", rep(Tables.supplier(spark, src)).select(
-      off("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")))
+      off("s_suppkey"), named("Supplier#", "s_suppkey").as("s_name"),
+      col("s_nationkey"), col("s_acctbal")))
     write("part", rep(Tables.part(spark, src)).select(
       off("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
       col("p_size"), col("p_retailprice")))
