@@ -210,6 +210,56 @@ object Text {
               sum(col("c")).cast("double"),
           6).as("entropy"))
 
+  /** End-to-end corpus FILTER FUNNEL — the composed gate every corpus
+    * build runs (C4/Gopher-style): each document is tested against the
+    * gates IN ORDER and attributed to the FIRST failing gate (or 'keep'),
+    * so the per-reason counts read as a funnel. Gates:
+    *
+    *   1. lang       — stopword-marker ratio >= minStopRatio
+    *   2. length     — n_tokens in [minTokens, maxTokens]
+    *   3. repetition — duplicate-bigram fraction <= maxDupBigramFrac
+    *   4. entropy    — token Shannon entropy >= minEntropy
+    *
+    * Signals come from one token pass (per-doc-key aggregations, all
+    * linear); the verdict is a single CASE over the joined signal frame.
+    * Returns (doc_id, verdict) — aggregate downstream for the funnel
+    * report. Documents with < 2 tokens have no bigram; their dup
+    * fraction is defined 0 (nothing repeats). */
+  def filterFunnel(corpus: DataFrame, id: String, text: String,
+      stopwords: Seq[String], minStopRatio: Double = 0.02,
+      minTokens: Long = 10L, maxTokens: Long = 1000L,
+      maxDupBigramFrac: Double = 0.3, minEntropy: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = tokens(col(text))
+    val base = corpus.select(col(id).as("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      (size(array_intersect(ws, array(stopwords.map(lit): _*))) /
+        size(ws).cast("double")).as("stop_ratio"))
+    val ent = tokenEntropy(corpus, id, text).select(col("doc_id"), col("entropy"))
+    val tok = corpus
+      .select(col(id).as("doc_id"), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+    val big = tok
+      .withColumn("t1", lead(col("tok"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(((sum(col("n")) - count(lit(1))) / sum(col("n")).cast("double"))
+        .as("dup_bigram_frac"))
+    base
+      .join(ent, Seq("doc_id"), "left")
+      .join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("stop_ratio") < minStopRatio, "drop_lang")
+          .when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens,
+            "drop_length")
+          .when(coalesce(col("dup_bigram_frac"), lit(0.0)) > maxDupBigramFrac,
+            "drop_repetition")
+          .when(col("entropy") < minEntropy, "drop_entropy")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** Training-sequence packing (concat-and-chunk): documents concatenate
     * in ascending `id` order and chunk every `seqLen` whitespace tokens;
     * a document belongs to the bin holding its first token. The global

@@ -286,6 +286,21 @@ object TextPack {
     "text_token_entropy" -> ((s, d) => {
       graft.api.Text.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // The composed corpus FILTER FUNNEL — every gate above in one pass,
+    // each doc attributed to its FIRST failing gate (C4/Gopher funnel
+    // report shape). All signals are per-doc-key aggregations over one
+    // token pass; the report is a ≤5-row groupBy.
+    "text_filter_funnel" -> ((s, d) => {
+      // Thresholds sit inside the fixture's signal distributions
+      // (n_tokens 10-99, entropy 1.6-3.35, dup-bigram 0-0.13) so every
+      // gate of the funnel demonstrably fires.
+      graft.api.Text.filterFunnel(Tables.documents(s, d), "doc_id", "text",
+          Stopwords, minStopRatio = 0.02, minTokens = 20L, maxTokens = 1000L,
+          maxDupBigramFrac = 0.06, minEntropy = 2.7)
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("verdict"))
     })
   )
 
@@ -541,6 +556,43 @@ object TextPack {
          |WHERE domain NOT IN (${UrlBlocklist.map(b => s"'$b'").mkString(", ")})
          |GROUP BY domain
          |ORDER BY n_urls DESC, domain ASC""".stripMargin,
+
+    // Same gate order and thresholds as graft.api.Text.filterFunnel's
+    // defaults; entropy is the SAME round-6 value both engines compute.
+    "text_filter_funnel" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    len(list_intersect(ws, $StopwordsSqlList))
+         |      / CAST(len(ws) AS DOUBLE) AS stop_ratio
+         |  FROM t),
+         |tok AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok,
+         |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ent AS (SELECT doc_id,
+         |    round(ln(CAST(SUM(c) AS DOUBLE))
+         |      - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,15))) AS DOUBLE)
+         |        / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+         |  FROM tf GROUP BY doc_id),
+         |g AS (SELECT doc_id, tok,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t1 FROM tok),
+         |big AS (SELECT doc_id,
+         |    (SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE) AS dup_bigram_frac
+         |  FROM (SELECT doc_id, tok || ' ' || t1 AS gram, COUNT(*) AS n
+         |    FROM g WHERE t1 IS NOT NULL GROUP BY doc_id, gram)
+         |  GROUP BY doc_id),
+         |v AS (SELECT b.doc_id,
+         |    CASE WHEN stop_ratio < 0.02 THEN 'drop_lang'
+         |         WHEN n_tokens < 20 OR n_tokens > 1000 THEN 'drop_length'
+         |         WHEN COALESCE(dup_bigram_frac, 0.0) > 0.06 THEN 'drop_repetition'
+         |         WHEN entropy < 2.7 THEN 'drop_entropy'
+         |         ELSE 'keep' END AS verdict
+         |  FROM base b
+         |  LEFT JOIN ent ON ent.doc_id = b.doc_id
+         |  LEFT JOIN big ON big.doc_id = b.doc_id)
+         |SELECT verdict, COUNT(*) AS n_docs FROM v
+         |GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     "text_token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

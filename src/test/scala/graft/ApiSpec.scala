@@ -329,6 +329,22 @@ class ApiSpec extends SparkSpec {
     assert(got(3L) == (4L, 1.386294), s"${got(3L)}")   // ln 4
   }
 
+  test("text: filterFunnel attributes each doc to its first failing gate") {
+    val docs = Seq(
+      (1L, "x y z w v u"),                  // no stopword -> drop_lang
+      (2L, "the"),                          // 1 token -> drop_length
+      (3L, "the x the x the x the x"),      // dup bigrams 5/7 -> drop_repetition
+      (4L, "the a b c d e f g"),            // all gates pass -> keep
+      (5L, "the a the a a a the a")         // H=0.66, dup 4/7 <= 0.6 -> drop_entropy
+    ).toDF("id", "body")
+    val got = Graft.text.filterFunnel(docs, "id", "body",
+        stopwords = Seq("the"), minStopRatio = 0.02, minTokens = 2L,
+        maxTokens = 100L, maxDupBigramFrac = 0.6, minEntropy = 1.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "drop_lang", 2L -> "drop_length",
+      3L -> "drop_repetition", 4L -> "keep", 5L -> "drop_entropy"), s"$got")
+  }
+
   test("text: contaminationFromShingles flags overlap against a probe set") {
     val corpus = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z"))
       .toDF("doc_id", "sh")
