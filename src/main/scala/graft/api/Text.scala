@@ -292,4 +292,148 @@ object Text {
       .groupBy(expr(s"start div $seqLen").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
   }
+
+  /** Max-volume corpus MIXTURE REBALANCE: keep the largest hash-sample
+    * whose domain token proportions hit `targetShares` (DoReMi-style
+    * domain reweighting executed as deterministic sampling). Per domain d
+    * with target weight w_d and token total T_d, the per-domain keep
+    * percentage is
+    *
+    *   rate_d = floor(100 * (w_d / T_d) / max_e(w_e / T_e))
+    *
+    * — the binding domain (largest w/T) keeps 100% and every other
+    * domain samples down to match, so no budget parameter is needed and
+    * no domain is over-asked. A document is kept iff
+    * [[Sampling.mixBucket]](id) < rate_d: reproducible across runs,
+    * partitionings, and engines. Domains absent from `targetShares` are
+    * dropped (weight 0).
+    *
+    * Returns per-document (doc_id, domain, n_tokens, rate, keep) — filter
+    * keep = 1 for the sample, aggregate for the mixture report. Scale:
+    * one token-count aggregation over the corpus (shuffle bounded by
+    * |domains|), a ≤|domains|-row rate table broadcast back, and a
+    * map-side hash gate; nothing global. */
+  def mixtureSample(corpus: DataFrame, id: String, text: String,
+      domain: String, targetShares: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = targetShares.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, s)) => when(col("domain") === d, s).otherwise(acc)
+    }
+    val docs = corpus.select(col(id).as("doc_id"), col(domain).as("domain"),
+        size(tokens(col(text))).cast("long").as("n_tokens"))
+      .withColumn("w", w).filter(col("w").isNotNull)
+    // Per-domain token totals -> keep rates. The unpartitioned max window
+    // runs over the <=|domains|-row stats frame only.
+    val rates = docs.groupBy(col("domain"), col("w"))
+      .agg(sum(col("n_tokens")).cast("double").as("tok"))
+      .withColumn("ratio", col("w") / col("tok"))
+      .withColumn("rate",
+        floor(lit(100.0) * col("ratio") / max(col("ratio")).over(
+          Window.partitionBy())).cast("long"))
+      .select(col("domain"), col("rate"))
+    docs.join(broadcast(rates), "domain")
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("rate"),
+        (Sampling.mixBucket(col("doc_id")) < col("rate"))
+          .cast("int").as("keep"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023: Data Selection via
+    * Importance Resampling): score each corpus document by how much its
+    * hashed-bigram distribution looks like a PROBE corpus (the quality
+    * target) versus the raw corpus itself:
+    *
+    *   score(doc) = Σ_g c_doc(g) · ( ln p̂_probe(b(g)) − ln p̂_raw(b(g)) )
+    *
+    * where b(g) = h28(g) mod `buckets` and each p̂ is add-one-smoothed
+    * over the bucket space. Returns (doc_id, dsir_score), rounded to 6
+    * places; resample/threshold downstream. Scale: probe stats are a
+    * KB-sized broadcast (the eval-set shape); raw stats are one bounded
+    * aggregation (≤`buckets` rows); the per-doc score is a broadcast
+    * join + one exact-decimal aggregation — no shuffle wider than the
+    * corpus bucket histogram. */
+  def dsirWeights(corpus: DataFrame, id: String, text: String,
+      probe: DataFrame, probeText: String, buckets: Int = 4096): DataFrame = {
+    def bucketCounts(df: DataFrame, textCol: String, keyed: Boolean) = {
+      val keep = if (keyed) Seq(col("doc_id")) else Seq.empty
+      // The word array crosses a projection boundary before shingling —
+      // see TextHash.shinglesFromWords on lambda re-evaluation.
+      val ws = df.select(
+        (if (keyed) Seq(col(id).as("doc_id")) else Seq.empty) :+
+          split(col(textCol), " ").as("ws"): _*)
+      ws.select(keep :+ explode(shinglesFromWords(col("ws"), 2)).as("g"): _*)
+        .withColumn("b", h28(col("g")) % buckets)
+    }
+    val praw = bucketCounts(corpus, text, keyed = true)
+    val docB = praw.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val rawB = docB.groupBy(col("b")).agg(sum(col("c")).as("craw"))
+    val nRaw = rawB.agg(sum(col("craw")).as("nraw"))
+    val probeB = bucketCounts(probe, probeText, keyed = false)
+      .groupBy(col("b")).agg(count(lit(1)).as("cprobe"))
+    val nProbe = probeB.agg(sum(col("cprobe")).as("nprobe"))
+    // Log-ratio table: every bucket PRESENT IN THE CORPUS, probe counts
+    // add-one smoothed (absent probe buckets get ln(1/(N_p + B))).
+    val table = rawB
+      .join(broadcast(probeB), Seq("b"), "left")
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nProbe))
+      .select(col("b"),
+        (log((coalesce(col("cprobe"), lit(0L)) + 1).cast("double") /
+             (col("nprobe") + buckets)) -
+         log((col("craw") + 1).cast("double") /
+             (col("nraw") + buckets))).as("lr"))
+    docB.join(broadcast(table), "b")
+      .groupBy(col("doc_id"))
+      .agg(round(graft.ops.OpsUtil.rsum(col("c") * col("lr")), 6)
+        .as("dsir_score"))
+  }
+
+  /** Vocabulary coverage curve: rank distinct terms by corpus frequency
+    * (count desc, term asc) and report, for each coverage target, the
+    * smallest vocabulary size whose cumulative token share reaches it —
+    * the tokenizer-budget planning query. Returns (target, vocab_size,
+    * coverage) with vocab_size null when even the full vocabulary falls
+    * short. The global frequency rank is TWO-PHASE like [[packSequences]]:
+    * terms bucket by decimal digit count of their frequency (integer-
+    * exact, monotone in count, ≤19 buckets), rank within a bucket by a
+    * partitioned window, and offset by the ≤19-row bucket histogram — no
+    * single-partition sort over the vocabulary at any scale. */
+  def vocabCoverage(corpus: DataFrame, id: String, text: String,
+      targets: Seq[Double] = Seq(0.5, 0.75, 0.9, 0.95, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = corpus.select(explode(tokens(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", length(col("cnt").cast("string")).cast("long"))
+    val win = Window.partitionBy(col("bkt"))
+      .orderBy(col("cnt").desc, col("term"))
+    val within = tf
+      .withColumn("wrank", row_number().over(win).cast("long"))
+      .withColumn("wcum", sum(col("cnt")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Unpartitioned windows over the <=19-row digit histogram only.
+    val offs = tf.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("nterms"), sum(col("cnt")).as("tok"))
+      .withColumn("roff", coalesce(sum(col("nterms")).over(
+        Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("coff", coalesce(sum(col("tok")).over(
+        Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("roff"), col("coff"))
+    val total = tf.agg(sum(col("cnt")).cast("double").as("total"))
+    val ranked = within.join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(total))
+      .select((col("roff") + col("wrank")).as("rank"),
+        ((col("coff") + col("wcum")) / col("total")).as("coverage"))
+    // One pass: conditional aggregates per target, then unpivot. Coverage
+    // is monotone in rank, so min(coverage | coverage >= t) IS the
+    // coverage achieved at the minimal vocab_size — no join back needed.
+    val aggs = targets.zipWithIndex.flatMap { case (t, i) => Seq(
+      min(when(col("coverage") >= t, col("rank"))).as(s"v$i"),
+      round(min(when(col("coverage") >= t, col("coverage"))), 6).as(s"c$i"))
+    }
+    val mins = ranked.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = targets.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), v$i, c$i" }.mkString(", ")
+    mins.selectExpr(
+      s"stack(${targets.size}, $stackArgs) AS (target, vocab_size, coverage)")
+  }
 }

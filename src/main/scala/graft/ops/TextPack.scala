@@ -42,6 +42,12 @@ object TextPack {
     * Sampling.denseIndex: per-bucket window + histogram offsets, never a
     * single-partition global window). */
   private val PackBuckets = 64L
+  /** Target mixture of text_mix_sample — a skewed 4-domain blend; every
+    * other source drops (weight 0). */
+  private val MixShares = Map(
+    "src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2, "src7" -> 0.1)
+  /** Hashed-bigram bucket space of text_dsir_weights. */
+  private val DsirBuckets = 1024
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -301,6 +307,40 @@ object TextPack {
           maxDupBigramFrac = 0.06, minEntropy = 2.7)
         .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("verdict"))
+    }),
+
+    // Max-volume mixture rebalance to target domain shares (DoReMi-style
+    // reweighting as deterministic sampling): the binding domain keeps
+    // 100%, every other samples down by a hash gate. One bounded stats
+    // agg + a broadcast rate table; the report is a <=|domains|-row
+    // groupBy.
+    "text_mix_sample" -> ((s, d) => {
+      graft.api.Text.mixtureSample(Tables.documents(s, d), "doc_id", "text",
+          "source", MixShares)
+        .groupBy(col("domain"), col("rate"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          sum(col("n_tokens") * col("keep")).cast("long").as("tok_kept"))
+        .orderBy(col("domain"))
+    }),
+
+    // DSIR importance weights: hashed-bigram log-likelihood ratio of each
+    // doc against the src0 probe slice vs the raw corpus — the
+    // data-selection score of Xie et al. 2023. Probe stats broadcast
+    // (eval-set shape); corpus stats one bounded agg.
+    "text_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.api.Text.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", buckets = DsirBuckets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage curve: smallest frequency-ranked vocab reaching
+    // each cumulative token-share target — tokenizer budget planning.
+    // Global rank is the two-phase digit-bucket form (no global sort).
+    "text_vocab_coverage" -> ((s, d) => {
+      graft.api.Text.vocabCoverage(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("target"))
     })
   )
 
@@ -616,6 +656,101 @@ object TextPack {
          |  FROM t)
          |SELECT CAST((cum - n) // $SeqLen AS BIGINT) AS bin, COUNT(*) AS n_docs,
          |  CAST(SUM(n) AS BIGINT) AS n_tokens
-         |FROM c GROUP BY bin ORDER BY bin""".stripMargin
+         |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Same rate formula and hash gate as graft.api.Text.mixtureSample;
+    // the mix-bucket fragment matches api.Sampling.mixBucket (keys are
+    // non-negative, so plain % = pmod).
+    "text_mix_sample" ->
+      """WITH docs AS (SELECT doc_id, source AS domain,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CASE source WHEN 'src1' THEN 0.4 WHEN 'src3' THEN 0.3
+        |                WHEN 'src5' THEN 0.2 WHEN 'src7' THEN 0.1 END AS w
+        |  FROM documents
+        |  WHERE source IN ('src1', 'src3', 'src5', 'src7')),
+        |stats AS (SELECT domain, w, CAST(SUM(n_tokens) AS DOUBLE) AS tok
+        |  FROM docs GROUP BY 1, 2),
+        |rates AS (SELECT domain,
+        |    CAST(floor(100.0 * (w / tok) / max(w / tok) OVER ()) AS BIGINT)
+        |      AS rate
+        |  FROM stats),
+        |g AS (SELECT d.doc_id, d.domain, d.n_tokens, r.rate,
+        |    CASE WHEN (d.doc_id * 2654435761) % 1000003 % 100 < r.rate
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM docs d JOIN rates r USING (domain))
+        |SELECT domain, rate, COUNT(*) AS n_docs,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_tokens * keep) AS BIGINT) AS tok_kept
+        |FROM g GROUP BY 1, 2 ORDER BY domain""".stripMargin,
+
+    // Same hashed-bigram bucket space, add-one smoothing, and exact-
+    // decimal accumulation as graft.api.Text.dsirWeights (bigrams via
+    // lead(), bucket via the shared h28 fragment).
+    "text_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok,
+         |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+         |  FROM documents),
+         |grams AS (SELECT doc_id, tok || ' ' || t1 AS g FROM (
+         |    SELECT doc_id, tok,
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+         |    FROM tok) WHERE t1 IS NOT NULL),
+         |db AS (SELECT doc_id,
+         |    ${TextHash.h28Sql("g")} % $DsirBuckets AS b, COUNT(*) AS c
+         |  FROM grams GROUP BY 1, 2),
+         |rawb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS craw FROM db GROUP BY b),
+         |nraw AS (SELECT CAST(SUM(craw) AS BIGINT) AS nraw FROM rawb),
+         |ptok AS (SELECT unnest(string_split(text, ' ')) AS tok,
+         |    unnest(range(0, len(string_split(text, ' ')))) AS pos, doc_id
+         |  FROM documents WHERE source = 'src0'),
+         |pgrams AS (SELECT tok || ' ' || t1 AS g FROM (
+         |    SELECT doc_id, tok,
+         |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+         |    FROM ptok) WHERE t1 IS NOT NULL),
+         |pb AS (SELECT ${TextHash.h28Sql("g")} % $DsirBuckets AS b,
+         |    COUNT(*) AS cprobe FROM pgrams GROUP BY 1),
+         |np AS (SELECT CAST(SUM(cprobe) AS BIGINT) AS nprobe FROM pb),
+         |tbl AS (SELECT rawb.b,
+         |    ln(CAST(COALESCE(pb.cprobe, 0) + 1 AS DOUBLE)
+         |       / (np.nprobe + $DsirBuckets))
+         |  - ln(CAST(rawb.craw + 1 AS DOUBLE) / (nraw.nraw + $DsirBuckets))
+         |      AS lr
+         |  FROM rawb LEFT JOIN pb ON pb.b = rawb.b, nraw, np)
+         |SELECT db.doc_id,
+         |  round(CAST(SUM(CAST(db.c * tbl.lr AS DECIMAL(28,15)))
+         |    AS DOUBLE), 6) AS dsir_score
+         |FROM db JOIN tbl ON tbl.b = db.b
+         |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    // The oracle ranks the vocabulary with one global window (DuckDB is
+    // single-node); the two-phase digit-bucket rank must agree exactly.
+    "text_vocab_coverage" ->
+      """WITH tf AS (SELECT term, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |ranked AS (SELECT
+        |    row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / CAST((SELECT SUM(cnt) FROM tf) AS DOUBLE) AS coverage
+        |  FROM tf),
+        |m AS (SELECT
+        |    min(CASE WHEN coverage >= 0.5 THEN rank END) AS v0,
+        |    round(min(CASE WHEN coverage >= 0.5 THEN coverage END), 6) AS c0,
+        |    min(CASE WHEN coverage >= 0.75 THEN rank END) AS v1,
+        |    round(min(CASE WHEN coverage >= 0.75 THEN coverage END), 6) AS c1,
+        |    min(CASE WHEN coverage >= 0.9 THEN rank END) AS v2,
+        |    round(min(CASE WHEN coverage >= 0.9 THEN coverage END), 6) AS c2,
+        |    min(CASE WHEN coverage >= 0.95 THEN rank END) AS v3,
+        |    round(min(CASE WHEN coverage >= 0.95 THEN coverage END), 6) AS c3,
+        |    min(CASE WHEN coverage >= 0.99 THEN rank END) AS v4,
+        |    round(min(CASE WHEN coverage >= 0.99 THEN coverage END), 6) AS c4
+        |  FROM ranked)
+        |SELECT CAST(0.5 AS DOUBLE) AS target, v0 AS vocab_size, c0 AS coverage FROM m
+        |UNION ALL SELECT CAST(0.75 AS DOUBLE), v1, c1 FROM m
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), v2, c2 FROM m
+        |UNION ALL SELECT CAST(0.95 AS DOUBLE), v3, c3 FROM m
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), v4, c4 FROM m
+        |ORDER BY target""".stripMargin
   )
 }

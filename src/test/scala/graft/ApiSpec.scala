@@ -345,6 +345,58 @@ class ApiSpec extends SparkSpec {
       3L -> "drop_repetition", 4L -> "keep", 5L -> "drop_entropy"), s"$got")
   }
 
+  test("text: mixtureSample keeps the binding domain whole and samples the rest") {
+    // Domain A: 10 docs x 10 tokens (T=100, w=.5 -> ratio .005, binding).
+    // Domain B: 10 docs x 30 tokens (T=300, w=.5 -> ratio .00167, rate 33).
+    // Domain C is unlisted -> dropped.
+    val docs = ((0L to 9L).map(i => (i, "A", Seq.fill(10)("t").mkString(" "))) ++
+      (10L to 19L).map(i => (i, "B", Seq.fill(30)("t").mkString(" "))) ++
+      Seq((20L, "C", "x y z"))).toDF("id", "dom", "body")
+    val got = Graft.text.mixtureSample(docs, "id", "body", "dom",
+        Map("A" -> 0.5, "B" -> 0.5))
+      .groupBy("domain", "rate").count()
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("A") == (100L, 10L), s"$got")     // binding domain: rate 100
+    assert(got("B")._1 == 33L, s"$got")          // floor(100/3)
+    assert(!got.contains("C"), s"$got")
+    // The hash gate is the documented mixBucket arithmetic.
+    val kept = Graft.text.mixtureSample(docs, "id", "body", "dom",
+        Map("A" -> 0.5, "B" -> 0.5))
+      .filter(col("domain") === "B" && col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = (10L to 19L).filter(i => i * 2654435761L % 1000003L % 100L < 33L).toSet
+    assert(kept == expect, s"$kept vs $expect")
+  }
+
+  test("text: dsirWeights ranks probe-like docs above unrelated ones") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),   // shares probe bigrams
+      (2L, "zz yy xx ww vv uu tt ss"),             // disjoint from probe
+      (3L, "alpha beta zz yy")                     // partial overlap
+    ).toDF("id", "body")
+    val probe = Seq(Tuple1("alpha beta gamma alpha beta gamma")).toDF("body")
+    val got = Graft.text.dsirWeights(corpus, "id", "body", probe, "body",
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 3, s"$got")
+    assert(got(1L) > got(3L) && got(3L) > got(2L), s"$got")
+  }
+
+  test("text: vocabCoverage finds the minimal vocab per coverage target") {
+    // freqs: e=12, a=5, b=3, c=1, d=1 (total 22) — e's 2-digit count
+    // exercises the cross-bucket ordering of the two-phase rank.
+    val docs = Seq(
+      (1L, (Seq.fill(12)("e") ++ Seq.fill(5)("a")).mkString(" ")),
+      (2L, (Seq.fill(3)("b") ++ Seq("c", "d")).mkString(" "))
+    ).toDF("id", "body")
+    val got = Graft.text.vocabCoverage(docs, "id", "body")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(got == List(
+      (0.5, 1L, 0.545455), (0.75, 2L, 0.772727), (0.9, 3L, 0.909091),
+      (0.95, 4L, 0.954545), (0.99, 5L, 1.0)), s"$got")
+  }
+
   test("text: contaminationFromShingles flags overlap against a probe set") {
     val corpus = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z"))
       .toDF("doc_id", "sh")
