@@ -176,4 +176,28 @@ class PlanSpec extends SparkSpec {
       "MERGE may contain only the single broadcast-scalar offset join")
     assert(p2.contains("FullOuter"), "merge-upsert must plan a full-outer join")
   }
+
+  test("data-selection ops: broadcast stats tables, no global sort in vocab rank") {
+    // Mixture sampling: the <=|domains|-row rate table joins back by
+    // broadcast; the corpus side never shuffles for the gate.
+    val p1 = planOf(graft.ops.TextPack.queries("text_mix_sample")(spark, sf()))
+    assert(p1.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p1.contains("CartesianProduct"))
+    // DSIR: the <=buckets-row log-ratio table (and the scalar totals)
+    // broadcast; per-doc scoring is a broadcast join + one aggregation.
+    val p2 = planOf(graft.ops.TextPack.queries("text_dsir_weights")(spark, sf()))
+    assert(p2.contains("BroadcastHashJoin"), "log-ratio table must broadcast")
+    assert(!p2.contains("CartesianProduct"))
+    // Vocab coverage: the global frequency rank is the two-phase digit-
+    // bucket form — the only Sort nodes may be inside per-bucket window
+    // partitions (SortExec with a partial/global=false sort), never a
+    // single-partition global Sort over the vocabulary.
+    val p3 = planOf(graft.ops.TextPack.queries("text_vocab_coverage")(spark, sf()))
+    // SortExec prints `Sort [keys], global, limit`: window-partition sorts
+    // are global=false; only the 5-row target orderBy may be global=true.
+    val globalFreqSort = """Sort \[[^\]]*cnt[^\]]*\], true""".r
+    assert(globalFreqSort.findFirstIn(p3).isEmpty,
+      "vocabulary must never globally sort by term frequency")
+    assert(!p3.contains("CartesianProduct"))
+  }
 }
