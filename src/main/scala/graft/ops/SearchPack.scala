@@ -160,6 +160,13 @@ object SearchPack {
     // (a recall heuristic), the derived block is SOUND: this is the
     // exact edit-distance join, which is why the oracle can be the
     // all-pairs DuckDB form.
+    // Scale: cost tracks CANDIDATE pairs (names sharing a deletion
+    // signature), which grow linearly in n for id-like corpora —
+    // measured 977k pairs at 15k names vs 11.0M at 150k (11.2x for 10x
+    // rows; the extra 1.2 is the sf1 replica structure, where same-index
+    // names across replicas differ by one digit). The 12x sf0.1->sf1
+    // wall-clock ratio in BENCH_SF1 is that candidate growth, not a
+    // super-linear plan.
     "search_lev_autojoin" -> ((s, d) => {
       val names = Tables.customer(s, d)
         .select(col("c_custkey"), norm(col("c_name")).as("nm"))

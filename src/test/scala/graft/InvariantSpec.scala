@@ -148,6 +148,69 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage two-phase rank equals a global-sort reference on random corpora") {
+    // The digit-bucket two-phase rank must equal a plain (cnt desc, term
+    // asc) global sort for ANY frequency distribution — zipf-ish draws
+    // force multi-digit counts so the cross-bucket offsets matter.
+    for (seed <- Seq(3, 17)) {
+      val r = new scala.util.Random(seed)
+      val vocab = (1 to 40).map(i => s"w$i")
+      val docs = (1 to 60).map { i =>
+        val n = 1 + r.nextInt(30)
+        (i.toLong, Seq.fill(n)(vocab(math.min(r.nextInt(1 + r.nextInt(40)),
+          39))).mkString(" "))
+      }
+      val targets = Seq(0.5, 0.75, 0.9, 0.95, 0.99)
+      val got = graft.api.Text.vocabCoverage(docs.toDF("id", "body"), "id", "body",
+          targets)
+        .collect().map(x => (x.getDouble(0), x.getLong(1), x.getDouble(2))).toList
+        .sortBy(_._1)
+      val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length.toLong }
+      val total = freq.values.sum.toDouble
+      val ordered = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      val cum = ordered.scanLeft(0L)(_ + _._2).tail.map(_ / total)
+      val want = targets.map { t =>
+        val i = cum.indexWhere(_ >= t)
+        (t, (i + 1).toLong,
+          BigDecimal(cum(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(got == want, s"seed $seed: $got vs $want")
+    }
+  }
+
+  test("mixtureSample: binding domain keeps 100%, rates bounded, gate exact") {
+    for (seed <- Seq(5, 29)) {
+      val r = new scala.util.Random(seed)
+      val domains = Seq("a", "b", "c", "d")
+      val shares = Map("a" -> 0.1, "b" -> 0.2, "c" -> 0.4)   // d unlisted
+      val docs = (1 to 120).map { i =>
+        (r.nextInt(100000).toLong, domains(r.nextInt(4)),
+          Seq.fill(1 + r.nextInt(40))("t").mkString(" "))
+      }.distinctBy(_._1)
+      val got = graft.api.Text.mixtureSample(docs.toDF("id", "dom", "body"),
+          "id", "body", "dom", shares)
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+          x.getLong(3), x.getInt(4)))
+      // Unlisted domain dropped entirely.
+      assert(got.forall(_._2 != "d"))
+      // Rates: [0, 100], and the binding domain (max w/T) is exactly 100.
+      val tok = docs.filter(d => shares.contains(d._2))
+        .groupBy(_._2).map { case (d, xs) =>
+          d -> xs.map(_._3.split(" ").length.toLong).sum }
+      val ratios = shares.map { case (d, w) => d -> w / tok(d).toDouble }
+      val binding = ratios.maxBy(_._2)._1
+      val rates = got.map(x => x._2 -> x._4).toMap
+      assert(rates(binding) == 100L, s"seed $seed: $rates binding=$binding")
+      assert(rates.values.forall(v => v >= 0L && v <= 100L))
+      // The keep flag is EXACTLY the documented mixBucket arithmetic.
+      got.foreach { case (id, _, _, rate, keep) =>
+        val bucket = math.floorMod(math.floorMod(id * 2654435761L, 1000003L), 100L)
+        assert((keep == 1) == (bucket < rate), s"seed $seed id=$id")
+      }
+    }
+  }
+
   test("partialRatio matches a plain-Scala best-window reference on random strings") {
     // The window arithmetic (api/Search.scala partialRatio: substr is
     // 1-based, nWin = Δlen+1, denominator = |shorter|) mirrored in
