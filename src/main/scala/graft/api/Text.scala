@@ -177,6 +177,22 @@ object Text {
         explode(regexp_extract_all(col(text), lit(UrlPattern), lit(0))).as("url"))
       .withColumn("domain", regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1))
 
+  /** Canonical dedup key of an absolute http(s) URL (the C4/RefinedWeb
+    * URL-dedup key): scheme dropped, host lowercased with a leading
+    * "www." removed, query string and fragment stripped, trailing slash
+    * trimmed. Path case is preserved (paths are case-sensitive; hosts
+    * are not). Pure codegen'd regex chain — no UDF, distributes
+    * embarrassingly. Non-URL input canonicalizes to the empty string
+    * (feed it [[urlRows]] output, whose pattern guarantees a scheme). */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noQf = regexp_replace(url, "[#?].*$", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noQf, "^[A-Za-z]+://([^/]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(noQf, "^[A-Za-z]+://[^/]+(/.*)?$", 1), "/$", "")
+    concat(host, path)
+  }
+
   /** Per-domain corpus stats with a broadcast blocklist filter — the
     * domain-level gate of a web-corpus build: how many URL mentions and
     * how many distinct documents cite each allowed domain. One shuffle

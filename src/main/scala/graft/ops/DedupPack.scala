@@ -235,8 +235,41 @@ object DedupPack {
     "dedup_simhash_banded" -> ((s, d) => {
       graft.api.Dedup.simhashNearDups(simhashFingerprints(s, d), maxHamming = 1)
         .orderBy(col("i"), col("j"))
+    }),
+
+    // URL-canonical dedup (the C4/RefinedWeb pre-text gate): collapse
+    // scheme/host-case/www/trailing-slash/query/fragment spellings of
+    // the same page to one canonical key, keep the minimum doc per key.
+    // Pure codegen'd regex map + ONE groupBy on the canonical key — the
+    // cheapest dedup pass a web corpus runs, before any content hash.
+    "dedup_url_canonical" -> ((s, d) => {
+      urlVariants(s, d)
+        .select(col("doc_id"),
+          graft.api.Text.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("canonical_url"))
     })
   )
+
+  /** Deterministic URL-variant frame: doc pairs (2k, 2k+1) cite the SAME
+    * target page under different spellings — https+www, uppercased
+    * scheme/host + trailing slash, query string, fragment — the inputs
+    * URL-canonical dedup must collapse. Host derives from the shared
+    * pair key (not `source`, which differs between pair members). */
+  private def urlVariants(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val base = expr("doc_id div 2")
+    val host = concat(lit("s"), pmod(base, lit(20L)).cast("string"),
+      lit(".example.com"))
+    val page = concat(lit("/p/"), base.cast("string"))
+    val url = when(id % 4 === 0, concat(lit("https://www."), host, page))
+      .when(id % 4 === 1,
+        concat(lit("HTTP://"), upper(host), page, lit("/")))
+      .when(id % 4 === 2, concat(lit("http://"), host, page, lit("?utm=1")))
+      .otherwise(concat(lit("https://"), host, page, lit("#frag")))
+    Tables.documents(s, d).select(id.as("doc_id"), url.as("url"))
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_docs" ->
@@ -407,6 +440,35 @@ object DedupPack {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+
+    // Same variant construction and canonicalization chain as the Spark
+    // side (graft.api.Text.canonicalUrl): strip [#?]-tail, lowercase
+    // host minus "www.", trim the path's trailing slash.
+    "dedup_url_canonical" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.s' || (doc_id // 2) % 20
+        |        || '.example.com/p/' || (doc_id // 2)
+        |      WHEN 1 THEN 'HTTP://'
+        |        || upper('s' || (doc_id // 2) % 20 || '.example.com')
+        |        || '/p/' || (doc_id // 2) || '/'
+        |      WHEN 2 THEN 'http://s' || (doc_id // 2) % 20
+        |        || '.example.com/p/' || (doc_id // 2) || '?utm=1'
+        |      ELSE 'https://s' || (doc_id // 2) % 20
+        |        || '.example.com/p/' || (doc_id // 2) || '#frag'
+        |    END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(
+        |        regexp_replace(url, '[#?].*$', ''),
+        |        '^[A-Za-z]+://([^/]+)', 1)), '^www\.', '')
+        |    || regexp_replace(regexp_extract(
+        |        regexp_replace(url, '[#?].*$', ''),
+        |        '^[A-Za-z]+://[^/]+(/.*)?$', 1), '/$', '') AS canonical_url
+        |  FROM v)
+        |SELECT canonical_url, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS keep_doc
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin
   )
 }

@@ -368,6 +368,23 @@ class ApiSpec extends SparkSpec {
     assert(kept == expect, s"$kept vs $expect")
   }
 
+  test("text: canonicalUrl collapses scheme/case/www/slash/query/fragment variants") {
+    val urls = Seq(
+      "https://www.Example.COM/p/7",
+      "HTTP://EXAMPLE.com/p/7/",
+      "http://example.com/p/7?utm=1&x=2",
+      "https://example.com/p/7#frag",
+      "https://example.com/p/8",          // different page
+      "https://example.com",              // bare host
+      "https://www.example.com/"          // bare host, www + slash
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = urls.select(col("id"), Graft.text.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(got(0L), got(1L), got(2L), got(3L)) == Set("example.com/p/7"), s"$got")
+    assert(got(4L) == "example.com/p/8")
+    assert(got(5L) == "example.com" && got(6L) == "example.com")
+  }
+
   test("text: dsirWeights ranks probe-like docs above unrelated ones") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta alpha beta"),   // shares probe bigrams
