@@ -309,6 +309,34 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
   }
 
+  /** Cross-document duplicated-span statistics (the detection signal of
+    * exact substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): per document, how many of its
+    * n-token shingles also appear in at least one OTHER document, and the
+    * resulting duplicated-span fraction — the score span-removal and
+    * doc-dropping policies threshold on. Documents with fewer than `n`
+    * tokens have no shingles and no output row.
+    *
+    * Scale: shingling is per-row map work; the corpus shingle histogram
+    * is one groupBy(gram) with a distinct-doc count, and the mark joins
+    * back on the SAME gram key — both sides co-partitioned by the
+    * aggregation's shuffle, no second wide exchange, no all-pairs stage
+    * anywhere. */
+  def dupSpanStats(corpus: DataFrame, id: String, text: String,
+      n: Int = 8): DataFrame = {
+    val ws = corpus.select(col(id).as("doc_id"), split(col(text), " ").as("ws"))
+    val sh = ws.select(col("doc_id"),
+      explode(shinglesFromWords(col("ws"), n)).as("g"))
+    val dup = sh.groupBy(col("g")).agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"), lit(1).as("is_dup"))
+    sh.join(dup, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("long").as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        round(col("n_dup_shingles") / col("n_shingles").cast("double"), 6))
+  }
+
   /** Max-volume corpus MIXTURE REBALANCE: keep the largest hash-sample
     * whose domain token proportions hit `targetShares` (DoReMi-style
     * domain reweighting executed as deterministic sampling). Per domain d

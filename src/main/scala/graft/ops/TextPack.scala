@@ -48,6 +48,11 @@ object TextPack {
     "src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2, "src7" -> 0.1)
   /** Hashed-bigram bucket space of text_dsir_weights. */
   private val DsirBuckets = 1024
+  /** Shingle width of text_dup_spans — 3 keeps cross-doc duplication
+    * demonstrably present on the fixture's ~60-word vocabulary
+    * (production exact-substring dedup uses 50-token spans; the width is
+    * the operator's parameter, not its shape). */
+  private val DupSpanN = 3
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -332,6 +337,16 @@ object TextPack {
       val docs = Tables.documents(s, d)
       graft.api.Text.dsirWeights(docs, "doc_id", "text",
           docs.filter(col("source") === "src0"), "text", buckets = DsirBuckets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-doc duplicated-span fractions (Lee et al. 2022 exact
+    // substring dedup signal): per doc, the share of its 3-token
+    // shingles that also occur in another document. One shingle pass +
+    // one gram groupBy; the dup mark joins back on the same gram key.
+    "text_dup_spans" -> ((s, d) => {
+      graft.api.Text.dupSpanStats(Tables.documents(s, d), "doc_id", "text",
+          n = DupSpanN)
         .orderBy(col("doc_id"))
     }),
 
@@ -721,6 +736,27 @@ object TextPack {
          |    AS DOUBLE), 6) AS dsir_score
          |FROM db JOIN tbl ON tbl.b = db.b
          |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    // Trigram via two lead()s (NULL tails drop since string || NULL is
+    // NULL); same >=2-distinct-docs mark and 6-place rounding as
+    // graft.api.Text.dupSpanStats.
+    "text_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |g0 AS (SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      AS gram
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
+        |d AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+        |per AS (SELECT g.doc_id, COUNT(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_shingles
+        |  FROM g JOIN d USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_shingles, n_dup_shingles,
+        |  round(n_dup_shingles / CAST(n_shingles AS DOUBLE), 6) AS dup_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     // The oracle ranks the vocabulary with one global window (DuckDB is
     // single-node); the two-phase digit-bucket rank must agree exactly.

@@ -399,6 +399,20 @@ class ApiSpec extends SparkSpec {
     assert(got(1L) > got(3L) && got(3L) > got(2L), s"$got")
   }
 
+  test("text: dupSpanStats counts shingles shared across documents") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // shingles: "a b c","b c d","c d e"
+      (2L, "x b c d y"),     // shares "b c d" with doc 1
+      (3L, "p q"),           // < 3 tokens: no shingles, no row
+      (4L, "a b c a b c")    // within-doc repeat of "a b c" is NOT cross-doc
+    ).toDF("id", "body")
+    val got = Graft.text.dupSpanStats(docs, "id", "body", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 4's "a b c" occurs in doc 1 too, so its two occurrences are
+    // cross-doc dups; "b c a"/"c a b" are unique to doc 4.
+    assert(got == Map(1L -> (3L, 2L), 2L -> (3L, 1L), 4L -> (4L, 2L)), s"$got")
+  }
+
   test("text: vocabCoverage finds the minimal vocab per coverage target") {
     // freqs: e=12, a=5, b=3, c=1, d=1 (total 22) — e's 2-digit count
     // exercises the cross-bucket ordering of the two-phase rank.
