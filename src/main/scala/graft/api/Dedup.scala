@@ -171,4 +171,40 @@ object Dedup {
         expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The k Bloom bit positions of a hash column: affine re-hashes
+    * j = 0..k-1 of [[graft.ops.TextHash]]'s family, reduced mod numBits.
+    * Deterministic and DuckDB-replicable (all int64 arithmetic on
+    * non-negative values), so Bloom membership — false positives
+    * included — is exactly oracle-checkable. */
+  def bloomPositions(h: Column, k: Int, numBits: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j => affine(h, j) % numBits)
+
+  /** ONE-row Bloom bitset (column `bloom`: array<long>, numBits/64
+    * words) over hash column `h` of a corpus — the standing-corpus side
+    * of an exact-membership ingest gate. Built by the BitsetAgg
+    * TypedImperativeAggregate: partial buffers OR-merge map-side, so
+    * the corpus scan ships one numBits/8-byte buffer per task, not the
+    * positions. At 100 TB the filter is megabytes (numBits ∝ corpus
+    * cardinality / target fp-rate) and broadcasts to every executor. */
+  def bloomBitset(corpus: DataFrame, h: Column, k: Int, numBits: Int): DataFrame =
+    corpus.select(bloomPositions(h, k, numBits).as("pos"))
+      .agg(call_function("bitset_agg", col("pos"), lit(numBits)).as("bloom"))
+
+  /** Probe a batch against a [[bloomBitset]]: adds int column `flag` = 1
+    * iff ALL k positions of `h` are set (standard Bloom semantics —
+    * never a false negative; false positives at the filter's designed
+    * rate). The 1-row bitset broadcasts; the probe itself is pure
+    * codegen'd built-ins (no UDF): element_at word lookup + dynamic
+    * shiftright, inside a forall lambda. */
+  def bloomProbe(batch: DataFrame, bloom: DataFrame, h: Column,
+      k: Int, numBits: Int, flag: String): DataFrame =
+    batch.crossJoin(broadcast(bloom))
+      .withColumn(flag,
+        forall(bloomPositions(h, k, numBits), p =>
+          call_function("shiftright",
+            element_at(col("bloom"), (p / 64).cast("int") + 1),
+            (p % 64).cast("int"))
+            .bitwiseAND(lit(1L)) === 1).cast("int"))
+      .drop("bloom")
 }

@@ -26,6 +26,13 @@ object DedupPack {
 
   private val NumHashes = 16
   private val BandSize  = 4   // 4 bands × 4 rows
+  /** Bloom gate geometry: k affine hashes into a 2^18-bit filter. Sized
+    * so the sf-fixture corpora stay far below saturation (n=45k docs at
+    * sf1 → ~6% fp; n≤4.5k below that → fp ≈ 0) while keeping the filter
+    * a fixed 32 KB both engines can reproduce bit-for-bit. Production
+    * knob: numBits ∝ corpus cardinality / target fp-rate. */
+  private val BloomK    = 5
+  private val BloomBits = 1 << 18
   /** Min-label rounds for near-dup clustering — exact for cluster
     * diameters ≤ 4 (near-dup chains are short; the oracle unrolls the
     * same fixed-round recurrence, so the compare holds regardless). */
@@ -249,6 +256,36 @@ object DedupPack {
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .orderBy(col("canonical_url"))
+    }),
+
+    // Bloom-filter ingest pre-gate — the EXACT-membership stage that
+    // runs before any LSH near-dup pass at 100 TB: the standing corpus's
+    // content hashes build one 32 KB bitset (BitsetAgg: partial buffers
+    // OR-merge map-side, one buffer per task through the exchange), the
+    // batch (doc_id % 10 = 0, the dedup_incremental split) probes the
+    // broadcast filter with pure codegen'd built-ins. `in_bloom` has
+    // Bloom semantics — never a false negative, false positives at the
+    // designed rate — and `exact_dup` (hash equi-join ground truth) sits
+    // beside it so the fp gap is visible in the output. Membership is
+    // deterministic given TextHash's cross-engine hashes, so the oracle
+    // replays the filter exactly, false positives included, via the
+    // position-set formulation.
+    "dedup_bloom_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), h28(col("text")).as("h"))
+      val isBatch = col("doc_id") % 10 === 0
+      val corpus = docs.filter(!isBatch)
+      val bloom = graft.api.Dedup.bloomBitset(corpus, col("h"), BloomK, BloomBits)
+      val probed = graft.api.Dedup.bloomProbe(
+        docs.filter(isBatch), bloom, col("h"), BloomK, BloomBits, "in_bloom")
+      // Ground-truth exact membership (at scale this join would run on
+      // the bloom-flagged survivors only — the gate's whole point; both
+      // columns are reported here so the contract is checkable).
+      val exact = corpus.select(col("h")).distinct().withColumn("exact_hit", lit(1))
+      probed.join(exact, Seq("h"), "left")
+        .select(col("doc_id"), col("in_bloom"),
+          coalesce(col("exact_hit"), lit(0)).as("exact_dup"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -469,6 +506,30 @@ object DedupPack {
         |  FROM v)
         |SELECT canonical_url, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS keep_doc
-        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // Exact Bloom replay: a batch doc is in_bloom iff ALL k of its bit
+    // positions appear in the corpus's distinct position set — the
+    // uncompressed formulation of the same filter (bit arrays and
+    // position sets answer membership identically).
+    "dedup_bloom_gate" ->
+      s"""WITH hs AS MATERIALIZED (SELECT doc_id, ${h28Sql("text")} AS h,
+         |    doc_id % 10 = 0 AS is_batch FROM documents),
+         |pos AS MATERIALIZED (SELECT doc_id, is_batch,
+         |    ${affineSql("h", "j")} % $BloomBits AS p
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j)),
+         |cb AS MATERIALIZED (SELECT DISTINCT p FROM pos WHERE NOT is_batch),
+         |probe AS (SELECT pos.doc_id,
+         |    CASE WHEN SUM(CASE WHEN cb.p IS NULL THEN 1 ELSE 0 END) = 0
+         |      THEN 1 ELSE 0 END AS in_bloom
+         |  FROM pos LEFT JOIN cb ON cb.p = pos.p
+         |  WHERE pos.is_batch GROUP BY pos.doc_id),
+         |ch AS (SELECT DISTINCT h FROM hs WHERE NOT is_batch)
+         |SELECT pr.doc_id, pr.in_bloom,
+         |  CASE WHEN ch.h IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |FROM probe pr
+         |JOIN hs b ON b.doc_id = pr.doc_id
+         |LEFT JOIN ch ON ch.h = b.h
+         |ORDER BY pr.doc_id""".stripMargin
   )
 }

@@ -200,4 +200,19 @@ class PlanSpec extends SparkSpec {
       "vocabulary must never globally sort by term frequency")
     assert(!p3.contains("CartesianProduct"))
   }
+
+  test("bloom gate: bitset builds with a map-side partial, 1-row filter broadcasts") {
+    val p = planOf(graft.ops.DedupPack.queries("dedup_bloom_gate")(spark, sf()))
+    // Two-phase aggregate: partial bitset buffers OR-merge before the
+    // exchange (ObjectHashAggregate for a TypedImperativeAggregate).
+    assert("(?s)ObjectHashAggregate.*partial_bitset_agg".r.findFirstIn(p).isDefined
+      || p.contains("partial_bitset_agg"),
+      "bitset_agg must partial-aggregate map-side")
+    // The 1-row bitset reaches the batch by broadcast (the crossJoin of
+    // a broadcast single row plans as BroadcastNestedLoopJoin).
+    assert(p.contains("BroadcastNestedLoopJoin"), "bloom bitset must broadcast")
+    // The only nested-loop join is that 1-row broadcast — nothing
+    // all-pairs anywhere else.
+    assert(!p.contains("CartesianProduct"))
+  }
 }

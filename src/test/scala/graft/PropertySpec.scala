@@ -84,4 +84,36 @@ class PropertySpec extends AnyFunSuite {
     val agg = MinHashSketch(BoundReference(0, LongType, nullable = true))
     assert(agg.createAggregationBuffer().forall(_ == Long.MaxValue))
   }
+
+  test("bitset agg: split-merge equals one-shot union; serde round-trips; bounds ignored") {
+    import graft.functions.BitsetAgg
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val numBits = 256
+    val agg = BitsetAgg(
+      BoundReference(0, ArrayType(LongType), nullable = true), Literal(numBits))
+    def row(ps: Seq[Long]) = InternalRow(new GenericArrayData(ps.toArray))
+    for (size <- Seq(1, 3, 50); split <- Seq(0, 1, size / 2, size)) {
+      // Position lists include out-of-range values the agg must ignore.
+      val rows = samples(size, seed = size * 17 + split).map { v =>
+        Seq(math.floorMod(v, numBits).toLong,
+          math.floorMod(v >> 9, numBits).toLong, -1L, numBits.toLong + 5)
+      }
+      val whole = rows.foldLeft(agg.createAggregationBuffer()) { (b, ps) =>
+        agg.update(b, row(ps))
+      }
+      val (l, r) = rows.splitAt(split)
+      val bl = l.foldLeft(agg.createAggregationBuffer()) { (b, ps) => agg.update(b, row(ps)) }
+      val br = r.foldLeft(agg.createAggregationBuffer()) { (b, ps) => agg.update(b, row(ps)) }
+      val merged = agg.merge(bl, br)
+      assert(merged.toSeq == whole.toSeq, s"size=$size split=$split")
+      assert(agg.deserialize(agg.serialize(merged)).toSeq == merged.toSeq)
+      // Exact bit semantics vs a reference Set of in-range positions.
+      val expect = rows.flatten.filter(p => p >= 0 && p < numBits).toSet
+      val got = (0 until numBits).filter(p => (merged(p >> 6) >> (p & 63) & 1L) == 1L)
+      assert(got.toSet == expect.map(_.toInt), s"size=$size split=$split")
+    }
+  }
 }

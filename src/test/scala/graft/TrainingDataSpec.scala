@@ -200,4 +200,43 @@ class TrainingDataSpec extends SparkSpec {
     // some doc shows dup2 >= dup3 unless nothing repeats at all.
     assert(rows.forall { case (_, dup2, _, dup3, _) => dup3 == 0 || dup2 > 0 })
   }
+
+  test("bloom gate: no false negatives; bitset probe = position-set reference") {
+    import org.apache.spark.sql.functions._
+    val rows = DedupPack.queries("dedup_bloom_gate")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // Bloom's contract: membership implies a hit — exact_dup=1 forces
+    // in_bloom=1 for every batch doc, at any fp rate.
+    rows.foreach { case (id, inBloom, exact) =>
+      assert(exact == 0 || inBloom == 1, s"false negative on doc $id") }
+    // The compressed bitset answers membership identically to the
+    // distinct-position-set join (the oracle's formulation), on a
+    // randomized frame with planted exact duplicates across the split.
+    val rnd = new scala.util.Random(271)
+    val k = 4; val bits = 512 // small filter → false positives occur
+    val docs = spark.createDataFrame(
+      (0L until 300L).map { i =>
+        val h = if (i % 10 == 0 && rnd.nextBoolean()) (i + 1) * 97 % (1 << 28)
+                else rnd.nextInt(1 << 28).toLong
+        (i, h)
+      }).toDF("doc_id", "h")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val got = graft.api.Dedup.bloomProbe(batch,
+        graft.api.Dedup.bloomBitset(corpus, col("h"), k, bits),
+        col("h"), k, bits, "flag")
+      .select("doc_id", "flag").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val posSet = corpus
+      .select(explode(graft.api.Dedup.bloomPositions(col("h"), k, bits)).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val expect = batch
+      .select(col("doc_id"), graft.api.Dedup.bloomPositions(col("h"), k, bits).as("ps"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getSeq[Long](1).forall(posSet)) 1 else 0)).toMap
+    assert(got == expect)
+    assert(got.values.sum > 0, "saturation-prone filter should flag something")
+  }
 }
