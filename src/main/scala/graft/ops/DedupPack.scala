@@ -27,10 +27,14 @@ object DedupPack {
   private val NumHashes = 16
   private val BandSize  = 4   // 4 bands × 4 rows
   /** Bloom gate geometry: k affine hashes into a 2^18-bit filter. Sized
-    * so the sf-fixture corpora stay far below saturation (n=45k docs at
-    * sf1 → ~6% fp; n≤4.5k below that → fp ≈ 0) while keeping the filter
-    * a fixed 32 KB both engines can reproduce bit-for-bit. Production
-    * knob: numBits ∝ corpus cardinality / target fp-rate. */
+    * so the sf-fixture corpora stay below saturation (n=45k docs at sf1
+    * → 16% measured fp — above the ~6% independent-hash ideal because
+    * the k positions are affine re-hashes of ONE 28-bit base hash and
+    * so correlated; n≤4.5k below that → fp ≈ 0) while keeping the
+    * filter a fixed 32 KB both engines reproduce bit-for-bit. The
+    * no-false-negative contract is unaffected. Production knobs:
+    * numBits ∝ corpus cardinality / target fp-rate, and k independent
+    * base hashes if the fp budget is tight. */
   private val BloomK    = 5
   private val BloomBits = 1 << 18
   /** Min-label rounds for near-dup clustering — exact for cluster
