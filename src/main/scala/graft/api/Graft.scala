@@ -22,7 +22,8 @@ package graft.api
   *
   * Families:
   *  - [[Dedup]] `Graft.dedup` — exact/keyed dedup, MinHash+LSH, SimHash,
-  *    n-gram Jaccard (oracle-deterministic hashing).
+  *    n-gram Jaccard, Bloom-bitset ingest gate (oracle-deterministic
+  *    hashing).
   *  - [[Similarity]] `Graft.similarity` — cosine top-k, hyperplane-LSH
   *    buckets, IVF cells, near-dup pairs (native codegen'd cosine).
   *  - [[Text]] `Graft.text` — token stats, quality gates, language ID,
@@ -43,8 +44,9 @@ package graft.api
   *  - [[graft.multimodal.Multimodal]] `Graft.media` — binary media
   *    columns, typed metadata, per-partition batched decode.
   *  - [[graft.functions]] — `cosine_sim`, `minhash_sketch`,
-  *    `accent_fold` as native Catalyst expressions, registered through
-  *    `graft.ext.GraftExtensions` (spark.sql.extensions).
+  *    `bitset_agg`, `accent_fold` as native Catalyst expressions,
+  *    registered through `graft.ext.GraftExtensions`
+  *    (spark.sql.extensions).
   */
 object Graft {
   val dedup: Dedup.type = Dedup
