@@ -194,17 +194,21 @@ object Dedup {
   /** Probe a batch against a [[bloomBitset]]: adds int column `flag` = 1
     * iff ALL k positions of `h` are set (standard Bloom semantics —
     * never a false negative; false positives at the filter's designed
-    * rate). The 1-row bitset broadcasts; the probe itself is pure
-    * codegen'd built-ins (no UDF): element_at word lookup + dynamic
-    * shiftright, inside a forall lambda. */
+    * rate). The 1-row bitset broadcasts — joined on a constant key
+    * rather than crossJoin so the SAME probe runs on a STREAMING batch
+    * frame (stream-static equi-joins are stateless and supported;
+    * stream crossJoins are not). The probe itself is pure codegen'd
+    * built-ins (no UDF): element_at word lookup + dynamic shiftright,
+    * inside a forall lambda. */
   def bloomProbe(batch: DataFrame, bloom: DataFrame, h: Column,
       k: Int, numBits: Int, flag: String): DataFrame =
-    batch.crossJoin(broadcast(bloom))
+    batch.withColumn("__bk", lit(1))
+      .join(broadcast(bloom.withColumn("__bk", lit(1))), "__bk")
       .withColumn(flag,
         forall(bloomPositions(h, k, numBits), p =>
           call_function("shiftright",
             element_at(col("bloom"), (p / 64).cast("int") + 1),
             (p % 64).cast("int"))
             .bitwiseAND(lit(1L)) === 1).cast("int"))
-      .drop("bloom")
+      .drop("bloom", "__bk")
 }

@@ -35,8 +35,8 @@ object DedupPack {
     * no-false-negative contract is unaffected. Production knobs:
     * numBits ∝ corpus cardinality / target fp-rate, and k independent
     * base hashes if the fp budget is tight. */
-  private val BloomK    = 5
-  private val BloomBits = 1 << 18
+  private[ops] val BloomK    = 5
+  private[ops] val BloomBits = 1 << 18
   /** Min-label rounds for near-dup clustering — exact for cluster
     * diameters ≤ 4 (near-dup chains are short; the oracle unrolls the
     * same fixed-round recurrence, so the compare holds regardless). */
@@ -274,24 +274,33 @@ object DedupPack {
     // deterministic given TextHash's cross-engine hashes, so the oracle
     // replays the filter exactly, false positives included, via the
     // position-set formulation.
-    "dedup_bloom_gate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), h28(col("text")).as("h"))
-      val isBatch = col("doc_id") % 10 === 0
-      val corpus = docs.filter(!isBatch)
-      val bloom = graft.api.Dedup.bloomBitset(corpus, col("h"), BloomK, BloomBits)
-      val probed = graft.api.Dedup.bloomProbe(
-        docs.filter(isBatch), bloom, col("h"), BloomK, BloomBits, "in_bloom")
-      // Ground-truth exact membership (at scale this join would run on
-      // the bloom-flagged survivors only — the gate's whole point; both
-      // columns are reported here so the contract is checkable).
-      val exact = corpus.select(col("h")).distinct().withColumn("exact_hit", lit(1))
-      probed.join(exact, Seq("h"), "left")
-        .select(col("doc_id"), col("in_bloom"),
-          coalesce(col("exact_hit"), lit(0)).as("exact_dup"))
-        .orderBy(col("doc_id"))
-    })
+    "dedup_bloom_gate" -> ((s, d) =>
+      bloomGateProbe(s, d,
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id")))
   )
+
+  /** The Bloom gate's probe side, shared with the streaming twin
+    * (graft.ops.StreamingPack `stream_bloom_gate`): `ingest` is any
+    * documents-shaped frame — batch or STREAMING (every step is a
+    * stateless projection or a stream-static equi-join). The standing
+    * corpus (doc_id % 10 != 0 of dir `d`) supplies both the bitset and
+    * the exact-membership ground truth; at scale the exact join would
+    * run on the bloom-flagged survivors only — the gate's whole point;
+    * both columns are reported so the contract is checkable. */
+  private[ops] def bloomGateProbe(s: SparkSession, d: String, ingest: DataFrame): DataFrame = {
+    val corpus = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), h28(col("text")).as("h"))
+    val bloom = graft.api.Dedup.bloomBitset(corpus, col("h"), BloomK, BloomBits)
+    val probed = graft.api.Dedup.bloomProbe(
+      ingest.select(col("doc_id"), h28(col("text")).as("h")),
+      bloom, col("h"), BloomK, BloomBits, "in_bloom")
+    val exact = corpus.select(col("h")).distinct().withColumn("exact_hit", lit(1))
+    probed.join(exact, Seq("h"), "left")
+      .select(col("doc_id"), col("in_bloom"),
+        coalesce(col("exact_hit"), lit(0)).as("exact_dup"))
+  }
 
   /** Deterministic URL-variant frame: doc pairs (2k, 2k+1) cite the SAME
     * target page under different spellings — https+www, uppercased

@@ -103,6 +103,23 @@ object StreamingPack {
         StreamOps.sessionize(StreamOps.eventsStream(s, d)), name)
       StreamOps.sessionRollup(sess, EventsPack.GapUs)
         .orderBy(col("user_id"))
+    }),
+
+    // Streaming Bloom ingest gate — dedup_bloom_gate's production shape:
+    // the document feed arrives as a stream and probes the standing
+    // corpus's broadcast bitset micro-batch by micro-batch. Every step
+    // is a stateless projection or a stream-static equi-join (the
+    // constant-key bitset broadcast + the exact-membership left join),
+    // so the operator carries ZERO streaming state at any corpus size —
+    // the filter, not the stream, holds the memory. Same DuckDB oracle
+    // as the batch twin: the stream must converge to it exactly.
+    "stream_bloom_gate" -> ((s, d) => {
+      val name = s"graft_stream_bloom_${counter.incrementAndGet()}"
+      val gated = StreamOps.runToMemoryAppend(s,
+        DedupPack.bloomGateProbe(s, d,
+          StreamOps.documentsStream(s, d).filter(col("doc_id") % 10 === 0)),
+        name)
+      gated.orderBy(col("doc_id"))
     })
   )
 
@@ -111,6 +128,7 @@ object StreamingPack {
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
     "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
     "stream_funnel"        -> EventsPack.oracle("events_funnel"),
+    "stream_bloom_gate"    -> DedupPack.oracle("dedup_bloom_gate"),
 
     // Batch SCD2 islands restricted to CLOSED intervals — exactly what
     // the append-mode stateful operator may emit.

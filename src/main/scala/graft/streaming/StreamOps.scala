@@ -39,6 +39,26 @@ object StreamOps {
     s.readStream.schema(eventsSchema).parquet(tmp.toString)
   }
 
+  /** documents schema as stored. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents parquet (same symlink staging
+    * as [[eventsStream]]) — the corpus-ingest feed a streaming dedup
+    * gate consumes. */
+  def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_docs_stream")
+    tmp.toFile.deleteOnExit()
+    Files.createSymbolicLink(tmp.resolve("documents.parquet"),
+      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    s.readStream.schema(documentsSchema).parquet(tmp.toString)
+  }
+
   /** Event-time tumbling-window counts with a watermark — works on any
     * events-shaped frame, batch or streaming (identical plan surface). */
   def windowCounts(events: DataFrame): DataFrame = {

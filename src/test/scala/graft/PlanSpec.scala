@@ -208,11 +208,10 @@ class PlanSpec extends SparkSpec {
     assert("(?s)ObjectHashAggregate.*partial_bitset_agg".r.findFirstIn(p).isDefined
       || p.contains("partial_bitset_agg"),
       "bitset_agg must partial-aggregate map-side")
-    // The 1-row bitset reaches the batch by broadcast (the crossJoin of
-    // a broadcast single row plans as BroadcastNestedLoopJoin).
-    assert(p.contains("BroadcastNestedLoopJoin"), "bloom bitset must broadcast")
-    // The only nested-loop join is that 1-row broadcast — nothing
-    // all-pairs anywhere else.
+    // The 1-row bitset reaches the batch by broadcast (constant-key
+    // equi-join → BroadcastHashJoin; the key keeps the same probe valid
+    // on a streaming frame, where crossJoin is unsupported).
+    assert(p.contains("BroadcastHashJoin"), "bloom bitset must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
 }

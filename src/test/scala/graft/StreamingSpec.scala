@@ -247,4 +247,13 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0L) == 2L, "window 0 must close with the 2 on-time events only")
     assert(rows(5L * H) == 1L)
   }
+
+  test("streaming bloom gate equals the batch gate (stateless stream-static probe)") {
+    def rows(q: String) = graft.ops.StreamingPack.queries
+      .getOrElse(q, graft.ops.DedupPack.queries(q))(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val streamed = rows("stream_bloom_gate")
+    assert(streamed == rows("dedup_bloom_gate"))
+    assert(streamed.nonEmpty)
+  }
 }
