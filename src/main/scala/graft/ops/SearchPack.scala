@@ -130,22 +130,24 @@ object SearchPack {
         .filter(col("score") >= 60.0)   // after top-k: see search_fuzzy_topk
     }),
 
-    // Blocked similarity self-join: block on the last THREE chars of the
-    // normalized name (equality shuffle), exact levenshtein <= 1 within
-    // blocks only — the join shape that survives 100 TB, vs the all-pairs
-    // scan the reference does at 4.6 M names (fuzzy_search.py:54-60).
-    // Bounded edit distance inside (3-arg levenshtein, ~k/|s| of the
-    // full DP): per-pair work is the whole cost of a similarity
-    // self-join. The block is a RECALL HEURISTIC whose granularity must
-    // scale with n: a suffix of length l over alphabet σ gives ~σ^l
-    // blocks of n/σ^l names and n²/σ^l candidate pairs, so l is chosen
-    // ~log_σ(n/target_block); a fixed l is quadratic-per-block at scale
-    // (the sf1 checkpoint measured l=2 at 211 s vs l=3 at ~20 s on 150k
-    // names). The SOUND, tuning-free form is search_lev_autojoin's
-    // optimizer rewrite.
+    // Blocked similarity self-join: block on a name suffix (equality
+    // shuffle), exact levenshtein <= 1 within blocks only — the join
+    // shape that survives 100 TB, vs the all-pairs scan the reference
+    // does at 4.6 M names (fuzzy_search.py:54-60). Bounded edit distance
+    // inside (3-arg levenshtein, ~k/|s| of the full DP): per-pair work
+    // is the whole cost of a similarity self-join. The block is a RECALL
+    // HEURISTIC whose granularity must scale with n — a suffix of length
+    // l over alphabet σ gives ~σ^l blocks and n²/σ^l candidate pairs —
+    // so l is DERIVED from the corpus size (sizedBlockedSimJoin:
+    // σ^l >= n/targetBlock, blocks stay ~targetBlock names, candidates
+    // linear in n). A fixed l is quadratic-per-block: the sf1 checkpoint
+    // measured hand-picked l=3 at 34× wall-clock for 10× rows; the
+    // derivation picks l = 2/3/4 at sf0.01/0.1/1. The oracle derives
+    // the same l via the integer-exact digit-count formula. The SOUND,
+    // tuning-free form is search_lev_autojoin's optimizer rewrite.
     "search_blocked_simjoin" -> ((s, d) => {
-      graft.api.Search.blockedSimJoin(Tables.customer(s, d),
-          "c_custkey", "c_name", nm => substring(nm, -3, 3), maxDist = 1)
+      graft.api.Search.sizedBlockedSimJoin(Tables.customer(s, d),
+          "c_custkey", "c_name", targetBlock = 15, sigma = 10, maxDist = 1)
         .orderBy(col("i"), col("j")).limit(5000)
     }),
 
@@ -214,10 +216,17 @@ object SearchPack {
          |ORDER BY score DESC, c_custkey ASC LIMIT 10""".stripMargin
     },
 
+    // l derived exactly as sizedBlockedSimJoin does: the base-10 digit
+    // count of ceil(n_distinct/15)-1 — integer arithmetic only, so both
+    // engines land on the same l with no float-log boundary risk.
     "search_blocked_simjoin" ->
       s"""WITH names AS (SELECT c_custkey AS id, ${normSql("c_name")} AS nm
          |  FROM customer),
-         |blk AS (SELECT id, nm, substr(nm, length(nm) - 2, 3) AS blk FROM names)
+         |sz AS (SELECT length(CAST(CAST(ceil(count(DISTINCT nm) / 15.0) AS BIGINT)
+         |    - 1 AS VARCHAR)) AS l FROM names),
+         |blk AS (SELECT id, nm,
+         |    substr(nm, greatest(1, length(nm) - l + 1), CAST(l AS INT)) AS blk
+         |  FROM names, sz)
          |SELECT a.id AS i, b.id AS j, levenshtein(a.nm, b.nm) AS dist
          |FROM blk a JOIN blk b ON a.blk = b.blk AND a.id < b.id
          |WHERE levenshtein(a.nm, b.nm) <= 1

@@ -176,6 +176,34 @@ class ApiSpec extends SparkSpec {
     assert(!sim.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("search: sizedBlockedSimJoin derives the suffix length from corpus size") {
+    // The l ∝ log_σ(n) contract: blocks needed = ceil(n/target), l =
+    // base-σ digit count of (blocks-1). Integer-exact — the same values
+    // the DuckDB oracle twin derives.
+    import graft.api.Search.suffixBlockLen
+    assert(suffixBlockLen(10, 15, 10) == 1)   // one block is enough
+    assert(suffixBlockLen(1500, 15, 10) == 2) // sf0.01 customers
+    assert(suffixBlockLen(15000, 15, 10) == 3)
+    assert(suffixBlockLen(150000, 15, 10) == 4)
+    assert(suffixBlockLen(1501, 15, 10) == 3)  // 101 blocks -> 3 digits
+    assert(suffixBlockLen(64, 4, 2) == 4)      // 16 blocks in base 2
+    def corpus(n: Int) = (1 to n)
+      .map(i => (i.toLong, f"item#$i%06d")).toDF("pid", "pname")
+    // Sized output == fixed-l output at the derived l, at two sizes that
+    // derive DIFFERENT l — the granularity actually moved with n.
+    for ((n, l) <- Seq((200, 2), (2000, 3))) {
+      assert(suffixBlockLen(n, 15, 10) == l)
+      val sized = Graft.search.sizedBlockedSimJoin(corpus(n), "pid", "pname",
+          targetBlock = 15, sigma = 10, maxDist = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fixed = Graft.search.blockedSimJoin(corpus(n), "pid", "pname",
+          nm => org.apache.spark.sql.functions.substring(nm, -l, l), maxDist = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sized == fixed, s"n=$n l=$l")
+      assert(sized.nonEmpty, "one-digit-apart ids share an l-suffix block")
+    }
+  }
+
   test("analytics: salted aggregation equals the direct groupBy bitwise") {
     val df = (1L to 10000L).map(i => (i % 7, i, i * 0.01)).toDF("k", "salt", "v")
     val direct = df.groupBy(col("k"))
