@@ -440,6 +440,86 @@ object Text {
     * exact, monotone in count, ≤19 buckets), rank within a bucket by a
     * partitioned window, and offset by the ≤19-row bucket histogram — no
     * single-partition sort over the vocabulary at any scale. */
+  /** Per-document corpus-bigram LM quality score for EVERY scoreable
+    * document (≥1 bigram): (doc_id, n_bigrams, lm_score) where lm_score
+    * is the add-1-smoothed average bigram log-likelihood under the
+    * corpus's OWN model — the statistical-LM corpus filter (low score ⇒
+    * disfluent/garbled text). Bigrams come from one lead() window per
+    * doc (a single doc-key shuffle); model counts are two hash
+    * aggregations over the bigram stream; per-doc sums go through exact
+    * decimals (order-independent) and round to 6 places. */
+  def bigramLmScores(corpus: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = corpus
+      .select(col(id).as("doc_id"), posexplode(tokens(col(text))).as(Seq("pos", "term")))
+    val big = tok
+      .withColumn("w2", lead(col("term"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("term").as("w1"), col("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val vocab = tok.agg(countDistinct(col("term")).as("v"))
+    big
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("n2") + 1) / (col("n1") + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(28,15)")).cast("double") /
+          count(lit(1)), 6).as("lm_score"))
+  }
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.4: score
+    * every document under a reference LM, cut the corpus into
+    * equal-count head/middle/tail quality bands; training mixes favor
+    * the head). Documents are ranked by [[bigramLmScores]] descending
+    * (head = most fluent = lowest perplexity) and the ranking is cut
+    * into `nBands` equal-count bands; returns one row per band with
+    * doc/bigram counts and the score range — the per-band stats a
+    * mixture builder feeds into [[mixtureSample]]-style gates.
+    *
+    * The global rank is TWO-PHASE (equal-width score-range buckets →
+    * per-bucket row_number → histogram-window offsets), the same shape
+    * as [[Analytics.gini]]: no global sort or single-partition window
+    * over corpus-sized data at any scale. Unscoreable docs (<2 tokens)
+    * carry no LM evidence and are not ranked. */
+  def pplBuckets(corpus: DataFrame, id: String, text: String,
+      nBands: Int = 3, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBands >= 2, s"nBands must be >= 2: $nBands")
+    val scores = bigramLmScores(corpus, id, text)
+    val stats = scores.agg(min(col("lm_score")).as("mn"),
+      max(col("lm_score")).as("mx"), count(lit(1)).as("n"))
+    // bkt 0 holds the HIGHEST scores so bucket order follows rank order;
+    // degenerate range (all scores equal) ranks through one bucket.
+    val bucketed = scores.crossJoin(broadcast(stats))
+      .withColumn("bkt", when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(floor((col("mx") - col("lm_score")) /
+          (col("mx") - col("mn")) * buckets), lit(buckets - 1))).cast("long"))
+    val ranked = bucketed.withColumn("rn", row_number().over(
+      Window.partitionBy(col("bkt"))
+        .orderBy(col("lm_score").desc, col("doc_id").asc)).cast("long"))
+    // Unpartitioned window over the <=`buckets`-row histogram only.
+    val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    ranked.join(broadcast(offs), "bkt")
+      .withColumn("band",
+        least(floor(lit(nBands) * (col("off") + col("rn") - 1) / col("n")),
+          lit(nBands - 1)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        max(col("lm_score")).as("best_score"),
+        min(col("lm_score")).as("worst_score"))
+      .orderBy(col("band"))
+  }
+
   def vocabCoverage(corpus: DataFrame, id: String, text: String,
       targets: Seq[Double] = Seq(0.5, 0.75, 0.9, 0.95, 0.99)): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -182,29 +182,19 @@ object TextPack {
     // exact decimals (order-independent) — the same one-corpus-pass
     // discipline as the rest of the pack.
     "text_bigram_lm_score" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-      val big = tok
-        .withColumn("w2", lead(col("term"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("term").as("w1"), col("w2"))
-      val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-      val vocab = tok.agg(countDistinct(col("term")).as("v"))
-      big
-        .join(c2, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          log((col("n2") + 1) / (col("n1") + col("v"))).as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("lp").cast("decimal(28,15)")).cast("double") /
-            count(lit(1)), 6).as("lm_score"))
+      graft.api.Text.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("lm_score").asc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // CCNet perplexity partition (Wenzek et al. 2020 §4.4) — the same
+    // per-doc LM scores cut into equal-count head/middle/tail quality
+    // bands via a two-phase global rank (score-range buckets →
+    // per-bucket row_number → histogram offsets; no global sort). Per
+    // band: doc/bigram counts + the score range, i.e. the perplexity
+    // cutoffs a production mixture builder would persist.
+    "text_ppl_buckets" -> ((s, d) => {
+      graft.api.Text.pplBuckets(Tables.documents(s, d), "doc_id", "text")
     }),
 
     // Fingerprint-based exact-ordered-dup audit (groups sharing a
@@ -425,6 +415,39 @@ object TextPack {
         |CROSS JOIN v
         |GROUP BY b.doc_id
         |ORDER BY lm_score ASC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Same LM CTEs; the oracle ranks globally (fine at oracle scale) —
+    // band cut floor(nBands·(rank-1)/n) mirrors pplBuckets exactly.
+    "text_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |big AS MATERIALIZED (SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, term AS w1,
+        |      lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok)
+        |  WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+        |scores AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    round(CAST(SUM(CAST(ln((c2.n2 + 1) / CAST(c1.n1 + v.v AS DOUBLE))
+        |        AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 6) AS lm_score
+        |  FROM big b
+        |  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |  JOIN c1 ON c1.w1 = b.w1
+        |  CROSS JOIN v
+        |  GROUP BY b.doc_id),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (ORDER BY lm_score DESC, doc_id ASC) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM scores)
+        |SELECT CAST(least(floor(3 * (rnk - 1) / CAST(n AS DOUBLE)), 2)
+        |    AS BIGINT) AS band,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+        |  MAX(lm_score) AS best_score, MIN(lm_score) AS worst_score
+        |FROM ranked GROUP BY band ORDER BY band""".stripMargin,
 
     "text_token_stats" ->
       s"""SELECT doc_id,

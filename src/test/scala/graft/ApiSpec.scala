@@ -91,6 +91,26 @@ class ApiSpec extends SparkSpec {
     assert("completely different text about spark engines here".split(" ").contains(top.head))
   }
 
+  test("text: pplBuckets cuts the corpus into equal-count quality bands") {
+    // 9 scoreable docs: 3 fluent (repeat a common bigram), 3 middling,
+    // 3 garbled (each bigram unique) — plus one single-token doc that
+    // carries no bigram evidence and must not be ranked.
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "the cat sat on the mat " * 3)) ++
+      (4 to 6).map(i => (i.toLong, s"the cat ate fish number $i today")) ++
+      (7 to 9).map(i => (i.toLong, s"zx$i qw$i er$i ty$i ui$i op$i")) ++
+      Seq((10L, "lonely"))
+    ).toDF("doc_id", "text")
+    val bands = Graft.text.pplBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(bands == List((0L, 3L), (1L, 3L), (2L, 3L)),
+      s"3 equal-count bands over the 9 scoreable docs: $bands")
+    val best = Graft.text.pplBuckets(docs, "doc_id", "text")
+      .orderBy(col("band")).select("best_score").as[Double].collect()
+    assert(best(0) > best(1) && best(1) > best(2),
+      "band 0 is the head: score ranges strictly ordered")
+  }
+
   test("text: fingerprint separates order-permuted content") {
     val fp = Graft.text.fingerprint(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
