@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC pin: events.ts is naive TIMESTAMP(MICROS) (timestamp_ntz) —
+      // OpsUtil.tsMicros' epoch conversion and DuckDB's epoch_ns agree
+      // only when the session clock is UTC.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()

@@ -12,9 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS) which Spark has no native
-      // type for; read as epoch-nanos long (Tables.events re-derives a
-      // micros timestamp column).
+      // Legacy-fixture compat: if events.parquet stores TIMESTAMP(NANOS)
+      // (no native Spark type), read it as epoch-nanos long; the current
+      // fixtures store naive TIMESTAMP(MICROS) (timestamp_ntz), which
+      // OpsUtil.tsMicros converts under the UTC session pin above.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()

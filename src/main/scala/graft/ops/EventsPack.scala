@@ -11,10 +11,13 @@ import graft.tables.Tables
   * islands form of session_window), JSON property flattening (S7's
   * nested-JSON projection on a column), and per-user top-k.
   *
-  * `ts` arrives as epoch-nanos LongType (TIMESTAMP(NANOS) parquet via
-  * nanosAsLong); all window arithmetic is integer micros so both engines
-  * agree exactly. StreamingPack runs the same window aggregation as a
-  * Structured Streaming query and must produce identical results.
+  * `ts` lands in whatever parquet timestamp encoding the fixture uses
+  * (currently TIMESTAMP(MICROS) naive → timestamp_ntz; formerly
+  * TIMESTAMP(NANOS) read as long) — OpsUtil.tsMicros normalizes it to
+  * exact integer epoch-micros, so all window arithmetic is integer and
+  * both engines agree exactly. StreamingPack runs the same window
+  * aggregation as a Structured Streaming query and must produce
+  * identical results.
   */
 object EventsPack {
   type Q = (SparkSession, String) => DataFrame
@@ -34,8 +37,10 @@ object EventsPack {
   val DecayTauUs: Long = 24L * 3600 * 1000000
 
   /** events with an integer-micros event-time column. */
-  def withMicros(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+  def withMicros(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.withColumn("ts_us", OpsUtil.tsMicros(e))
+  }
 
   val queries: Map[String, Q] = Map(
     // Tumbling-window counts per event type (the batch twin of

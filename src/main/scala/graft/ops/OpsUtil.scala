@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for oracle-comparable aggregates.
   *
@@ -34,4 +34,34 @@ object OpsUtil {
   /** DuckDB-side SQL fragment matching [[davg]]. */
   def davgSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)"
+
+  /** Event-time column as exact epoch MICROS (long), adaptive to how the
+    * fixture stores it — the event-log surface must survive a fixture
+    * schema migration without every consumer caring:
+    *  - `timestamp` (instant): `unix_micros` directly.
+    *  - `timestamp_ntz` (naive, the parquet `isAdjustedToUTC=false` read):
+    *    the wall clock IS the epoch clock — every session pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast to instant is the
+    *    identity and matches DuckDB's `epoch_ns(ts)` on the same file.
+    *  - `long`: legacy epoch-nanos (TIMESTAMP(NANOS) via nanosAsLong).
+    */
+  def tsMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case TimestampType    => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case LongType         => expr(s"$c div 1000")
+      case t => throw new IllegalArgumentException(
+        s"unsupported event-time type for column '$c': $t")
+    }
+
+  /** Event-time as a proper TimestampType column (for watermarks and
+    * window()/session_window()), same adaptivity as [[tsMicros]]. */
+  def tsEventTime(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case TimestampType    => col(c)
+      case TimestampNTZType => col(c).cast(TimestampType)
+      case LongType         => timestamp_micros(expr(s"$c div 1000"))
+      case t => throw new IllegalArgumentException(
+        s"unsupported event-time type for column '$c': $t")
+    }
 }

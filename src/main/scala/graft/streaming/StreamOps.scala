@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.EventsPack
+import graft.ops.{EventsPack, OpsUtil}
 
 /** Structured Streaming over the events log — the reference has no
   * streams (SURVEY.md §7.3), but an activity log at 100 TB IS a stream;
@@ -17,14 +17,14 @@ import graft.ops.EventsPack
   */
 object StreamOps {
 
-  /** events schema as stored (ts read as epoch-nanos long). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema AS STORED in the fixture — inferred from the file with
+    * a one-off batch footer read, never hardcoded: a file source needs an
+    * explicit schema, and pinning one here silently reinterprets the
+    * physical int64 when the fixture's timestamp encoding changes (the
+    * round-6 failure: micros read as nanos shrank every event time 1000×).
+    * Event-time consumers stay encoding-agnostic via OpsUtil.tsMicros. */
+  def eventsSchema(s: SparkSession, dir: String): StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
 
   /** File-source stream over the events parquet. The file source needs a
     * directory of its own (the fixture dir holds every table), so the
@@ -36,7 +36,7 @@ object StreamOps {
     tmp.toFile.deleteOnExit()
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    s.readStream.schema(eventsSchema).parquet(tmp.toString)
+    s.readStream.schema(eventsSchema(s, dir)).parquet(tmp.toString)
   }
 
   /** documents schema as stored. */
@@ -63,7 +63,7 @@ object StreamOps {
     * events-shaped frame, batch or streaming (identical plan surface). */
   def windowCounts(events: DataFrame): DataFrame = {
     val withTime = events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", OpsUtil.tsEventTime(events))
     withTime
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
@@ -84,7 +84,7 @@ object StreamOps {
     val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
     Files.createSymbolicLink(tmp.resolve("events_a.parquet"), src)
     Files.createSymbolicLink(tmp.resolve("events_b.parquet"), src)
-    s.readStream.schema(eventsSchema).parquet(tmp.toString)
+    s.readStream.schema(eventsSchema(s, dir)).parquet(tmp.toString)
   }
 
   /** Streaming exact dedup on the event key: each event_id's FIRST
@@ -107,7 +107,7 @@ object StreamOps {
     * matches the raw events frame. */
   def dedupEventsBounded(events: DataFrame, horizon: String = "1 hour"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", OpsUtil.tsEventTime(events))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("event_id")
       .drop("event_time")
@@ -136,7 +136,7 @@ object StreamOps {
     * and the spec pins both behaviors on a micro fixture. */
   def sessionize(events: DataFrame): DataFrame = {
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", OpsUtil.tsEventTime(events))
       .withWatermark("event_time", "1 hour")
       .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -181,11 +181,11 @@ object StreamOps {
   def intervalJoin(clicks: DataFrame, purchases: DataFrame,
       intervalUs: Long): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
-      .withColumn("c_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("c_time", OpsUtil.tsEventTime(clicks))
       .withWatermark("c_time", "1 hour")
       .select(col("user_id").as("c_user"), col("c_time"))
     val p = purchases.filter(col("event_type") === "purchase")
-      .withColumn("p_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("p_time", OpsUtil.tsEventTime(purchases))
       .withWatermark("p_time", "1 hour")
       .select(col("user_id").as("p_user"), col("p_time"), col("value"))
     c.join(p, col("c_user") === col("p_user") &&
@@ -234,12 +234,12 @@ object StreamOps {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", OpsUtil.tsEventTime(events))
       .withWatermark("event_time", watermarkDelay)
       // event_time must survive the projection: EventTimeTimeout requires
       // the watermark attribute in the stateful operator's input (the
       // typed encoder below just ignores the extra column).
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), OpsUtil.tsMicros(events).as("ts_us"),
         col("event_type"), col("event_time"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
@@ -321,7 +321,7 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+        OpsUtil.tsMicros(events).as("ts_us"), col("event_type"))
       .as[Scd2Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Out](

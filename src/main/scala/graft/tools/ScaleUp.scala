@@ -33,9 +33,9 @@ import graft.tables.Tables
   *   positions: a coordinate permutation preserves all within-replica
   *   cosines (ANN index structure scales honestly) while cross-replica
   *   cosines decorrelate, so near-dup pair counts stay ~linear.
-  * - `events.ts` arrives as epoch-nanos long (legacy nanosAsLong read)
-  *   and is written back as BIGINT — every consumer already treats `ts`
-  *   as a nanos long, and the 10× user population over the same time
+  * - `events.ts` passes through in the source fixture's own encoding
+  *   (currently naive TIMESTAMP(MICROS); consumers adapt via
+  *   OpsUtil.tsMicros) — the 10× user population over the same time
   *   range is the honest shape for watermark/state scaling.
   *
   * Output mirrors the driver fixture layout: one `<table>.parquet` FILE
@@ -53,6 +53,7 @@ object ScaleUp {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

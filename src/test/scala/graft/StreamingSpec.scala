@@ -40,7 +40,7 @@ class StreamingSpec extends SparkSpec {
     val dim = spark.read.parquet(s"${sf()}/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val batch = StreamOps.joinEnrich(
-        spark.read.schema(StreamOps.eventsSchema).parquet(s"${sf()}/events.parquet"), dim)
+        spark.read.parquet(s"${sf()}/events.parquet"), dim)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     val streamed = StreamOps.runToMemory(spark,
       StreamOps.joinEnrich(StreamOps.eventsStream(spark, sf()), dim), "spec_enrich")
