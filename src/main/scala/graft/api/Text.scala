@@ -560,4 +560,73 @@ object Text {
     mins.selectExpr(
       s"stack(${targets.size}, $stackArgs) AS (target, vocab_size, coverage)")
   }
+
+  /** Sliding-window CHUNKING of long documents into fixed-token windows
+    * with overlap — the long-doc → training-context stage of a corpus
+    * build: a document larger than the model window is cut into
+    * `chunkTokens`-token pieces every `stride` tokens, so consecutive
+    * chunks share `chunkTokens − stride` tokens of context (GPT-style
+    * overlapped packing of oversized docs). One output row per
+    * (doc, chunk): ordinal, token offset, token count, and the h28
+    * content hash of the chunk text (the compact key downstream
+    * chunk-level dedup joins on).
+    *
+    * Scale: pure per-row expression work (sequence → explode → slice,
+    * all inside whole-stage codegen) — a flat map over the corpus with
+    * no shuffle and no state, fanout ≤ ⌈n_tokens/stride⌉ per doc.
+    * Chunk starts are 0, stride, 2·stride, … up to the last start
+    * < n_tokens, so a document shorter than one window still yields
+    * exactly one (short) chunk and every token is covered. */
+  def chunkSliding(corpus: DataFrame, id: String, text: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "chunkTokens and stride must be positive")
+    corpus.select(col(id).as("doc_id"), tokens(col(text)).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("ntok"))
+      .select(col("doc_id"), col("ntok"), col("ws"),
+        explode(expr(
+          s"sequence(0, ((ntok - 1) div $stride) * $stride, $stride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          (col("ntok") - col("start")).cast("long")).as("n_chunk_tokens"),
+        h28(concat_ws(" ", slice(col("ws"), col("start") + 1, lit(chunkTokens))))
+          .as("chunk_hash"))
+  }
+
+  /** Deterministic GLOBAL SHUFFLE + sharding of a corpus — the
+    * reproducible "shuffle the corpus, cut it into training shards"
+    * stage: every doc gets a pseudo-random but deterministic position
+    * (Knuth multiplicative hash of its id, exact in 64-bit integer math
+    * so reruns and engines agree bit-for-bit), shard = hash mod
+    * `shards`, order within a shard = (hash, id). Returns the per-shard
+    * MANIFEST (doc count, hash range, first three doc ids in shuffled
+    * order) — the bounded artifact a shard writer validates against;
+    * the full per-doc (shard, position) assignment is the same frame
+    * before the final aggregation.
+    *
+    * Scale: one map-side hash projection, a window PARTITIONED BY shard
+    * (the per-shard order is materialized shard-locally — at production
+    * scale this is `repartitionByRange(shard, h)` + sortWithinPartitions
+    * into one file per shard, never a global sort), and a `shards`-row
+    * aggregate. Input ids must stay below ~3.4e9 for the multiplication
+    * to fit a signed 64-bit integer in both engines; a production run on
+    * synthetic wider keys swaps in xxhash64 (same shape, no SQL twin). */
+  def globalShuffle(corpus: DataFrame, id: String, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
+    val base = corpus
+      .select(col(id).as("doc_id"))
+      .select(col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+      .withColumn("shard", col("h") % shards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    base.withColumn("rn", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+        max(when(col("rn") === 1, col("doc_id"))).as("head1"),
+        max(when(col("rn") === 2, col("doc_id"))).as("head2"),
+        max(when(col("rn") === 3, col("doc_id"))).as("head3"))
+  }
 }

@@ -53,6 +53,13 @@ object TextPack {
     * (production exact-substring dedup uses 50-token spans; the width is
     * the operator's parameter, not its shape). */
   private val DupSpanN = 3
+  /** Chunk window / stride of text_chunk_overlap — 32/24 yields 1-5
+    * overlapped chunks per fixture doc (10-99 tokens); production values
+    * (2048/1536 etc.) are parameters, not shape. */
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+  /** Shard count of text_global_shuffle's manifest. */
+  private val ShuffleShards = 16
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -346,6 +353,26 @@ object TextPack {
     "text_vocab_coverage" -> ((s, d) => {
       graft.api.Text.vocabCoverage(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("target"))
+    }),
+
+    // Sliding-window CHUNKING with overlap (long doc → fixed-token
+    // training contexts, consecutive chunks sharing ChunkTokens−Stride
+    // tokens): sequence→explode→slice per row, all codegen'd — a flat
+    // map over the corpus, no shuffle. Chunk hashes are the join key
+    // for downstream chunk-level dedup.
+    "text_chunk_overlap" -> ((s, d) => {
+      graft.api.Text.chunkSliding(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = ChunkTokens, stride = ChunkStride)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Deterministic global shuffle + shard manifests (reproducible
+    // training order): multiplicative-hash position, shard-partitioned
+    // window for in-shard order, ≤Shards-row report.
+    "text_global_shuffle" -> ((s, d) => {
+      graft.api.Text.globalShuffle(Tables.documents(s, d), "doc_id",
+          shards = ShuffleShards)
+        .orderBy(col("shard"))
     })
   )
 
@@ -810,6 +837,36 @@ object TextPack {
         |UNION ALL SELECT CAST(0.9 AS DOUBLE), v2, c2 FROM m
         |UNION ALL SELECT CAST(0.95 AS DOUBLE), v3, c3 FROM m
         |UNION ALL SELECT CAST(0.99 AS DOUBLE), v4, c4 FROM m
-        |ORDER BY target""".stripMargin
+        |ORDER BY target""".stripMargin,
+
+    // Chunk starts 0, S, 2S, … ≤ ntok−1; DuckDB 1-based list slice
+    // truncates past the end exactly like Spark's slice().
+    "text_chunk_overlap" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |n AS (SELECT doc_id, ws, len(ws) AS ntok FROM w),
+         |st AS (SELECT doc_id, ws, ntok,
+         |    unnest(range(0, ((ntok - 1) // $ChunkStride) * $ChunkStride + 1,
+         |      $ChunkStride)) AS start
+         |  FROM n)
+         |SELECT doc_id, start // $ChunkStride AS chunk_id,
+         |  start AS start_tok,
+         |  least($ChunkTokens, ntok - start) AS n_chunk_tokens,
+         |  ${TextHash.h28Sql(
+              s"array_to_string(ws[start + 1 : start + $ChunkTokens], ' ')")}
+         |    AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_global_shuffle" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+         |s AS (SELECT doc_id, h, h % $ShuffleShards AS shard,
+         |    row_number() OVER (PARTITION BY h % $ShuffleShards
+         |      ORDER BY h, doc_id) AS rn
+         |  FROM b)
+         |SELECT shard, COUNT(*) AS n_docs, MIN(h) AS min_h, MAX(h) AS max_h,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS head1,
+         |  MAX(CASE WHEN rn = 2 THEN doc_id END) AS head2,
+         |  MAX(CASE WHEN rn = 3 THEN doc_id END) AS head3
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

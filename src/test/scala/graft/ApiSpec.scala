@@ -485,6 +485,39 @@ class ApiSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 2L, 0.5)), s"${got.toSeq}")
   }
 
+  test("text: chunkSliding emits overlapped windows that cover every token") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),   // 10 tokens
+      (2L, "only three tokens"),                        // shorter than one window
+      (3L, (1 to 9).map(i => s"u$i").mkString(" "))     // last chunk is 1 token
+    ).toDF("id", "body")
+    val got = Graft.text.chunkSliding(docs, "id", "body",
+        chunkTokens = 5, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList.sorted
+    // starts are 0, 4, 8, … < ntok; len = min(5, ntok - start): the
+    // windows tile [0, ntok) with a 1-token overlap at every seam.
+    assert(got == List(
+      (1L, 0L, 0L, 5L), (1L, 1L, 4L, 5L), (1L, 2L, 8L, 2L),
+      (2L, 0L, 0L, 3L),
+      (3L, 0L, 0L, 5L), (3L, 1L, 4L, 5L), (3L, 2L, 8L, 1L)), s"$got")
+  }
+
+  test("text: globalShuffle manifest partitions the corpus, heads follow hash order") {
+    val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("id", "body")
+    val got = Graft.text.globalShuffle(docs, "id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val h = (i: Long) => (i * 2654435761L) % 4294967296L
+    val by = (0L until 40L).groupBy(i => h(i) % 4)
+    assert(got.map(_._2).sum == 40, "every doc lands in exactly one shard")
+    got.foreach { case (shard, n, minH, maxH, head1) =>
+      val mem = by(shard).sortBy(i => (h(i), i))
+      assert(n == mem.size && minH == mem.map(h).min && maxH == mem.map(h).max)
+      assert(head1 == mem.head, s"shard $shard head mismatch")
+    }
+  }
+
   test("similarity: semanticDropList keeps min id, drops in-cell near-dups only") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),   // cell A
