@@ -214,4 +214,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "bloom bitset must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("chunking is an exchange-free flat map; shuffle manifest shuffles on shard only") {
+    // Sliding-window chunking: per-row generate/project only — one scan,
+    // no Exchange anywhere before the final presentation orderBy.
+    val chunks = graft.api.Text.chunkSliding(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id", "text", 32, 24)
+    val p1 = planOf(chunks)
+    assert(!p1.contains("Exchange"), s"chunking must not shuffle:\n$p1")
+    assert(p1.contains("Generate"), "chunk starts come from a generator, not a join")
+    // Global shuffle: the in-shard rank window and the manifest aggregate
+    // both partition by shard — exactly one shuffle key, no global sort.
+    val p2 = planOf(graft.ops.TextPack.queries("text_global_shuffle")(spark, sf()))
+    // The in-shard hash order must come from a window-partition sort
+    // (global=false); a global=true Sort keyed on the hash would be a
+    // whole-corpus sort. The 16-row manifest orderBy(shard) stays global.
+    assert("""Sort \[[^\]]*\bh#[^\]]*\], true""".r.findFirstIn(p2).isEmpty,
+      s"hash order must never sort globally:\n$p2")
+    assert(!p2.contains("CartesianProduct"))
+  }
 }
