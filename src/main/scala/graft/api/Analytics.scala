@@ -153,4 +153,34 @@ object Analytics {
       .withColumn("ccdf", lit(1.0) - col("__cum_prev").cast("double") / col("__total"))
       .drop("__cum_prev", "__total")
   }
+
+  /** KMV (k-minimum-values) distinct-count ESTIMATE of `key` — the
+    * mergeable cardinality sketch (Bar-Yossef et al. 2002) as one
+    * aggregate pass over `graft.functions.KmvSketch`: every task carries
+    * a ≤k-long buffer of the smallest distinct h28 hashes through the
+    * exchange, so the scan never shuffles the key universe the way
+    * `countDistinct` (or `distinct().orderBy().limit(k)`) must.
+    * Estimate = (k_used − 1)·M / h_k with M = 2^28 (the h28 space) —
+    * exact integer hashes and fixed-order double arithmetic, so the
+    * result is bit-reproducible across runs AND engines (the DuckDB
+    * oracle replays the same k-smallest-distinct-hashes selection),
+    * unlike HLL sketches whose estimates are implementation-defined.
+    * The exact side (`n_exact`, `rel_err`) is included for the fixture
+    * audit; a production profiler drops it — exact is what the sketch
+    * avoids. Requires GraftExtensions (registers `kmv_sketch`). */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val M = 268435456.0 // 2^28: h28 hashes are uniform on [0, M)
+    df.agg(
+        call_function("kmv_sketch",
+          graft.ops.TextHash.h28(key.cast("string")), lit(k)).as("mins"),
+        countDistinct(key).as("n_exact"))
+      .select(size(col("mins")).cast("long").as("k_used"),
+        element_at(col("mins"), -1).as("kth_hash"), col("n_exact"))
+      .select(col("k_used"), col("kth_hash"),
+        round((col("k_used") - 1) * lit(M) / col("kth_hash"), 6)
+          .as("est_distinct"),
+        col("n_exact"),
+        round(abs((col("k_used") - 1) * lit(M) / col("kth_hash")
+          - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
 }

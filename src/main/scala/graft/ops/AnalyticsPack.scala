@@ -23,6 +23,10 @@ object AnalyticsPack {
   /** Range-bucket count of the two-phase Gini rank — constant, never
     * data-scale (same role as Sampling.IdxBuckets). */
   private val GiniBuckets = 1024
+  /** KMV sketch width of ana_kmv_distinct — 64 gives ~1/√62 ≈ 13% worst
+    * expected error; a production profiler uses 1024+ (still an 8 KB
+    * buffer). */
+  private val KmvK = 64
 
   /** Degree of each customer in the order graph. */
   private def degrees(s: SparkSession, d: String): DataFrame =
@@ -110,6 +114,16 @@ object AnalyticsPack {
         countDistinct(col("o_custkey")).as("n_custkeys"),
         countDistinct(col("o_orderstatus")).as("n_statuses"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))
+    }),
+
+    // A3 scale path, made deterministic: KMV distinct-count sketch
+    // (KmvSketch aggregate — one ≤k-long partial buffer per task, never
+    // a distinct-shuffle of the key universe). Exact hashes + fixed
+    // arithmetic, so unlike HLL the estimate hash-matches the DuckDB
+    // replay bit-for-bit; the exact side rides along as the audit.
+    "ana_kmv_distinct" -> ((s, d) => {
+      graft.api.Analytics.kmvDistinct(Tables.orders(s, d), col("o_custkey"),
+        k = KmvK)
     }),
 
     // A5 — basic stats + mean imputation (ref transformer.py:345
@@ -266,6 +280,21 @@ object AnalyticsPack {
         |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
         |  COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders""".stripMargin,
+
+    // Replays the sketch exactly: the k smallest distinct h28 hashes and
+    // the same fixed-order estimate arithmetic.
+    "ana_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |t AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+         |a AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth_hash FROM t),
+         |e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+         |SELECT a.k_used, a.kth_hash,
+         |  round((a.k_used - 1) * 268435456.0 / a.kth_hash, 6) AS est_distinct,
+         |  e.n_exact,
+         |  round(abs((a.k_used - 1) * 268435456.0 / a.kth_hash - e.n_exact)
+         |    / e.n_exact, 6) AS rel_err
+         |FROM a, e""".stripMargin,
 
     "ana_impute_mean" ->
       s"""WITH c AS (SELECT c_custkey,

@@ -85,6 +85,32 @@ class PropertySpec extends AnyFunSuite {
     assert(agg.createAggregationBuffer().forall(_ == Long.MaxValue))
   }
 
+  test("kmv sketch: k smallest distinct values exactly; split-merge; serde; dup-proof") {
+    import graft.functions.KmvSketch
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    for (k <- Seq(1, 4, 16); size <- Seq(0, 1, 3, 16, 200); split <- Seq(0, 1, size / 2)) {
+      val agg = KmvSketch(BoundReference(0, LongType, nullable = true), Literal(k))
+      // Duplicates planted via the mod: distinctness must be enforced.
+      val hs = samples(size, seed = k * 1009 + size * 31 + split)
+        .map(v => math.floorMod(v, 64L))
+      val whole = hs.foldLeft(agg.createAggregationBuffer()) { (b, h) =>
+        agg.update(b, InternalRow(h))
+      }
+      val (l, r) = hs.splitAt(split)
+      val bl = l.foldLeft(agg.createAggregationBuffer()) { (b, h) => agg.update(b, InternalRow(h)) }
+      val br = r.foldLeft(agg.createAggregationBuffer()) { (b, h) => agg.update(b, InternalRow(h)) }
+      val merged = agg.merge(bl, br)
+      import scala.jdk.CollectionConverters._
+      val expect = hs.distinct.sorted.take(k)
+      assert(whole.asScala.toSeq.map(Long.unbox) == expect, s"k=$k size=$size")
+      assert(merged.asScala.toSeq.map(Long.unbox) == expect, s"k=$k size=$size split=$split")
+      val rt = agg.deserialize(agg.serialize(merged))
+      assert(rt.asScala.toSeq == merged.asScala.toSeq)
+    }
+  }
+
   test("bitset agg: split-merge equals one-shot union; serde round-trips; bounds ignored") {
     import graft.functions.BitsetAgg
     import org.apache.spark.sql.catalyst.InternalRow

@@ -55,6 +55,12 @@ def main(out_dir, sf_dir):
     only = [s for s in os.environ.get("CHECK_ONLY", "").split(",") if s]
     skip = [s for s in os.environ.get("CHECK_SKIP", "").split(",") if s]
     times = os.environ.get("CHECK_TIMES") == "1"
+    # CHECK_JSON_OUT=<path>: also write the sweep as a committed-artifact
+    # JSON (per-query pass/rows/oracle_sec + summary) — the shape of
+    # CORRECTNESS_SF1.json. CHECK_SKIP'd queries get skipped=true stubs;
+    # fill in skip_reason by hand where a DuckDB twin is infeasible.
+    json_out = os.environ.get("CHECK_JSON_OUT")
+    art = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -65,9 +71,14 @@ def main(out_dir, sf_dir):
             continue
         if any(s in name for s in skip):
             print(f"SKIP {name} (CHECK_SKIP)")
+            art[name] = {"skipped": True}
             n_skip += 1
             continue
         t0 = time.time()
+        def fail(msg):
+            print(f"FAIL {name}: {msg}")
+            art[name] = {"pass": False, "detail": msg[:300],
+                         "oracle_sec": round(time.time() - t0, 1)}
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
@@ -75,32 +86,40 @@ def main(out_dir, sf_dir):
             want = con.execute(sql).fetchall()
             want_cols = [d[0] for d in con.description]
         except Exception as e:
-            print(f"FAIL {name}: exception {e}")
+            fail(f"exception {e}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(want_cols):
-            print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+            fail(f"cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
             n_fail += 1
             continue
         tdiff = type_mismatch(con, out_dir, name, sql)
         if tdiff:
-            print(f"FAIL {name}: type mismatch (spark,oracle): {tdiff}")
+            fail(f"type mismatch (spark,oracle): {tdiff}")
             n_fail += 1
             continue
         g, w = canon(got, got_cols), canon(want, want_cols)
         if len(g) != len(w):
-            print(f"FAIL {name}: rows spark={len(g)} oracle={len(w)}")
+            fail(f"rows spark={len(g)} oracle={len(w)}")
             n_fail += 1
         elif g != w:
             diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            fail(f"value mismatch, first diffs: {diff}")
             n_fail += 1
         else:
             suffix = f" [{time.time() - t0:.1f}s]" if times else ""
             print(f"PASS {name} ({len(g)} rows){suffix}", flush=True)
+            art[name] = {"pass": True, "rows": len(g),
+                         "oracle_sec": round(time.time() - t0, 1)}
             n_pass += 1
     skipped = f", {n_skip} skip" if n_skip else ""
     print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
+    if json_out:
+        doc = {"queries": art, "sf_dir": sf_dir,
+               "summary": {"pass": n_pass, "fail": n_fail, "skip": n_skip}}
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"artifact written: {json_out}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
