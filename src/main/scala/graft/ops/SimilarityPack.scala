@@ -56,6 +56,8 @@ object SimilarityPack {
     * embeddings are near-isotropic, so 0.4 sits in the near-dup band the
     * sweep query also reports. */
   private val SemThresh = 0.4
+  /** Scalar-quantization levels (one int8 code per dimension). */
+  private val SqLevels  = 256
 
   /** Exact order-independent sum at unit scale: products of normalized
     * embedding components need 15 fractional digits (OpsUtil.dsum's
@@ -220,6 +222,30 @@ object SimilarityPack {
       nearestCell(comps(s, d), kmeansCentroids(s, d))
     }
 
+  /** Per-dimension quantization range of the SQ index — (pos, mn, mx)
+    * over the NORMALIZED components. Dim rows: a broadcast-sized fitted
+    * artifact, like the PQ codebooks. Session-cached. */
+  private[ops] def sqStats(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.sqstats:$d") {
+      ncomps(s, d).groupBy(col("pos"))
+        .agg(min(col("nv")).as("mn"), max(col("nv")).as("mx"))
+    }
+
+  /** The SQ index proper — one uniform int8 code per (vector, dim):
+    * code = floor((nv − mn)/(mx − mn)·256) clamped to 255 (degenerate
+    * constant dims code to 0). 1 byte/dim where the raw component is 8 —
+    * same compressed-artifact role as [[pqCodes]]. Session-cached. */
+  private[ops] def sqCodes(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.sqcodes:$d") {
+      ncomps(s, d).join(broadcast(sqStats(s, d)), "pos")
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(
+              floor((col("nv") - col("mn")) / (col("mx") - col("mn")) * SqLevels),
+              lit((SqLevels - 1).toLong)))
+            .cast("int").as("code"))
+    }
+
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicates as a BLOCK-PAIR EQUI-JOIN sweep,
     // two-phase: (1) every unordered pair is enumerated exactly once by
@@ -378,6 +404,38 @@ object SimilarityPack {
         .join(broadcast(lut), Seq("sub", "cid"))
         .groupBy(col("vec_id"))
         .agg(psum(col("pdot")).as("adc"))
+      val cand = adc
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(PqOverfetch)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+      cosineOf(comps(s, d), cand)
+        .select(col("j").as("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // SQ (scalar quantization) ANN — the fourth standard ANN family next
+    // to IVF/PQ/LSH (the SQ8 index of FAISS/Milvus): every NORMALIZED
+    // component is uniformly quantized to one int8 code against a fitted
+    // per-dimension (min, max) range — a Dim-row broadcast artifact —
+    // and a query is answered by an asymmetric scan, dot(query,
+    // dequantized codes), then exact re-rank of the top-PqOverfetch.
+    // At 100 TB the codes artifact is 1 byte/dim where the raw embedding
+    // is 8 (64 B vs 512 B per vector): the scan that decides candidates
+    // touches 12.5% of the bytes with NO codebook training beyond a
+    // per-dim min/max agg. Exact-decimal accumulation of the ADC dots,
+    // so the fitted range, the codes, and the estimates all replay
+    // bit-for-bit in DuckDB; recall vs brute force pinned in
+    // TrainingDataSpec.
+    "sim_sq_topk" -> ((s, d) => {
+      val q = ncomps(s, d).filter(col("vec_id") === QueryVec)
+        .select(col("pos"), col("nv").as("qv"))
+      val adc = sqCodes(s, d).filter(col("vec_id") =!= QueryVec)
+        .join(broadcast(sqStats(s, d)), "pos")
+        .join(broadcast(q), "pos")
+        .groupBy(col("vec_id"))
+        .agg(psum(col("qv") * (col("mn") +
+          (col("code") + lit(0.5)) * (col("mx") - col("mn")) / SqLevels)).as("adc"))
       val cand = adc
         .orderBy(col("adc").desc, col("vec_id").asc)
         .limit(PqOverfetch)
@@ -554,6 +612,31 @@ object SimilarityPack {
          |    CAST(SUM(CAST(l.pdot AS $PsumCast)) AS DOUBLE) AS adc
          |  FROM pafin a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
          |  WHERE a.vec_id <> $QueryVec GROUP BY a.vec_id),
+         |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rn
+         |    FROM adc)
+         |  WHERE rn <= $PqOverfetch),
+         |$cosinePairSql
+         |SELECT j AS vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Replays the SQ index exactly: per-dim (min, max) fit, the clamped
+    // uniform codes, and the same dequantized-ADC arithmetic.
+    "sim_sq_topk" ->
+      s"""WITH $compsSql, $normsSql, $ncompsSql,
+         |sqs AS MATERIALIZED (SELECT pos, MIN(nv) AS mn, MAX(nv) AS mx
+         |  FROM ncomps GROUP BY pos),
+         |sqc AS MATERIALIZED (SELECT x.vec_id, x.pos,
+         |    CAST(CASE WHEN s.mx = s.mn THEN 0
+         |      ELSE least(floor((x.nv - s.mn) / (s.mx - s.mn) * $SqLevels),
+         |                 ${SqLevels - 1}) END AS INT) AS code
+         |  FROM ncomps x JOIN sqs s ON s.pos = x.pos),
+         |adc AS (SELECT c.vec_id,
+         |    CAST(SUM(CAST(q.nv * (s.mn + (c.code + 0.5) * (s.mx - s.mn)
+         |      / $SqLevels) AS $PsumCast)) AS DOUBLE) AS adc
+         |  FROM sqc c JOIN sqs s ON s.pos = c.pos
+         |  JOIN ncomps q ON q.pos = c.pos AND q.vec_id = $QueryVec
+         |  WHERE c.vec_id <> $QueryVec GROUP BY c.vec_id),
          |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM (
          |    SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rn
          |    FROM adc)

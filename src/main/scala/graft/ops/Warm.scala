@@ -32,6 +32,8 @@ object Warm {
     "sim.pqcent"     -> (() => SimilarityPack.pqCodebooks(s, d)),
     "sim.pqcodes"    -> (() => SimilarityPack.pqCodes(s, d)),
     "sim.ivfassign"  -> (() => SimilarityPack.ivfAssign(s, d)),
+    "sim.sqstats"    -> (() => SimilarityPack.sqStats(s, d)),
+    "sim.sqcodes"    -> (() => SimilarityPack.sqCodes(s, d)),
     "dedup.shingles"   -> (() => DedupPack.shingleRows(s, d)),
     "dedup.signatures" -> (() => DedupPack.signatures(s, d)),
     "dedup.simhash"    -> (() => DedupPack.simhashFingerprints(s, d)))

@@ -91,6 +91,20 @@ class TrainingDataSpec extends SparkSpec {
       s"PQ recall collapsed: ${bf.intersect(pq).size}/10")
   }
 
+  test("SQ (int8 per-dim codes, ADC top-100) recalls nearly all of brute force") {
+    val bf = SimilarityPack.queries("sim_bruteforce_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val sq = SimilarityPack.queries("sim_sq_topk")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    assert(sq.size == 10, "ADC overfetch must hold enough candidates")
+    // 256 levels/dim loses far less than PQ's 8 codes/subspace — the
+    // quantization error is ~(range/256)/2 per component, so the ADC
+    // ordering should track the exact one closely; pin a floor above
+    // the PQ one that still tolerates fixture-level ties.
+    assert(bf.intersect(sq).size >= 8,
+      s"SQ recall collapsed: ${bf.intersect(sq).size}/10")
+  }
+
   test("native cosine_sim matches the exact posexplode cosine to 1e-9") {
     val native = SimilarityPack.queries("sim_native_topk")(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
