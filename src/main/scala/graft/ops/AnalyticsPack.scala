@@ -27,6 +27,12 @@ object AnalyticsPack {
     * expected error; a production profiler uses 1024+ (still an 8 KB
     * buffer). */
   private val KmvK = 64
+  /** Count-min-sketch geometry of ana_cms_heavy: depth (independent hash
+    * rows) × width (counters per row). ε ≈ e/width of the stream length
+    * overcount at 1 − (1/e)^depth confidence; production widths are
+    * 2^14+ — still a KB-scale grid. */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
 
   /** Degree of each customer in the order graph. */
   private def degrees(s: SparkSession, d: String): DataFrame =
@@ -232,6 +238,47 @@ object AnalyticsPack {
         .agg(count(lit(1)).as("n_total"),
           sum(col("keep")).cast("long").as("n_sampled"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    // the third deterministic sketch next to KMV (cardinality) and the
+    // Bloom bitset (membership): frequency estimation from a FIXED
+    // CmsDepth×CmsWidth counter grid, never a groupBy of the key
+    // universe. Build is one hash aggregation over (row, depth) whose
+    // map-side partial combine bounds every partition's shuffle
+    // contribution at CmsDepth·CmsWidth rows — the sketch, not the
+    // stream, crosses the exchange, and the result is a ~2k-row
+    // broadcastable artifact. Candidates come from a deterministic
+    // 1-in-16 hash sample of the key stream (the scale contract: probe
+    // volume ∝ sampled keys, never the universe); each estimate is the
+    // min over the candidate's CmsDepth cells via one broadcast join.
+    // Exact counts ride along as the audit: est ≥ exact always (CMS
+    // never undercounts), and the same affine re-hash family as the
+    // MinHash pipeline makes every cell index replayable in DuckDB —
+    // the whole sketch hash-matches, not just the top line.
+    "ana_cms_heavy" -> ((s, d) => {
+      import TextHash.{h28, affine}
+      val hashed = Tables.orders(s, d)
+        .select(col("o_custkey"), h28(col("o_custkey").cast("string")).as("h"))
+      val depths = sequence(lit(0), lit(CmsDepth - 1))
+      val sketch = hashed
+        .select(col("h"), explode(depths).as("j"))
+        .groupBy(col("j"), (affine(col("h"), col("j")) % CmsWidth).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val cand = hashed.filter(col("h") % 16 === 0).distinct()
+      val est = cand
+        .select(col("o_custkey"), col("h"), explode(depths).as("j"))
+        .withColumn("b", affine(col("h"), col("j")) % CmsWidth)
+        .join(broadcast(sketch), Seq("j", "b"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("cnt")).as("est"))
+      val exact = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_n"))
+      est.join(exact, "o_custkey")
+        .select(col("o_custkey"), col("est"), col("exact_n"),
+          (col("est") - col("exact_n")).as("overcount"))
+        .orderBy(col("est").desc, col("o_custkey").asc)
+        .limit(20)
     })
   )
 
@@ -295,6 +342,26 @@ object AnalyticsPack {
          |  round(abs((a.k_used - 1) * 268435456.0 / a.kth_hash - e.n_exact)
          |    / e.n_exact, 6) AS rel_err
          |FROM a, e""".stripMargin,
+
+    // Replays the sketch cell-for-cell: same affine cell indexes, same
+    // min-over-depths estimate, same sampled candidate set.
+    "ana_cms_heavy" ->
+      s"""WITH h AS (SELECT o_custkey,
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |js AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+         |sk AS (SELECT js.j, ${TextHash.affineSql("h.h", "js.j")} % $CmsWidth AS b,
+         |    COUNT(*) AS cnt
+         |  FROM h CROSS JOIN js GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT o_custkey, h FROM h WHERE h % 16 = 0),
+         |est AS (SELECT c.o_custkey, MIN(s.cnt) AS est
+         |  FROM cand c CROSS JOIN js
+         |  JOIN sk s ON s.j = js.j
+         |    AND s.b = ${TextHash.affineSql("c.h", "js.j")} % $CmsWidth
+         |  GROUP BY c.o_custkey),
+         |ex AS (SELECT o_custkey, COUNT(*) AS exact_n FROM orders GROUP BY 1)
+         |SELECT e.o_custkey, e.est, x.exact_n, e.est - x.exact_n AS overcount
+         |FROM est e JOIN ex x USING (o_custkey)
+         |ORDER BY e.est DESC, e.o_custkey ASC LIMIT 20""".stripMargin,
 
     "ana_impute_mean" ->
       s"""WITH c AS (SELECT c_custkey,

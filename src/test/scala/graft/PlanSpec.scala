@@ -131,6 +131,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("CMS sketch builds with a map-side partial; estimates probe a broadcast grid") {
+    // The sketch, not the stream, must cross the exchange: a partial_
+    // aggregate over the depth-exploded rows caps every partition's
+    // shuffle contribution at depth×width counters, and the candidate
+    // probe joins the ~2k-row grid as a broadcast.
+    val p = planOf(graft.ops.AnalyticsPack.queries("ana_cms_heavy")(spark, sf()))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "sketch build lost its map-side combine")
+    assert(p.contains("BroadcastHashJoin"), "estimate probe must broadcast the grid")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("new pipeline ops: broadcast probe, no cartesian in semantic dedup / sim join") {
     // Contamination: the benchmark probe set must broadcast (eval sets
     // are KB, corpora are TB — a shuffled probe join would be wrong).
