@@ -31,6 +31,9 @@ object MLPack {
   /** Negative-sampling fanout: candidate supplier picks per customer. */
   private val NegPerCust = 20
 
+  /** Equal-width score bins of ml_calibration_bins. */
+  private val CalibBins = 10
+
   /** Distinct customer→supplier edges (session-cached: every ML query
     * starts from this same link universe). Projected from GraphPack's
     * cached (rel, c, p) pass — one orders⋈lineitem scan serves both
@@ -68,6 +71,59 @@ object MLPack {
     DFCache.cached(s, s"ml.pdegA:$d") {
       edgesHalfA(s, d).groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
     }
+
+  /** The deterministic scored eval frame shared by ml_auc_exact and
+    * ml_calibration_bins: every sampled pair with its Adamic-Adar score
+    * from feature-half A and its co-purchase label from half B —
+    * (score, label), leak-free by the hash-half split. Session-cached:
+    * both metrics aggregate the same frame. */
+  private[ops] def aaScored(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"ml.aaScored:$d") {
+      val eB = edgesHalfB(s, d)
+      val pairs = pairSample(s, d)
+      val pos = pairs
+        .join(eB.select(col("c").as("c1"), col("p")), "c1")
+        .join(eB.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .select(col("c1"), col("c2")).distinct()
+        .withColumn("label", lit(1L))
+      val ewA = edgesHalfA(s, d).join(pdegA(s, d), "p")
+      val aa = pairs
+        .join(ewA.select(col("c").as("c1"), col("p"), col("pdeg")), "c1")
+        .join(ewA.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(round(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)), 6).as("score"))
+      pairs
+        .join(aa, Seq("c1", "c2"), "left")
+        .join(pos, Seq("c1", "c2"), "left")
+        .select(coalesce(col("score"), lit(0.0)).as("score"),
+          coalesce(col("label"), lit(0L)).as("label"))
+    }
+
+  /** DuckDB twin of [[aaScored]] — CTE chain ending in `scored`.
+    * Assumes `edges` and `pairs` CTEs are already in scope. */
+  private def aaScoredSql: String = {
+    import TextHash.h28Sql
+    s"""ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),
+       |eb AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 1),
+       |pos AS (SELECT DISTINCT pr.c1, pr.c2 FROM pairs pr
+       |  JOIN eb e1 ON e1.c = pr.c1
+       |  JOIN eb e2 ON e2.c = pr.c2 AND e2.p = e1.p),
+       |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM ea GROUP BY p),
+       |aa AS (SELECT pr.c1, pr.c2,
+       |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE), 6) AS score
+       |  FROM pairs pr
+       |  JOIN ea e1 ON e1.c = pr.c1
+       |  JOIN ea e2 ON e2.c = pr.c2 AND e2.p = e1.p
+       |  JOIN pdeg d ON d.p = e1.p
+       |  GROUP BY pr.c1, pr.c2),
+       |scored AS (SELECT COALESCE(aa.score, 0.0) AS score,
+       |    CASE WHEN pos.c1 IS NOT NULL THEN 1 ELSE 0 END AS label
+       |  FROM pairs pr
+       |  LEFT JOIN aa ON aa.c1 = pr.c1 AND aa.c2 = pr.c2
+       |  LEFT JOIN pos ON pos.c1 = pr.c1 AND pos.c2 = pr.c2)""".stripMargin
+  }
 
   /** Deterministic customer pair sample: (c, c+delta) for delta 1..5 —
     * the reference's random-pair experiment (notebook cell 147) with a
@@ -455,27 +511,7 @@ object MLPack {
     // division, so both engines agree bitwise — the eval metric the
     // LBFGS query can't oracle-check, made checkable.
     "ml_auc_exact" -> ((s, d) => {
-      val eA = edgesHalfA(s, d)
-      val eB = edgesHalfB(s, d)
-      val pairs = pairSample(s, d)
-      val pos = pairs
-        .join(eB.select(col("c").as("c1"), col("p")), "c1")
-        .join(eB.select(col("c").as("c2"), col("p").as("p2")), "c2")
-        .filter(col("p") === col("p2"))
-        .select(col("c1"), col("c2")).distinct()
-        .withColumn("label", lit(1L))
-      val ewA = eA.join(pdegA(s, d), "p")
-      val aa = pairs
-        .join(ewA.select(col("c").as("c1"), col("p"), col("pdeg")), "c1")
-        .join(ewA.select(col("c").as("c2"), col("p").as("p2")), "c2")
-        .filter(col("p") === col("p2"))
-        .groupBy(col("c1"), col("c2"))
-        .agg(round(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)), 6).as("score"))
-      val scored = pairs
-        .join(aa, Seq("c1", "c2"), "left")
-        .join(pos, Seq("c1", "c2"), "left")
-        .select(coalesce(col("score"), lit(0.0)).as("score"),
-          coalesce(col("label"), lit(0L)).as("label"))
+      val scored = aaScored(s, d)
       val grp = scored.groupBy(col("score"))
         .agg(count(lit(1)).as("n"), sum(col("label")).as("np"))
       val w = Window.orderBy(col("score"))
@@ -487,6 +523,30 @@ object MLPack {
         .select(col("npos").as("n_pos"), (col("ntot") - col("npos")).as("n_neg"),
           round((col("rs2") - col("npos") * (col("npos") + 1)).cast("double") /
             (lit(2.0) * col("npos") * (col("ntot") - col("npos"))), 6).as("auc"))
+    }),
+
+    // M4 companion — score CALIBRATION (the reliability-diagram table):
+    // the same deterministic scored eval frame as ml_auc_exact, cut into
+    // CalibBins equal-width score bins against the max score (a 1-row
+    // broadcast stat, same shape as ana_minmax_normalize), reporting per
+    // bin the empirical positive rate next to the mean score. AUC says
+    // the ranking is right; this says whether the score MAGNITUDE means
+    // anything — the eval table a recommender threshold is tuned from.
+    // One aggregation over the shared cached frame; bin count, not pair
+    // count, bounds the reduce side.
+    "ml_calibration_bins" -> ((s, d) => {
+      val scored = aaScored(s, d)
+      val mx = scored.agg(max(col("score")).as("smax"))
+      scored.crossJoin(broadcast(mx))   // 1-row stats frame
+        .select(col("score"), col("label"),
+          when(col("smax") <= 0, lit(0L))
+            .otherwise(least(floor(col("score") / col("smax") * CalibBins),
+              lit((CalibBins - 1).toLong))).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          round(OpsUtil.rsum(col("score")) / count(lit(1)), 6).as("mean_score"),
+          round(sum(col("label")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+        .orderBy(col("bin"))
     }),
 
     // split/eval plumbing is exactly what the real-data run would use.
@@ -601,24 +661,7 @@ object MLPack {
     // average ranks) — fp touches only the final division.
     "ml_auc_exact" ->
       s"""WITH $edgesSql, $pairSampleSql,
-         |ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),
-         |eb AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 1),
-         |pos AS (SELECT DISTINCT pr.c1, pr.c2 FROM pairs pr
-         |  JOIN eb e1 ON e1.c = pr.c1
-         |  JOIN eb e2 ON e2.c = pr.c2 AND e2.p = e1.p),
-         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM ea GROUP BY p),
-         |aa AS (SELECT pr.c1, pr.c2,
-         |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE), 6) AS score
-         |  FROM pairs pr
-         |  JOIN ea e1 ON e1.c = pr.c1
-         |  JOIN ea e2 ON e2.c = pr.c2 AND e2.p = e1.p
-         |  JOIN pdeg d ON d.p = e1.p
-         |  GROUP BY pr.c1, pr.c2),
-         |scored AS (SELECT COALESCE(aa.score, 0.0) AS score,
-         |    CASE WHEN pos.c1 IS NOT NULL THEN 1 ELSE 0 END AS label
-         |  FROM pairs pr
-         |  LEFT JOIN aa ON aa.c1 = pr.c1 AND aa.c2 = pr.c2
-         |  LEFT JOIN pos ON pos.c1 = pr.c1 AND pos.c2 = pr.c2),
+         |$aaScoredSql,
          |grp AS (SELECT score, COUNT(*) AS n, SUM(label) AS np
          |  FROM scored GROUP BY score),
          |rk AS (SELECT score, n, np,
@@ -632,6 +675,22 @@ object MLPack {
          |  round(CAST(rs2 - npos * (npos + 1) AS DOUBLE)
          |    / (2.0 * npos * (ntot - npos)), 6) AS auc
          |FROM s""".stripMargin,
+
+    // Same scored frame as the AUC oracle; equal-width bins against the
+    // max score, identical floor/clamp arithmetic.
+    "ml_calibration_bins" ->
+      s"""WITH $edgesSql, $pairSampleSql,
+         |$aaScoredSql,
+         |mx AS (SELECT MAX(score) AS smax FROM scored),
+         |b AS (SELECT CASE WHEN mx.smax <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(least(floor(score / mx.smax * $CalibBins),
+         |      ${CalibBins - 1}) AS BIGINT) END AS bin, score, label
+         |  FROM scored, mx)
+         |SELECT bin, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  round(CAST(SUM(CAST(score AS DECIMAL(28,15))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_score,
+         |  round(SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "ml_link_split" ->
       s"""WITH $edgesSql,

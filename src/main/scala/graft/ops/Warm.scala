@@ -25,6 +25,7 @@ object Warm {
     "ml.edgesA"      -> (() => MLPack.edgesHalfA(s, d)),
     "ml.edgesB"      -> (() => MLPack.edgesHalfB(s, d)),
     "ml.pdegA"       -> (() => MLPack.pdegA(s, d)),
+    "ml.aaScored"    -> (() => MLPack.aaScored(s, d)),
     "sim.comps"      -> (() => SimilarityPack.comps(s, d)),
     "sim.buckets"    -> (() => SimilarityPack.buckets(s, d)),
     "sim.ivfcent"    -> (() => SimilarityPack.kmeansCentroids(s, d)),
