@@ -21,6 +21,7 @@ object Warm {
     "graph.bfs"      -> (() => GraphPack.bfsDists(s, d)),
     "graph.tripairs" -> (() => GraphPack.triPairs(s, d)),
     "graph.ssspPred" -> (() => GraphPack.ssspState(s, d)),
+    "graph.nbridx"   -> (() => GraphPack.nbrIndex(s, d)),
     "ml.edges"       -> (() => MLPack.edges(s, d)),
     "ml.edgesA"      -> (() => MLPack.edgesHalfA(s, d)),
     "ml.edgesB"      -> (() => MLPack.edgesHalfB(s, d)),

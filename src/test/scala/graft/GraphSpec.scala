@@ -221,4 +221,30 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 6L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
   }
+
+  test("random-walk corpus: walks start at their root and follow edges") {
+    val corpus = graft.ops.GraphPack.queries("graph_rw_corpus")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    val byWalk = corpus.groupBy(t => (t._1, t._2))
+    // Every walk is complete (5 nodes) and anchored at its root.
+    byWalk.foreach { case ((root, _), steps) =>
+      assert(steps.length == 5, s"walk from $root truncated")
+      assert(steps.minBy(_._3)._4 == root, s"walk from $root not anchored")
+    }
+    // Every consecutive (node, next) pair is a real edge (edge_weights
+    // lists the symmetric edge set).
+    val edgeSet = {
+      import spark.implicits._
+      graft.ops.GraphPack.queries("graph_edge_weights")(spark, sf())
+        .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    }
+    byWalk.foreach { case (_, steps) =>
+      steps.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet.contains((a._4, b._4)),
+          s"step ${a._4} -> ${b._4} is not an edge")
+        case _ =>
+      }
+    }
+  }
 }
