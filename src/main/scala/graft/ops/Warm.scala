@@ -22,6 +22,7 @@ object Warm {
     "graph.tripairs" -> (() => GraphPack.triPairs(s, d)),
     "graph.ssspPred" -> (() => GraphPack.ssspState(s, d)),
     "graph.nbridx"   -> (() => GraphPack.nbrIndex(s, d)),
+    "graph.rwcorpus" -> (() => GraphPack.rwCorpus(s, d)),
     "ml.edges"       -> (() => MLPack.edges(s, d)),
     "ml.edgesA"      -> (() => MLPack.edgesHalfA(s, d)),
     "ml.edgesB"      -> (() => MLPack.edgesHalfB(s, d)),
