@@ -594,6 +594,35 @@ object Text {
           .as("chunk_hash"))
   }
 
+  /** Sub-document (paragraph-level) dedup — the CCNet/C4 "remove
+    * duplicated paragraphs across the corpus" pass (Wenzek et al. 2020
+    * §3.1; Raffel et al. 2020 C4 three-sentence rule), granular where
+    * doc-level MinHash is all-or-nothing: each doc is cut into fixed
+    * `paraTokens`-token segments (the paragraph analog of a corpus
+    * without newlines), every distinct segment keeps only its globally
+    * FIRST occurrence (min (doc, position) — deterministic across runs
+    * and engines), and the per-doc retention table is returned:
+    * (doc_id, n_paras, n_kept, kept_ratio).
+    *
+    * Scale: segmentation is the chunkSliding flat map (codegen, no
+    * shuffle); the first-occurrence mark is ONE window partitioned by
+    * segment hash — per-key state bounded by the copy count of that
+    * segment, the same key profile as the exact-dedup groupBy — then a
+    * per-doc hash aggregation. No all-pairs anything. */
+  def paraDedup(corpus: DataFrame, id: String, text: String,
+      paraTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = chunkSliding(corpus, id, text, paraTokens, paraTokens)
+    val kept = (col("rn") === 1).cast("long")
+    segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_id"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"), sum(kept).as("n_kept"),
+        round(sum(kept) / count(lit(1)), 6).as("kept_ratio"))
+  }
+
   /** Deterministic GLOBAL SHUFFLE + sharding of a corpus — the
     * reproducible "shuffle the corpus, cut it into training shards"
     * stage: every doc gets a pseudo-random but deterministic position

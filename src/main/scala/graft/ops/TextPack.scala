@@ -60,6 +60,11 @@ object TextPack {
   private val ChunkStride = 24
   /** Shard count of text_global_shuffle's manifest. */
   private val ShuffleShards = 16
+  /** Segment width of text_para_dedup — the "paragraph" of a fixture
+    * with no newlines; 8 tokens gives each 10-99-token doc 2-13
+    * segments. Production paragraph dedup splits on '\n' instead — the
+    * delimiter is a parameter, the keep-first plan is the shape. */
+  private val ParaTokens = 8
 
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
@@ -364,6 +369,17 @@ object TextPack {
       graft.api.Text.chunkSliding(Tables.documents(s, d), "doc_id", "text",
           chunkTokens = ChunkTokens, stride = ChunkStride)
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Sub-document dedup at paragraph granularity (CCNet §3.1 / C4):
+    // every distinct ParaTokens-token segment keeps only its globally
+    // first occurrence; per-doc retention table. Segment pass is the
+    // chunking flat map; the first-occurrence mark is one hash-
+    // partitioned window — no all-pairs.
+    "text_para_dedup" -> ((s, d) => {
+      graft.api.Text.paraDedup(Tables.documents(s, d), "doc_id", "text",
+          paraTokens = ParaTokens)
+        .orderBy(col("doc_id"))
     }),
 
     // Deterministic global shuffle + shard manifests (reproducible
@@ -855,6 +871,27 @@ object TextPack {
               s"array_to_string(ws[start + 1 : start + $ChunkTokens], ' ')")}
          |    AS chunk_hash
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same segmentation as the chunking oracle (stride = width), then
+    // the keep-first mark partitioned by segment hash.
+    "text_para_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |n AS (SELECT doc_id, ws, len(ws) AS ntok FROM w),
+         |st AS (SELECT doc_id, ws, ntok,
+         |    unnest(range(0, ((ntok - 1) // $ParaTokens) * $ParaTokens + 1,
+         |      $ParaTokens)) AS start
+         |  FROM n),
+         |segs AS (SELECT doc_id, start // $ParaTokens AS seg_idx,
+         |    ${TextHash.h28Sql(
+              s"array_to_string(ws[start + 1 : start + $ParaTokens], ' ')")} AS h
+         |  FROM st),
+         |mk AS (SELECT doc_id, row_number() OVER (PARTITION BY h
+         |    ORDER BY doc_id, seg_idx) AS rn FROM segs)
+         |SELECT doc_id, COUNT(*) AS n_paras,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS kept_ratio
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_global_shuffle" ->
       s"""WITH b AS (SELECT doc_id,

@@ -503,6 +503,22 @@ class ApiSpec extends SparkSpec {
       (3L, 0L, 0L, 5L), (3L, 1L, 4L, 5L), (3L, 2L, 8L, 1L)), s"$got")
   }
 
+  test("text: paraDedup keeps first occurrence of each segment across docs") {
+    val seg = (1 to 4).map(i => s"p$i").mkString(" ")   // one 4-token segment
+    val docs = Seq(
+      (1L, seg + " " + (1 to 4).map(i => s"a$i").mkString(" ")), // 2 segs, all first
+      (2L, seg + " " + (1 to 4).map(i => s"b$i").mkString(" ")), // seg dup of doc 1
+      (3L, seg + " " + seg)                                      // dup + self-dup
+    ).toDF("id", "body")
+    val got = Graft.text.paraDedup(docs, "id", "body", paraTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (2L, 2L),   // both segments are first occurrences
+      2L -> (2L, 1L),   // the shared segment defers to doc 1
+      3L -> (2L, 0L)),  // both copies defer to doc 1's
+      s"$got")
+  }
+
   test("text: globalShuffle manifest partitions the corpus, heads follow hash order") {
     val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("id", "body")
     val got = Graft.text.globalShuffle(docs, "id", shards = 4)
