@@ -33,6 +33,8 @@ object AnalyticsPack {
     * 2^14+ — still a KB-scale grid. */
   private val CmsDepth = 4
   private val CmsWidth = 512
+  /** Sample size of ana_weighted_sample (A-Res k). */
+  private val WsK = 25
 
   /** Degree of each customer in the order graph. */
   private def degrees(s: SparkSession, d: String): DataFrame =
@@ -240,6 +242,28 @@ object AnalyticsPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    // Spirakis A-Res, 2006) — the importance-sampling primitive of data
+    // mixing: each key gets priority -ln(u)/w with u a deterministic
+    // 28-bit hash uniform, and the k smallest priorities ARE a weighted
+    // sample without replacement. Spend-weighted 25 customers here.
+    // One aggregation for the weights, then per-row key arithmetic +
+    // TakeOrdered (per-partition top-k heaps, no global sort) — the same
+    // single-pass shape at any scale, and fully replayable: the oracle
+    // recomputes identical priorities from the same md5-derived uniform.
+    "ana_weighted_sample" -> ((s, d) => {
+      import TextHash.h28
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey").as("c"))
+        .agg(rsum(col("o_totalprice")).as("w"))
+      val u = (h28(concat(lit("ws:"), col("c"))) + 1).cast("double") /
+        lit(268435456.0)
+      spend.withColumn("key", -log(u) / col("w"))
+        .orderBy(col("key").asc, col("c").asc)
+        .limit(WsK)
+        .select(col("c"), round(col("w"), 2).as("spend"),
+          round(col("key") * 1000000, 6).as("key_ppm"))
+    }),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
     // the third deterministic sketch next to KMV (cardinality) and the
     // Bloom bitset (membership): frequency estimation from a FIXED
@@ -422,6 +446,16 @@ object AnalyticsPack {
         |SELECT o_orderpriority, rate, COUNT(*) AS n_total,
         |  CAST(SUM(keep) AS BIGINT) AS n_sampled
         |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
+
+    "ana_weighted_sample" ->
+      s"""WITH spend AS (SELECT o_custkey AS c,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,15))) AS DOUBLE) AS w
+         |  FROM orders GROUP BY 1),
+         |keyed AS (SELECT c, w,
+         |    -ln((${TextHash.h28Sql("concat('ws:', c)")} + 1) / 268435456.0) / w AS key
+         |  FROM spend)
+         |SELECT c, round(w, 2) AS spend, round(key * 1000000, 6) AS key_ppm
+         |FROM keyed ORDER BY key ASC, c ASC LIMIT $WsK""".stripMargin,
 
     // The salted two-phase form must equal the direct aggregation.
     "ana_salted_hub_degrees" ->
