@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -264,6 +264,38 @@ object AnalyticsPack {
           round(col("key") * 1000000, 6).as("key_ppm"))
     }),
 
+    // Pearson correlation matrix over lineitem measures — the standard
+    // profiling step before feature selection. All nine moment sums come
+    // from ONE scan/aggregation (map-side combine reduces each partition
+    // to a single row); the three correlations are then per-row
+    // arithmetic on that 1-row frame, exploded into matrix form. Sums of
+    // squares go through DECIMAL(38,10) (13 integer digits of DECIMAL
+    // (28,15) would overflow on price²; 28 integer digits will not),
+    // so r is bit-identical across engines.
+    "ana_correlation" -> ((s, d) => {
+      def msum(c: Column) = sum(c.cast("decimal(38,10)")).cast("double")
+      val li = Tables.lineitem(s, d).select(col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"), col("l_discount").as("dc"))
+      val a = li.agg(count(lit(1)).as("n"),
+        msum(col("q")).as("sq"), msum(col("p")).as("sp"), msum(col("dc")).as("sd"),
+        msum(col("q") * col("q")).as("sqq"), msum(col("p") * col("p")).as("spp"),
+        msum(col("dc") * col("dc")).as("sdd"), msum(col("q") * col("p")).as("sqp"),
+        msum(col("q") * col("dc")).as("sqd"), msum(col("p") * col("dc")).as("spd"))
+      def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
+        round((col("n") * sxy - sx * sy) /
+          sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
+      a.select(explode(array(
+          struct(lit("quantity").as("x"), lit("extendedprice").as("y"),
+            r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r")),
+          struct(lit("quantity").as("x"), lit("discount").as("y"),
+            r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r")),
+          struct(lit("extendedprice").as("x"), lit("discount").as("y"),
+            r(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r"))))
+          .as("m"))
+        .select(col("m.x").as("x"), col("m.y").as("y"), col("m.r").as("r"))
+        .orderBy(col("x"), col("y"))
+    }),
+
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
     // the third deterministic sketch next to KMV (cardinality) and the
     // Bloom bitset (membership): frequency estimation from a FIXED
@@ -446,6 +478,27 @@ object AnalyticsPack {
         |SELECT o_orderpriority, rate, COUNT(*) AS n_total,
         |  CAST(SUM(keep) AS BIGINT) AS n_sampled
         |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
+
+    "ana_correlation" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT x, y, r FROM (
+        |  SELECT 'quantity' AS x, 'extendedprice' AS y,
+        |    round((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6) AS r FROM s
+        |  UNION ALL SELECT 'quantity', 'discount',
+        |    round((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6) FROM s
+        |  UNION ALL SELECT 'extendedprice', 'discount',
+        |    round((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6) FROM s)
+        |ORDER BY x, y""".stripMargin,
 
     "ana_weighted_sample" ->
       s"""WITH spend AS (SELECT o_custkey AS c,
