@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -554,6 +555,38 @@ object MLPack {
     // the graph predict co-purchase links observed in the other half;
     // logistic regression + ROC-AUC (ref README 0.76 AUC bar). Not
     // SQL-expressible (LBFGS) — rows-only driver check.
+    // Latent-factor collaborative filtering (MLlib ALS, implicit
+    // feedback — Hu/Koren/Volinsky 2008): the embedding-based
+    // recommender next to the structural Adamic-Adar family. Ratings =
+    // per-(customer, supplier) lineitem counts; implicitPrefs treats
+    // them as confidence, the block-partitioned normal-equation solves
+    // ARE the 1000-executor factorization path (MLlib parallelizes by
+    // user/item blocks). Like ml_train_eval this is a rows-only check —
+    // float normal-equation solves are not bit-reproducible across
+    // engines — with the quality pin in MLSpec (recovers planted block
+    // structure on a synthetic matrix).
+    "ml_als_recommend" -> ((s, d) => {
+      val ratings = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_suppkey").cast("int").as("item"))
+        .agg(count(lit(1)).cast("float").as("rating"))
+      val model = new ALS()
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setImplicitPrefs(true).setSeed(42L)
+        .setColdStartStrategy("drop")
+        .fit(ratings)
+      val users = ratings.select(col("user")).filter(col("user") <= 20).distinct()
+      model.recommendForUserSubset(users, 5)
+        .select(col("user"), explode(col("recommendations")).as("rec"))
+        .select(col("user"), col("rec.item").as("item"),
+          round(col("rec.rating"), 4).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user")).orderBy(col("score").desc, col("item").asc)))
+        .orderBy(col("user"), col("rn"))
+    }),
+
     "ml_train_eval" -> ((s, d) => {
       val eA = edgesHalfA(s, d)                          // feature graph
       val eB = edgesHalfB(s, d)                          // label graph

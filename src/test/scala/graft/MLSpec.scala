@@ -22,6 +22,45 @@ class MLSpec extends SparkSpec {
       s"AP regressed below the 0.991-measured fixture pin: ${rows("areaUnderPR")}")
   }
 
+  test("ml_als_recommend: ALS recovers planted block structure") {
+    // Two disjoint user/item blocks; implicit ALS must recommend
+    // in-block items to in-block users (the quality pin the DuckDB
+    // oracle can't express — normal-equation float solves are not
+    // bit-reproducible across engines).
+    import spark.implicits._
+    import org.apache.spark.ml.recommendation.ALS
+    val ratings = (for {
+      u <- 0 until 20; i <- 0 until 20
+      if (u < 10) == (i < 10)                 // block-diagonal interactions
+      if (u * 7 + i * 3) % 4 != 0             // drop some cells: generalize, not memorize
+    } yield (u, i, 1.0f)).toDF("user", "item", "rating")
+    val model = new ALS().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setRank(4).setMaxIter(10).setRegParam(0.05)
+      .setImplicitPrefs(true).setSeed(7L).setColdStartStrategy("drop")
+      .fit(ratings)
+    val recs = model.recommendForUserSubset(Seq(0, 15).toDF("user"), 5)
+      .select(org.apache.spark.sql.functions.col("user"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("recommendations.item")).as("item"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val block0 = recs.filter(_._1 == 0).map(_._2)
+    val block1 = recs.filter(_._1 == 15).map(_._2)
+    assert(block0.nonEmpty && block0.forall(_ < 10),
+      s"user 0 must be recommended block-0 items, got ${block0.mkString(",")}")
+    assert(block1.nonEmpty && block1.forall(_ >= 10),
+      s"user 15 must be recommended block-1 items, got ${block1.mkString(",")}")
+  }
+
+  test("ml_als_recommend: fixture query returns ranked per-user recs") {
+    val rows = MLPack.queries("ml_als_recommend")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getInt(0))
+    byUser.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted.toSeq
+      assert(ranks == (1 to rs.length), "per-user ranks must be dense 1..k")
+    }
+  }
+
   test("ml_recommend_topk: scores are sorted, self excluded") {
     val rows = MLPack.queries("ml_recommend_topk")(spark, sf()).collect()
     assert(rows.nonEmpty)
