@@ -35,6 +35,9 @@ object MLPack {
   /** Equal-width score bins of ml_calibration_bins. */
   private val CalibBins = 10
 
+  /** Time split of ml_temporal_link_eval (orders span 1995..2001). */
+  private val TemporalSplit = "1999-01-01"
+
   /** Distinct customer→supplier edges (session-cached: every ML query
     * starts from this same link universe). Projected from GraphPack's
     * cached (rel, c, p) pass — one orders⋈lineitem scan serves both
@@ -555,6 +558,48 @@ object MLPack {
     // the graph predict co-purchase links observed in the other half;
     // logistic regression + ROC-AUC (ref README 0.76 AUC bar). Not
     // SQL-expressible (LBFGS) — rows-only driver check.
+    // Temporal link-prediction evaluation — the REALISTIC protocol next
+    // to ml_precision_at_k's hash half-split: train on edges before the
+    // split date, recommend, and count hits among edges that appear
+    // AFTER it (Liben-Nowell & Kleinberg 2003 evaluate exactly this
+    // time-sliced way). Same candidate shape as ml_precision_at_k
+    // (shared-supplier Adamic-Adar, top-5, hit = future co-purchase);
+    // the split predicate is a pushed-down scan filter, so train/test
+    // never materialize as separate tables.
+    "ml_temporal_link_eval" -> ((s, d) => {
+      val K = 5
+      val op = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"),
+          (col("o_orderdate") < to_timestamp(lit(TemporalSplit))).as("is_train"))
+      val eT = op.filter(col("is_train")).select(col("c"), col("p")).distinct()
+      val eV = op.filter(!col("is_train")).select(col("c"), col("p")).distinct()
+      val degT = eT.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+      val q = eT.filter(col("c") <= 50).select(col("c").as("qc"), col("p"))
+      val ranked = q
+        .join(eT.select(col("c").as("cand"), col("p")), Seq("p"))
+        .filter(col("cand") =!= col("qc"))
+        .join(degT, "p")
+        .groupBy(col("qc"), col("cand"))
+        .agg(round(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)), 6).as("score"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qc"))
+          .orderBy(col("score").desc, col("cand").asc)))
+        .filter(col("rk") <= K)
+      val hits = ranked.select(col("qc"), col("cand"))
+        .join(eV.select(col("c").as("qc"), col("p")), "qc")
+        .join(eV.select(col("c").as("cand"), col("p")), Seq("cand", "p"))
+        .select(col("qc"), col("cand")).distinct()
+        .withColumn("hit", lit(1L))
+      ranked.join(hits, Seq("qc", "cand"), "left")
+        .agg(countDistinct(col("qc")).as("n_queries"),
+          count(lit(1)).as("n_recommended"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(K).as("k"), col("n_queries"), col("n_recommended"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_recommended"), 6)
+            .as("precision"))
+    }),
+
     // Latent-factor collaborative filtering (MLlib ALS, implicit
     // feedback — Hu/Koren/Volinsky 2008): the embedding-based
     // recommender next to the structural Adamic-Adar family. Ratings =
@@ -681,6 +726,39 @@ object MLPack {
          |  FROM ranked r
          |  JOIN eb e1 ON e1.c = r.qc
          |  JOIN eb e2 ON e2.c = r.cand AND e2.p = e1.p)
+         |SELECT 5 AS k,
+         |  COUNT(DISTINCT r.qc) AS n_queries,
+         |  COUNT(*) AS n_recommended,
+         |  CAST(SUM(CASE WHEN h.qc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(SUM(CASE WHEN h.qc IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS precision
+         |FROM ranked r
+         |LEFT JOIN hits h ON h.qc = r.qc AND h.cand = r.cand""".stripMargin,
+
+    "ml_temporal_link_eval" ->
+      s"""WITH et AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '$TemporalSplit'),
+         |ev AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE NOT (o_orderdate < TIMESTAMP '$TemporalSplit')),
+         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM et GROUP BY p),
+         |cand AS (SELECT q.c AS qc, o.c AS cand,
+         |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE), 6) AS score
+         |  FROM et q
+         |  JOIN et o ON o.p = q.p AND o.c <> q.c
+         |  JOIN pdeg d ON d.p = q.p
+         |  WHERE q.c <= 50
+         |  GROUP BY q.c, o.c),
+         |ranked AS (SELECT qc, cand FROM (
+         |    SELECT qc, cand, row_number() OVER (PARTITION BY qc
+         |      ORDER BY score DESC, cand ASC) AS rk
+         |    FROM cand)
+         |  WHERE rk <= 5),
+         |hits AS (SELECT DISTINCT r.qc, r.cand
+         |  FROM ranked r
+         |  JOIN ev e1 ON e1.c = r.qc
+         |  JOIN ev e2 ON e2.c = r.cand AND e2.p = e1.p)
          |SELECT 5 AS k,
          |  COUNT(DISTINCT r.qc) AS n_queries,
          |  COUNT(*) AS n_recommended,

@@ -86,6 +86,31 @@ object SourcesPack {
         .orderBy(col("doc_id"))
     }),
 
+    // S9 companion — ORC sink/scan roundtrip: the second columnar format
+    // a lakehouse ingests (Spark's OrcFileFormat is built in, with the
+    // same predicate-pushdown/column-pruning surface as parquet). Events
+    // are written partitioned by event_type — the pushed-down equality
+    // filter on the read side prunes to one partition directory, the
+    // layout contract a 100 TB event store relies on — then aggregated;
+    // the oracle computes the same aggregate from the parquet source, so
+    // the roundtrip is value-exact including the timestamp column.
+    "src_orc_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "events_orc")
+      val e = Tables.events(s, d)
+      e.withColumn("ts_us", OpsUtil.tsMicros(e))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type").orc(out)
+      s.read.orc(out)
+        .filter(col("event_type") === "purchase")   // partition-pruned scan
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+          OpsUtil.dsum(col("value")).as("total_value"))
+    }),
+
     // Schema evolution across parquet generations: v1 files carry
     // (key, name), v2 files (key, regionkey); a mergeSchema read unions
     // the schemas and nulls the columns a generation lacks — the
@@ -209,6 +234,17 @@ object SourcesPack {
     "src_csv_roundtrip" ->
       """SELECT doc_id, lang, length(text) AS text_len, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The ORC roundtrip must preserve values exactly — same aggregate
+    // straight from the parquet source.
+    "src_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(epoch_ns(ts) // 1000) AS first_us,
+        |  MAX(epoch_ns(ts) // 1000) AS last_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY event_type""".stripMargin,
 
     // The merged read sees every row twice, with each generation's
     // missing column null — equivalently, per-column counts over nation.
