@@ -15,6 +15,9 @@ object StreamingPack {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** |z| threshold of stream_rate_anomaly. */
+  private val AnomalyZ = 2.0
+
   val queries: Map[String, Q] = Map(
     "stream_window_counts" -> ((s, d) => {
       val name = s"graft_stream_wc_${counter.incrementAndGet()}"
@@ -120,12 +123,60 @@ object StreamingPack {
           StreamOps.documentsStream(s, d).filter(col("doc_id") % 10 === 0)),
         name)
       gated.orderBy(col("doc_id"))
+    }),
+
+    // Streaming rate-anomaly alerting: the tumbling-window counts come
+    // from the LIVE stream (integer-exact state — same windowed
+    // aggregation as stream_window_counts), and windows whose count
+    // z-scores past ±AnomalyZ against their type's own distribution are
+    // flagged. The z computation is a deterministic projection over the
+    // collected integer counts (Σn, Σn² stay exact longs), so the alert
+    // set hash-matches the full batch replay — the monitoring shape
+    // where the stream maintains counters and alerting reads them.
+    "stream_rate_anomaly" -> ((s, d) => {
+      val name = s"graft_stream_anom_${counter.incrementAndGet()}"
+      val sink = StreamOps.runToMemory(s,
+        StreamOps.windowCounts(StreamOps.eventsStream(s, d)), name)
+      // The memory-sink view cannot be self-joined (DeduplicateRelations
+      // cannot re-instantiate a MemoryPlan leaf) — give each side of the
+      // stats join its own fresh-attribute frame over the tiny result.
+      def fresh() = s.createDataFrame(sink.rdd, sink.schema)
+      val wc = fresh()
+      val su = fresh().groupBy(col("event_type")).agg(
+        count(lit(1)).as("w"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+      wc.join(su, "event_type")
+        .withColumn("mean", col("sn").cast("double") / col("w"))
+        .withColumn("variance",
+          (col("snn").cast("double") - col("sn").cast("double") * col("sn") / col("w")) / col("w"))
+        .filter(col("variance") > 0)
+        .withColumn("z", (col("n").cast("double") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > AnomalyZ)
+        .select(col("event_type"), col("window_start_us"), col("n"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("event_type"), col("window_start_us"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     // Same oracles as the batch twins: streaming must equal batch.
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
+
+    "stream_rate_anomaly" ->
+      s"""WITH wc AS (SELECT (epoch_ns(ts) // 1000 // ${EventsPack.WindowUs})
+         |      * ${EventsPack.WindowUs} AS window_start_us,
+         |    event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |su AS (SELECT event_type, COUNT(*) AS w, SUM(n) AS sn,
+         |    SUM(n * n) AS snn FROM wc GROUP BY 1),
+         |j AS (SELECT wc.event_type, wc.window_start_us, wc.n,
+         |    CAST(sn AS DOUBLE) / w AS mean,
+         |    (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / w) / w AS variance
+         |  FROM wc JOIN su ON su.event_type = wc.event_type)
+         |SELECT event_type, window_start_us, n,
+         |  round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6) AS z
+         |FROM j WHERE variance > 0
+         |  AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > $AnomalyZ
+         |ORDER BY event_type, window_start_us""".stripMargin,
     "stream_sessionize"    -> EventsPack.oracle("events_sessionize"),
     "stream_funnel"        -> EventsPack.oracle("events_funnel"),
     "stream_bloom_gate"    -> DedupPack.oracle("dedup_bloom_gate"),
