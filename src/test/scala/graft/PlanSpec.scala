@@ -227,6 +227,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ana_correlation computes all nine moments in one scan") {
+    val p = planOf(AnalyticsPack.queries("ana_correlation")(spark, sf()))
+    assert(!p.contains("Join"), s"the moment sums must not join:\n$p")
+    // One lineitem scan feeds one two-phase aggregate.
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "correlation must read lineitem exactly once")
+    assert(!p.contains("l_orderkey"), "column pruning lost: key columns read")
+  }
+
+  test("ana_weighted_sample plans a TakeOrderedAndProject, not a global sort") {
+    val p = planOf(AnalyticsPack.queries("ana_weighted_sample")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("graph_assortativity plans equi-joins only, no cartesian") {
+    val p = planOf(graft.ops.GraphPack.queries("graph_assortativity")(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assortativity must stay equi-join:\n$p")
+  }
+
+  test("ml_temporal_link_eval pushes the split date into both scans") {
+    val p = planOf(graft.ops.MLPack.queries("ml_temporal_link_eval")(spark, sf()))
+    assert(p.contains("LessThan(o_orderdate") || p.contains("lessthan(o_orderdate"),
+      s"train-side date filter not pushed to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("chunking is an exchange-free flat map; shuffle manifest shuffles on shard only") {
     // Sliding-window chunking: per-row generate/project only — one scan,
     // no Exchange anywhere before the final presentation orderBy.
