@@ -194,6 +194,26 @@ object EventsPack {
         .orderBy(col("user_id"))
     }),
 
+    // Inter-arrival gap profile — the activity-cadence statistic behind
+    // session-gap and decay-constant tuning: per-user lag() gaps (one
+    // partitioned window, integer micros), then a global summary with
+    // exact interpolated percentiles. The window partitions by user_id,
+    // so no single-partition sort at any scale; the summary reduce is a
+    // one-row aggregate.
+    "events_gap_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      withMicros(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          round(OpsUtil.davg(col("gap")), 6).as("mean_gap_us"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_us"),
+          round(expr("percentile(gap, 0.9)"), 6).as("p90_us"),
+          max(col("gap")).as("max_gap_us"))
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -236,6 +256,18 @@ object EventsPack {
         |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_gap_stats" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+         |  FROM events),
+         |g AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS gap FROM e)
+         |SELECT COUNT(*) AS n_gaps,
+         |  round(${OpsUtil.davgSql("gap")}, 6) AS mean_gap_us,
+         |  round(quantile_cont(gap, 0.5), 6) AS p50_us,
+         |  round(quantile_cont(gap, 0.9), 6) AS p90_us,
+         |  MAX(gap) AS max_gap_us
+         |FROM g WHERE gap IS NOT NULL""".stripMargin,
 
     "events_top_users" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events

@@ -222,6 +222,25 @@ object RelationalPack {
         .orderBy(col("c_mktsegment"), col("rk"))
     }),
 
+    // W-family breadth — distribution-position windows: quartile
+    // (ntile), percent_rank, cume_dist per market segment. The ORDER BY
+    // is a TOTAL order (acctbal desc, custkey asc), so ntile's row
+    // placement and the peer groups of percent_rank/cume_dist are
+    // engine-identical; the ≤200-key projection filter applies AFTER
+    // the windows (positions are over the full segment).
+    "win_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("c_custkey") <= 200)
+        .orderBy(col("c_custkey"))
+    }),
+
     // W7 — sortedness validator (ref train_model.py:497-555 verifies
     // edge_index lexicographic order with diff masks): lag-window check
     // that lineitem line numbers ascend strictly within each order;
@@ -438,6 +457,17 @@ object RelationalPack {
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rk
         |  FROM customer
         |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "win_percentiles" ->
+      """SELECT c_custkey, segment, c_acctbal, quartile, pct_rank, cume FROM (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cume
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC)
+        |) WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
 
     "win_sortedness_check" ->
       """WITH l AS (SELECT l_returnflag, l_orderkey, l_linenumber,

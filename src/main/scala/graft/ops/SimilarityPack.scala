@@ -37,6 +37,10 @@ object SimilarityPack {
   private val NumBlocks = 8
   private val QueryVec  = 0L
   private val Dim       = 64
+  /** Result size of the top-k retrieval queries. */
+  private val TopK      = 10
+  /** Matryoshka prefix width of sim_matryoshka_recall. */
+  private val MrlDims   = 16
   /** IVF coarse-quantizer SEED vectors: k-means init centroids (k = 8).
     * The quantizer is a deterministic Lloyd fit (KmIters rounds) seeded
     * from these data vectors — see `kmeansCentroids`. */
@@ -310,6 +314,35 @@ object SimilarityPack {
         .limit(10)
     }),
 
+    // Matryoshka prefix-dimension retrieval (Kusupati et al. 2022): rank
+    // by cosine over only the first MrlDims of the 64-dim embedding
+    // (prefix-renormalized — the MRL contract) and report top-k overlap
+    // against the full-dimension ranking. THE knob of dimension-adaptive
+    // retrieval: a prefix scan reads MrlDims/Dim of the vector bytes, and
+    // this query measures exactly what that truncation costs in recall.
+    // Both rankings use the shared exact-decimal cosine, so the overlap
+    // count is engine-identical.
+    "sim_matryoshka_recall" -> ((s, d) => {
+      val c = comps(s, d)
+      val pairs = Tables.embeddings(s, d)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+        .filter(col("j") =!= QueryVec)
+      val fullTop = cosineOf(c, pairs)
+        .orderBy(col("cosine").desc, col("j").asc).limit(TopK)
+        .select(col("j"))
+      val prefTop = graft.api.Similarity
+        .cosineOf(c.filter(col("pos") < MrlDims), pairs)
+        .select(col("j"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("j").asc).limit(TopK)
+        .select(col("j").as("jp"))
+      fullTop.join(prefTop, col("j") === col("jp"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(TopK).as("k"), lit(MrlDims).as("prefix_dims"),
+          col("n_overlap"),
+          round(col("n_overlap").cast("double") / lit(TopK.toDouble), 6)
+            .as("recall"))
+    }),
+
     // Brute-force top-k through the native cosine_sim Catalyst expression
     // (graft.functions.CosineSim) — the hot-path form: one codegen'd pass
     // per row over the arrays, no explode, broadcast query vector. Must
@@ -573,6 +606,33 @@ object SimilarityPack {
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_matryoshka_recall" ->
+      s"""WITH $compsSql, $normsSql,
+         |pcomps AS MATERIALIZED (SELECT vec_id, pos, v FROM comps WHERE pos < $MrlDims),
+         |pnrm AS (SELECT vec_id,
+         |    sqrt(CAST(SUM(CAST(v * v AS $PsumCast)) AS DOUBLE)) AS nrm
+         |  FROM pcomps GROUP BY vec_id),
+         |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM embeddings
+         |  WHERE vec_id <> $QueryVec),
+         |$cosinePairSql,
+         |fulltop AS (SELECT j FROM (
+         |    SELECT j, row_number() OVER (ORDER BY cosine DESC, j ASC) AS rn
+         |    FROM cos) WHERE rn <= $TopK),
+         |pdot AS (SELECT p.i, p.j,
+         |    CAST(SUM(CAST(x.v * y.v AS $PsumCast)) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN pcomps x ON x.vec_id = p.i
+         |  JOIN pcomps y ON y.vec_id = p.j AND y.pos = x.pos
+         |  GROUP BY p.i, p.j),
+         |pcos AS (SELECT d.j, round(d.dot / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM pdot d JOIN pnrm a ON a.vec_id = d.i JOIN pnrm b ON b.vec_id = d.j),
+         |ptop AS (SELECT j FROM (
+         |    SELECT j, row_number() OVER (ORDER BY cosine DESC, j ASC) AS rn
+         |    FROM pcos) WHERE rn <= $TopK)
+         |SELECT $TopK AS k, $MrlDims AS prefix_dims, COUNT(*) AS n_overlap,
+         |  round(CAST(COUNT(*) AS DOUBLE) / $TopK.0, 6) AS recall
+         |FROM fulltop JOIN ptop USING (j)""".stripMargin,
 
     // Same oracle as the exact brute-force form: the native expression
     // must agree after rounding.
