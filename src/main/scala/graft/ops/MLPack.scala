@@ -38,6 +38,9 @@ object MLPack {
   /** Time split of ml_temporal_link_eval (orders span 1995..2001). */
   private val TemporalSplit = "1999-01-01"
 
+  /** Histogram width of ml_feature_drift's PSI. */
+  private val DriftBuckets = 10
+
   /** Distinct customer→supplier edges (session-cached: every ML query
     * starts from this same link universe). Projected from GraphPack's
     * cached (rel, c, p) pass — one orders⋈lineitem scan serves both
@@ -558,6 +561,35 @@ object MLPack {
     // the graph predict co-purchase links observed in the other half;
     // logistic regression + ROC-AUC (ref README 0.76 AUC bar). Not
     // SQL-expressible (LBFGS) — rows-only driver check.
+    // Feature-drift monitoring via the Population Stability Index — the
+    // production-ML data-quality gate (PSI = Σ (p−q)·ln(p/q) over fixed
+    // histogram buckets; >0.2 conventionally triggers retraining).
+    // Order totalprice distribution before vs after the temporal split:
+    // one scan builds both periods' bucket counts (conditional sums in a
+    // single aggregation), the PSI projection is per-bucket arithmetic
+    // on integer counts — exact across engines; laplace-style +1 floors
+    // keep empty buckets finite. Per-bucket rows plus the index itself.
+    "ml_feature_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val step = lit(60000.0)                    // fixed-width buckets
+      val b = o.select(
+        least(floor(col("o_totalprice") / step), lit(DriftBuckets - 1))
+          .cast("int").as("bucket"),
+        (col("o_orderdate") < to_timestamp(lit(TemporalSplit))).as("is_pre"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("is_pre").cast("long")).as("n_pre"),
+          sum((!col("is_pre")).cast("long")).as("n_post"))
+      val tot = b.agg(sum(col("n_pre")).as("tp"), sum(col("n_post")).as("tq"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_pre"), col("n_post"),
+          round(((col("n_pre") + 1).cast("double") / (col("tp") + DriftBuckets) -
+            (col("n_post") + 1).cast("double") / (col("tq") + DriftBuckets)) *
+            log((col("n_pre") + 1).cast("double") / (col("tp") + DriftBuckets) /
+              ((col("n_post") + 1).cast("double") / (col("tq") + DriftBuckets))), 9)
+            .as("psi_term"))
+        .orderBy(col("bucket"))
+    }),
+
     // Temporal link-prediction evaluation — the REALISTIC protocol next
     // to ml_precision_at_k's hash half-split: train on edges before the
     // split date, recommend, and count hits among edges that appear
@@ -734,6 +766,24 @@ object MLPack {
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS precision
          |FROM ranked r
          |LEFT JOIN hits h ON h.qc = r.qc AND h.cand = r.cand""".stripMargin,
+
+    "ml_feature_drift" ->
+      s"""WITH b AS (SELECT
+         |    CAST(LEAST(CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT),
+         |      ${DriftBuckets - 1}) AS INT) AS bucket,
+         |    CASE WHEN o_orderdate < TIMESTAMP '$TemporalSplit'
+         |      THEN 1 ELSE 0 END AS is_pre
+         |  FROM orders),
+         |g AS (SELECT bucket, CAST(SUM(is_pre) AS BIGINT) AS n_pre,
+         |    CAST(SUM(1 - is_pre) AS BIGINT) AS n_post
+         |  FROM b GROUP BY bucket),
+         |t AS (SELECT SUM(n_pre) AS tp, SUM(n_post) AS tq FROM g)
+         |SELECT bucket, n_pre, n_post,
+         |  round((CAST(n_pre + 1 AS DOUBLE) / (tp + $DriftBuckets) -
+         |      CAST(n_post + 1 AS DOUBLE) / (tq + $DriftBuckets)) *
+         |    ln(CAST(n_pre + 1 AS DOUBLE) / (tp + $DriftBuckets) /
+         |      (CAST(n_post + 1 AS DOUBLE) / (tq + $DriftBuckets))), 9) AS psi_term
+         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "ml_temporal_link_eval" ->
       s"""WITH et AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
