@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.recommendation.ALS
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -561,6 +561,48 @@ object MLPack {
     // the graph predict co-purchase links observed in the other half;
     // logistic regression + ROC-AUC (ref README 0.76 AUC bar). Not
     // SQL-expressible (LBFGS) — rows-only driver check.
+    // NDCG@5 of the Adamic-Adar ranking under the leak-free half-split —
+    // the GRADED ranking metric completing the eval family (precision@k
+    // counts binary hits; NDCG credits rank position and gain = number
+    // of shared half-B suppliers). Gains are integers, discounts are
+    // ln(rk+1)/ln 2 computed identically in both engines, per-query DCG
+    // and ideal-DCG go through exact decimal sums, and the mean is a
+    // decimal sum over per-query ratios — fully oracle-checked, unlike
+    // most ML stacks' eval metrics. Candidate pool per query is bounded
+    // by co-purchase fan-out (same scale contract as ml_precision_at_k).
+    "ml_ndcg_eval" -> ((s, d) => {
+      val K = 5
+      val eA = edgesHalfA(s, d)
+      val eB = edgesHalfB(s, d)
+      val q = eA.filter(col("c") <= 50).select(col("c").as("qc"), col("p"))
+      val cand = q
+        .join(eA.select(col("c").as("cand"), col("p")), Seq("p"))
+        .filter(col("cand") =!= col("qc"))
+        .join(pdegA(s, d), "p")
+        .groupBy(col("qc"), col("cand"))
+        .agg(round(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)), 6).as("score"))
+      val gains = cand.select(col("qc"), col("cand"))
+        .join(eB.select(col("c").as("qc"), col("p")), "qc")
+        .join(eB.select(col("c").as("cand"), col("p")), Seq("cand", "p"))
+        .groupBy(col("qc"), col("cand")).agg(count(lit(1)).as("g"))
+      val scored = cand.join(gains, Seq("qc", "cand"), "left")
+        .na.fill(0L, Seq("g"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qc"))
+          .orderBy(col("score").desc, col("cand").asc)))
+        .withColumn("irk", row_number().over(Window.partitionBy(col("qc"))
+          .orderBy(col("g").desc, col("cand").asc)))
+      def dcgOf(rank: Column) =
+        OpsUtil.rsum(col("g").cast("double") / (log(rank + 1) / log(lit(2.0))))
+      val dcg = scored.filter(col("rk") <= K)
+        .groupBy(col("qc")).agg(dcgOf(col("rk")).as("dcg"))
+      val idcg = scored.filter(col("irk") <= K)
+        .groupBy(col("qc")).agg(dcgOf(col("irk")).as("idcg"))
+      dcg.join(idcg, "qc").filter(col("idcg") > 0)
+        .select((col("dcg") / col("idcg")).as("ndcg"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(OpsUtil.rsum(col("ndcg")) / count(lit(1)), 6).as("mean_ndcg"))
+    }),
+
     // Feature-drift monitoring via the Population Stability Index — the
     // production-ML data-quality gate (PSI = Σ (p−q)·ln(p/q) over fixed
     // histogram buckets; >0.2 conventionally triggers retraining).
@@ -766,6 +808,42 @@ object MLPack {
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS precision
          |FROM ranked r
          |LEFT JOIN hits h ON h.qc = r.qc AND h.cand = r.cand""".stripMargin,
+
+    "ml_ndcg_eval" ->
+      s"""WITH $edgesSql,
+         |ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),
+         |eb AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 1),
+         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM ea GROUP BY p),
+         |cand AS (SELECT q.c AS qc, o.c AS cand,
+         |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE), 6) AS score
+         |  FROM ea q
+         |  JOIN ea o ON o.p = q.p AND o.c <> q.c
+         |  JOIN pdeg d ON d.p = q.p
+         |  WHERE q.c <= 50
+         |  GROUP BY q.c, o.c),
+         |gains AS (SELECT c.qc, c.cand, COUNT(*) AS g
+         |  FROM (SELECT qc, cand FROM cand) c
+         |  JOIN eb e1 ON e1.c = c.qc
+         |  JOIN eb e2 ON e2.c = c.cand AND e2.p = e1.p
+         |  GROUP BY c.qc, c.cand),
+         |scored AS (SELECT cand.qc, cand.cand, score, COALESCE(g, 0) AS g
+         |  FROM cand LEFT JOIN gains USING (qc, cand)),
+         |rkd AS (SELECT *,
+         |    row_number() OVER (PARTITION BY qc ORDER BY score DESC, cand ASC) AS rk,
+         |    row_number() OVER (PARTITION BY qc ORDER BY g DESC, cand ASC) AS irk
+         |  FROM scored),
+         |dd AS (SELECT qc, CAST(SUM(CAST(CAST(g AS DOUBLE) / (ln(rk + 1) / ln(2.0))
+         |      AS DECIMAL(28,15))) AS DOUBLE) AS dcg
+         |  FROM rkd WHERE rk <= 5 GROUP BY qc),
+         |ii AS (SELECT qc, CAST(SUM(CAST(CAST(g AS DOUBLE) / (ln(irk + 1) / ln(2.0))
+         |      AS DECIMAL(28,15))) AS DOUBLE) AS idcg
+         |  FROM rkd WHERE irk <= 5 GROUP BY qc),
+         |nn AS (SELECT dd.qc, dcg / idcg AS ndcg FROM dd JOIN ii USING (qc)
+         |  WHERE idcg > 0)
+         |SELECT COUNT(*) AS n_queries,
+         |  round(CAST(SUM(CAST(ndcg AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 6)
+         |    AS mean_ndcg
+         |FROM nn""".stripMargin,
 
     "ml_feature_drift" ->
       s"""WITH b AS (SELECT

@@ -314,6 +314,31 @@ object SimilarityPack {
         .limit(10)
     }),
 
+    // Dedup threshold-tuning sweep — the curve an operator reads before
+    // picking a near-dup cutoff: over the LSH same-bucket candidate
+    // pairs (the sub-quadratic scale path), exact cosines are computed
+    // ONCE and the pair/drop counts at each candidate threshold come
+    // from a constant-fanout (×4) broadcast of the threshold list —
+    // one candidate join + one aggregation regardless of how many
+    // thresholds are swept. n_dropped = distinct higher-id members with
+    // a lower-id near-dup (the SemDeDup keep-min-id drop count).
+    "sim_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val b = buckets(s, d)
+      val cand = b.select(col("bucket"), col("vec_id").as("i"))
+        .join(b.select(col("bucket"), col("vec_id").as("j")), "bucket")
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+      val cos = cosineOf(comps(s, d), cand)
+      val thr = Seq(0.6, 0.5, 0.45, 0.4).toDF("threshold")
+      cos.crossJoin(broadcast(thr))   // constant fanout: |thresholds|
+        .filter(col("cosine") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("j")).as("n_dropped"))
+        .orderBy(col("threshold").desc)
+    }),
+
     // Matryoshka prefix-dimension retrieval (Kusupati et al. 2022): rank
     // by cosine over only the first MrlDims of the 64-dim embedding
     // (prefix-renormalized — the MRL contract) and report top-k overlap
@@ -606,6 +631,19 @@ object SimilarityPack {
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_dedup_sweep" ->
+      s"""WITH $compsSql, $planesSql, $bucketsSql, $normsSql,
+         |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |$cosinePairSql
+         |SELECT threshold, COUNT(*) AS n_pairs,
+         |  COUNT(DISTINCT j) AS n_dropped
+         |FROM cos CROSS JOIN
+         |  (SELECT CAST(unnest([0.6, 0.5, 0.45, 0.4]) AS DOUBLE) AS threshold)
+         |WHERE cosine >= threshold
+         |GROUP BY threshold ORDER BY threshold DESC""".stripMargin,
 
     "sim_matryoshka_recall" ->
       s"""WITH $compsSql, $normsSql,

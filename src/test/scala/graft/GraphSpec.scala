@@ -247,4 +247,54 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("personalizedPageRank: symmetric seeds get mirror-image ranks") {
+    // Path 1-2-3-4: seeds 1 and 4 are mirror images, so their rank
+    // vectors must be reflections of each other; each seed holds its
+    // own maximum (restart mass dominates at damping 0.85/4 rounds).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = path.toDF("src", "dst")
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(1L, 4L).toDF("seed")
+    val r = DFGraphAlgs.personalizedPageRank(sym, seeds, 4)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(math.abs(r((1L, 2L)) - r((4L, 3L))) < 1e-12, "mirror symmetry broken")
+    assert(math.abs(r((1L, 1L)) - r((4L, 4L))) < 1e-12)
+    assert(r((1L, 1L)) > r((1L, 2L)) && r((1L, 1L)) > r.getOrElse((1L, 3L), 0.0),
+      "seed must dominate its own PPR vector")
+    // Sparse-state contract: no rank row for a (seed, node) pair the
+    // walk mass never reached beyond the 4 rounds... all reached here,
+    // but every emitted rank must be strictly positive.
+    assert(r.values.forall(_ > 0.0), "sparse state must hold nonzero mass only")
+  }
+
+  test("node2vec corpus: walks anchored, on-edge, and return-discouraged") {
+    val corpus = graft.ops.GraphPack.queries("graph_node2vec")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    val edgeSet = {
+      graft.ops.GraphPack.queries("graph_edge_weights")(spark, sf())
+        .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    }
+    val byWalk = corpus.groupBy(t => (t._1, t._2))
+    var backtracks = 0; var steps2plus = 0
+    byWalk.foreach { case ((root, _), steps) =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.head == root, s"walk from $root not anchored")
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet.contains((a, b)),
+          s"step $a -> $b is not an edge")
+        case _ =>
+      }
+      path.sliding(3).foreach {
+        case Array(a, _, c) => steps2plus += 1; if (a == c) backtracks += 1
+        case _ =>
+      }
+    }
+    // p=4 (return weight 0.25) must suppress immediate backtracking well
+    // below the uniform-walk rate on this hub-dominated graph.
+    assert(steps2plus > 0)
+    assert(backtracks.toDouble / steps2plus < 0.5,
+      s"return bias ineffective: $backtracks/$steps2plus backtracks")
+  }
 }
