@@ -168,6 +168,59 @@ object Analytics {
     * The exact side (`n_exact`, `rel_err`) is included for the fixture
     * audit; a production profiler drops it — exact is what the sketch
     * avoids. Requires GraftExtensions (registers `kmv_sketch`). */
+  /** Pearson correlation matrix over `cols` in ONE scan: all first and
+    * second moments come from a single aggregation (map-side combine
+    * reduces each partition to one row), correlations are per-pair
+    * arithmetic on the 1-row result, exploded into (x, y, r) matrix
+    * form. Moment sums go through DECIMAL(38,10) — squared measures
+    * overflow 13 integer digits at scale — so r is bit-identical across
+    * engines. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    def msum(c: Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val aggs = count(lit(1)).as("n") +:
+      cols.map(c => msum(col(c)).as(s"s_$c")) ++:
+      (for (i <- cols.indices; j <- i until cols.size) yield
+        msum(col(cols(i)) * col(cols(j))).as(s"s_${cols(i)}_${cols(j)}"))
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    def r(x: String, y: String) = {
+      val (sx, sy) = (col(s"s_$x"), col(s"s_$y"))
+      val (sxx, syy, sxy) = (col(s"s_${x}_$x"), col(s"s_${y}_$y"),
+        col(s"s_${x}_$y"))
+      round((col("n") * sxy - sx * sy) /
+        sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
+    }
+    val entries = for (i <- cols.indices; j <- (i + 1) until cols.size) yield
+      struct(lit(cols(i)).as("x"), lit(cols(j)).as("y"),
+        r(cols(i), cols(j)).as("r"))
+    a.select(explode(array(entries: _*)).as("m"))
+      .select(col("m.x").as("x"), col("m.y").as("y"), col("m.r").as("r"))
+  }
+
+  /** Population Stability Index per fixed-width bucket — the standard
+    * feature-drift gate (PSI > 0.2 conventionally triggers retraining).
+    * `isBaseline` marks the reference period; both periods' bucket
+    * counts come from ONE scan (conditional sums), the PSI terms are
+    * arithmetic on integer counts with +1 laplace floors so empty
+    * buckets stay finite. Sum `psi_term` for the index. */
+  def psi(df: DataFrame, value: Column, isBaseline: Column,
+      buckets: Int, width: Double): DataFrame = {
+    val b = df.select(
+        least(floor(value / width), lit(buckets - 1)).cast("int").as("bucket"),
+        isBaseline.as("is_pre"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_pre").cast("long")).as("n_pre"),
+        sum((!col("is_pre")).cast("long")).as("n_post"))
+    val tot = b.agg(sum(col("n_pre")).as("tp"), sum(col("n_post")).as("tq"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pre"), col("n_post"),
+        round(((col("n_pre") + 1).cast("double") / (col("tp") + buckets) -
+          (col("n_post") + 1).cast("double") / (col("tq") + buckets)) *
+          log((col("n_pre") + 1).cast("double") / (col("tp") + buckets) /
+            ((col("n_post") + 1).cast("double") / (col("tq") + buckets))), 9)
+          .as("psi_term"))
+  }
+
   def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
     val M = 268435456.0 // 2^28: h28 hashes are uniform on [0, M)
     df.agg(

@@ -109,6 +109,22 @@ object Sampling {
     * which at 10⁷ × 10⁶ ids is 10¹³ generated rows to keep a few
     * percent. Candidate sides beyond WideMixMax (~10¹²) keys fail loudly
     * instead of silently never sampling the tail. */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis A-Res, 2006): each row gets priority −ln(u)/w with u a
+    * 28-bit md5 uniform of (salt, key) — the k smallest priorities ARE a
+    * weighted sample without replacement, replayable in any engine that
+    * can md5. Selection is a per-partition top-k heap (TakeOrdered), no
+    * global sort. Returns the k sampled rows with their priorities. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "ws"): DataFrame = {
+    val u = (h28(concat(lit(s"$salt:"), col("key"))) + 1).cast("double") /
+      lit(268435456.0)
+    df.select(key.as("key"), weight.as("w"))
+      .withColumn("priority", -log(u) / col("w"))
+      .orderBy(col("priority").asc, col("key").asc)
+      .limit(k)
+  }
+
   def negativePairs(as: DataFrame, bs: DataFrame, positives: DataFrame,
       aCol: String, bCol: String, perLeft: Int): DataFrame = {
     val idx = denseIndex(bs, bCol)

@@ -252,16 +252,11 @@ object AnalyticsPack {
     // single-pass shape at any scale, and fully replayable: the oracle
     // recomputes identical priorities from the same md5-derived uniform.
     "ana_weighted_sample" -> ((s, d) => {
-      import TextHash.h28
       val spend = Tables.orders(s, d).groupBy(col("o_custkey").as("c"))
         .agg(rsum(col("o_totalprice")).as("w"))
-      val u = (h28(concat(lit("ws:"), col("c"))) + 1).cast("double") /
-        lit(268435456.0)
-      spend.withColumn("key", -log(u) / col("w"))
-        .orderBy(col("key").asc, col("c").asc)
-        .limit(WsK)
-        .select(col("c"), round(col("w"), 2).as("spend"),
-          round(col("key") * 1000000, 6).as("key_ppm"))
+      graft.api.Sampling.weightedSample(spend, col("c"), col("w"), WsK)
+        .select(col("key").as("c"), round(col("w"), 2).as("spend"),
+          round(col("priority") * 1000000, 6).as("key_ppm"))
     }),
 
     // Pearson correlation matrix over lineitem measures — the standard
@@ -273,26 +268,11 @@ object AnalyticsPack {
     // (28,15) would overflow on price²; 28 integer digits will not),
     // so r is bit-identical across engines.
     "ana_correlation" -> ((s, d) => {
-      def msum(c: Column) = sum(c.cast("decimal(38,10)")).cast("double")
-      val li = Tables.lineitem(s, d).select(col("l_quantity").as("q"),
-        col("l_extendedprice").as("p"), col("l_discount").as("dc"))
-      val a = li.agg(count(lit(1)).as("n"),
-        msum(col("q")).as("sq"), msum(col("p")).as("sp"), msum(col("dc")).as("sd"),
-        msum(col("q") * col("q")).as("sqq"), msum(col("p") * col("p")).as("spp"),
-        msum(col("dc") * col("dc")).as("sdd"), msum(col("q") * col("p")).as("sqp"),
-        msum(col("q") * col("dc")).as("sqd"), msum(col("p") * col("dc")).as("spd"))
-      def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
-        round((col("n") * sxy - sx * sy) /
-          sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
-      a.select(explode(array(
-          struct(lit("quantity").as("x"), lit("extendedprice").as("y"),
-            r(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r")),
-          struct(lit("quantity").as("x"), lit("discount").as("y"),
-            r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r")),
-          struct(lit("extendedprice").as("x"), lit("discount").as("y"),
-            r(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r"))))
-          .as("m"))
-        .select(col("m.x").as("x"), col("m.y").as("y"), col("m.r").as("r"))
+      graft.api.Analytics.correlationMatrix(
+          Tables.lineitem(s, d).select(col("l_quantity").as("quantity"),
+            col("l_extendedprice").as("extendedprice"),
+            col("l_discount").as("discount")),
+          Seq("quantity", "extendedprice", "discount"))
         .orderBy(col("x"), col("y"))
     }),
 

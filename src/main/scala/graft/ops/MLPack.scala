@@ -612,23 +612,9 @@ object MLPack {
     // on integer counts — exact across engines; laplace-style +1 floors
     // keep empty buckets finite. Per-bucket rows plus the index itself.
     "ml_feature_drift" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val step = lit(60000.0)                    // fixed-width buckets
-      val b = o.select(
-        least(floor(col("o_totalprice") / step), lit(DriftBuckets - 1))
-          .cast("int").as("bucket"),
-        (col("o_orderdate") < to_timestamp(lit(TemporalSplit))).as("is_pre"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("is_pre").cast("long")).as("n_pre"),
-          sum((!col("is_pre")).cast("long")).as("n_post"))
-      val tot = b.agg(sum(col("n_pre")).as("tp"), sum(col("n_post")).as("tq"))
-      b.crossJoin(broadcast(tot))
-        .select(col("bucket"), col("n_pre"), col("n_post"),
-          round(((col("n_pre") + 1).cast("double") / (col("tp") + DriftBuckets) -
-            (col("n_post") + 1).cast("double") / (col("tq") + DriftBuckets)) *
-            log((col("n_pre") + 1).cast("double") / (col("tp") + DriftBuckets) /
-              ((col("n_post") + 1).cast("double") / (col("tq") + DriftBuckets))), 9)
-            .as("psi_term"))
+      graft.api.Analytics.psi(Tables.orders(s, d), col("o_totalprice"),
+          col("o_orderdate") < to_timestamp(lit(TemporalSplit)),
+          DriftBuckets, 60000.0)
         .orderBy(col("bucket"))
     }),
 

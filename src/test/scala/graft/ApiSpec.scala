@@ -593,6 +593,45 @@ class ApiSpec extends SparkSpec {
     assert(sized.subsetOf(Set(2L, 4L)), s"$sized")
   }
 
+  test("sampling: weightedSample prefers heavy keys and is replayable") {
+    val rows = (1L to 200L).map(k => (k, if (k <= 10) 1000.0 else 1.0))
+      .toDF("k", "w")
+    val take = Graft.sampling.weightedSample(rows, col("k"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    // The 10 heavy keys carry 1000x the weight of the 190 light ones —
+    // the sample must be dominated by them (A-Res inclusion follows
+    // weights); determinism: a second run picks the identical set.
+    assert(take.count(_ <= 10L) >= 8, s"heavy keys under-sampled: $take")
+    val again = Graft.sampling.weightedSample(rows, col("k"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(take == again, "hash-based sample must replay identically")
+  }
+
+  test("analytics: correlationMatrix recovers perfect and inverse correlation") {
+    val rows = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3, -1.0 * i))
+      .toDF("a", "b", "c")
+    val m = Graft.analytics.correlationMatrix(rows, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) == 1.0, s"perfect linear must give r=1: $m")
+    assert(m(("a", "c")) == -1.0, s"perfect inverse must give r=-1: $m")
+    assert(m.size == 3)
+  }
+
+  test("analytics: psi is ~0 on identical periods, large on shifted ones") {
+    val same = (1 to 1000).map(i => (i % 100 * 1.0, i % 2 == 0))
+      .toDF("v", "pre")
+    val psiSame = Graft.analytics.psi(same, col("v"), col("pre"), 10, 10.0)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(math.abs(psiSame) < 0.01, s"identical periods must give PSI~0: $psiSame")
+    val shifted = (1 to 1000).map { i =>
+      val pre = i % 2 == 0
+      (if (pre) i % 50 * 1.0 else 50.0 + i % 50, pre)
+    }.toDF("v", "pre")
+    val psiShift = Graft.analytics.psi(shifted, col("v"), col("pre"), 10, 10.0)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(psiShift > 0.2, s"disjoint periods must trip the 0.2 gate: $psiShift")
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
