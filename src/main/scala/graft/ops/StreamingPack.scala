@@ -125,6 +125,20 @@ object StreamingPack {
       gated.orderBy(col("doc_id"))
     }),
 
+    // Complete-output-mode leaderboard: an UNWINDOWED running aggregate
+    // (per-user lifetime event counts) re-emitted whole every
+    // micro-batch — the third output-mode discipline next to the pack's
+    // append and update queries, and the live-dashboard shape (state =
+    // one row per user, emission = the current full table). Final table
+    // must equal the batch events_top_users answer.
+    "stream_leaderboard" -> ((s, d) => {
+      val name = s"graft_stream_lead_${counter.incrementAndGet()}"
+      val agg = StreamOps.eventsStream(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val res = StreamOps.runToMemoryComplete(s, agg, name)
+      res.orderBy(col("n_events").desc, col("user_id").asc).limit(25)
+    }),
+
     // Streaming rate-anomaly alerting: the tumbling-window counts come
     // from the LIVE stream (integer-exact state — same windowed
     // aggregation as stream_window_counts), and windows whose count
@@ -161,6 +175,8 @@ object StreamingPack {
   val oracle: Map[String, String] = Map(
     // Same oracles as the batch twins: streaming must equal batch.
     "stream_window_counts" -> EventsPack.oracle("events_window_counts"),
+
+    "stream_leaderboard" -> EventsPack.oracle("events_top_users"),
 
     "stream_rate_anomaly" ->
       s"""WITH wc AS (SELECT (epoch_ns(ts) // 1000 // ${EventsPack.WindowUs})
