@@ -658,4 +658,28 @@ object Text {
         max(when(col("rn") === 2, col("doc_id"))).as("head2"),
         max(when(col("rn") === 3, col("doc_id"))).as("head3"))
   }
+
+  /** BPE merge-candidate counting — the inner step of byte-pair-encoding
+    * tokenizer training: frequency-weighted adjacent-symbol pair counts.
+    * The trick that makes corpus-scale BPE feasible is counted here
+    * exactly as production trainers do it: pairs are counted over the
+    * WORD-FREQUENCY VOCABULARY (one row per distinct word), never over
+    * raw corpus positions — the corpus is touched once to build the
+    * vocab, and every subsequent merge round is vocab-sized work.
+    * Returns (pair, n) — the top merge candidates with full tie-breaks.
+    */
+  def bpePairCounts(corpus: DataFrame, id: String, text: String,
+      topK: Int = 20): DataFrame = {
+    val vocab = corpus
+      .select(explode(split(lower(col(text)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

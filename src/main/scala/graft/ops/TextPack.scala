@@ -360,6 +360,14 @@ object TextPack {
         .orderBy(col("target"))
     }),
 
+    // BPE merge-pair counting (Sennrich et al. 2016) — tokenizer
+    // training's inner loop, counted the way production trainers scale
+    // it: over the word-frequency VOCAB (one row per distinct word),
+    // never over raw corpus positions. See api.Text.bpePairCounts.
+    "text_bpe_pairs" -> ((s, d) => {
+      graft.api.Text.bpePairCounts(Tables.documents(s, d), "doc_id", "text")
+    }),
+
     // Sliding-window CHUNKING with overlap (long doc → fixed-token
     // training contexts, consecutive chunks sharing ChunkTokens−Stride
     // tokens): sequence→explode→slice per row, all codegen'd — a flat
@@ -823,6 +831,16 @@ object TextPack {
         |SELECT doc_id, n_shingles, n_dup_shingles,
         |  round(n_dup_shingles / CAST(n_shingles AS DOUBLE), 6) AS dup_frac
         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH words AS (SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq FROM (
+        |    SELECT w, freq, unnest(range(1, length(w))) AS i FROM words))
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     // The oracle ranks the vocabulary with one global window (DuckDB is
     // single-node); the two-phase digit-bucket rank must agree exactly.
