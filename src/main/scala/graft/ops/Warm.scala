@@ -23,6 +23,8 @@ object Warm {
     "graph.ssspPred" -> (() => GraphPack.ssspState(s, d)),
     "graph.nbridx"   -> (() => GraphPack.nbrIndex(s, d)),
     "graph.rwcorpus" -> (() => GraphPack.rwCorpus(s, d)),
+    "graph.n2vcorpus" -> (() => GraphPack.node2vecCorpus(s, d)),
+    "graph.lmdists"  -> (() => GraphPack.landmarkDists(s, d)),
     "ml.edges"       -> (() => MLPack.edges(s, d)),
     "ml.edgesA"      -> (() => MLPack.edgesHalfA(s, d)),
     "ml.edgesB"      -> (() => MLPack.edgesHalfB(s, d)),
