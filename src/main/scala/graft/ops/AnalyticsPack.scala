@@ -259,6 +259,27 @@ object AnalyticsPack {
           round(col("priority") * 1000000, 6).as("key_ppm"))
     }),
 
+    // Join-key skew report — the pre-flight diagnostic before choosing a
+    // shuffle strategy (feeds the ana_salted_hub_degrees decision): per
+    // candidate key, group-size distribution stats. One aggregation to
+    // group sizes (bounded by key cardinality), one summary over the
+    // size DISTRIBUTION; max-share and p99/p50 are what decide between
+    // plain hash join, broadcast, and salting at 100 TB.
+    "ana_skew_report" -> ((s, d) => {
+      val sizes = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      sizes.agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_key_rows"),
+          round(expr("percentile(n, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n, 0.99)"), 6).as("p99"))
+        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+          round(col("max_key_rows").cast("double") / col("n_rows"), 9)
+            .as("max_share"),
+          col("p50"), col("p99"),
+          round(col("p99") / col("p50"), 6).as("skew_ratio"))
+    }),
+
     // Pearson correlation matrix over lineitem measures — the standard
     // profiling step before feature selection. All nine moment sums come
     // from ONE scan/aggregation (map-side combine reduces each partition
@@ -458,6 +479,19 @@ object AnalyticsPack {
         |SELECT o_orderpriority, rate, COUNT(*) AS n_total,
         |  CAST(SUM(keep) AS BIGINT) AS n_sampled
         |FROM t GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
+
+    "ana_skew_report" ->
+      """WITH sizes AS (SELECT l_suppkey, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_suppkey),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    MAX(n) AS max_key_rows,
+        |    round(quantile_cont(n, 0.5), 6) AS p50,
+        |    round(quantile_cont(n, 0.99), 6) AS p99
+        |  FROM sizes)
+        |SELECT n_keys, n_rows, max_key_rows,
+        |  round(CAST(max_key_rows AS DOUBLE) / n_rows, 9) AS max_share,
+        |  p50, p99, round(p99 / p50, 6) AS skew_ratio
+        |FROM s""".stripMargin,
 
     "ana_correlation" ->
       """WITH s AS (SELECT COUNT(*) AS n,
