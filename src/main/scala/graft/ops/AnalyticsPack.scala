@@ -187,6 +187,31 @@ object AnalyticsPack {
         round(expr("percentile(o_totalprice, 0.95)"), 6).as("q95"))
     }),
 
+    // Robust (median/MAD) outlier screen over customer spend — the
+    // heavy-tail-safe anomaly gate a power-law corpus needs (mean/stddev
+    // breaks down when γ ≈ 3.4, SURVEY §6). Three passes, every one over
+    // the ALREADY-AGGREGATED per-customer frame (|customers| rows, never
+    // the raw log): exact interpolated median, median absolute deviation
+    // via one broadcast scalar, then the 3σ-equivalent cut at
+    // 4.4478·MAD (= 3·1.4826, the normal-consistency constant). At
+    // production scale the two percentile passes swap to approx_percentile
+    // with no other plan change.
+    "ana_mad_outliers" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,4)")).cast("double").as("spend"))
+      val med = spend.agg(expr("percentile(spend, 0.5)").as("med"))
+      val dev = spend.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("spend") - col("med")))
+      val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .agg(count(lit(1)).as("n_customers"),
+          round(max(col("med")), 6).as("median_spend"),
+          round(max(col("mad")), 6).as("mad_spend"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1).otherwise(0))
+            .cast("long").as("n_outliers"),
+          round(max(col("spend")), 4).as("max_spend"))
+    }),
+
     // Exact Gini coefficient of customer spend — the inequality summary
     // that goes with a power-law analysis (hub concentration in money
     // rather than degree). Needs every row's GLOBAL ascending rank;
@@ -445,6 +470,21 @@ object AnalyticsPack {
         |  round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
         |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
         |FROM orders""".stripMargin,
+
+    "ana_mad_outliers" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (SELECT quantile_cont(spend, 0.5) AS med FROM spend),
+        |dev AS (SELECT spend, abs(spend - med) AS adev, med FROM spend, m),
+        |md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT COUNT(*) AS n_customers,
+        |  round(MAX(med), 6) AS median_spend,
+        |  round(MAX(mad), 6) AS mad_spend,
+        |  CAST(SUM(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(MAX(spend), 4) AS max_spend
+        |FROM dev, md""".stripMargin,
 
     // Plain global row_number is the small-data oracle of record for the
     // two-phase bucketed rank; Σ i·x_i is tie-permutation-invariant.

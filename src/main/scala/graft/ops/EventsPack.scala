@@ -214,6 +214,61 @@ object EventsPack {
           max(col("gap")).as("max_gap_us"))
     }),
 
+    // First-order Markov transition matrix over the event-type sequence —
+    // the "what happens next" model product analytics fits on every
+    // activity log. One per-user lead() window (total order ts, event_id)
+    // emits (from, to) adjacent pairs; the transition domain is
+    // |event_types|² (≤ 25 cells here), so the count aggregation and the
+    // per-from normalization join are both map-side-combinable and the
+    // final frame is broadcast-sized at any corpus scale.
+    "events_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val tr = withMicros(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      tr.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("prob"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Session path signatures — the top entry-path analysis ("which
+    // 3-step journeys start sessions"): the same per-user islands
+    // sessionization as events_sessionize, then the FIRST three event
+    // types of each session concatenated into a path key. All windows
+    // partition by user (then by (user, session)); the path-frequency
+    // aggregation lands on a tiny key domain, top-k via
+    // TakeOrderedAndProject.
+    "events_session_paths" -> ((s, d) => {
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val e = withMicros(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(wu))
+        .withColumn("brk",
+          when(col("prev").isNull || col("ts_us") - col("prev") > GapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -272,6 +327,47 @@ object EventsPack {
     "events_top_users" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 25""".stripMargin,
+
+    "events_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM e),
+        |tr AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  round(CAST(tr.n AS DOUBLE) / tot.tot, 6) AS prob
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+
+    "events_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         |    event_type FROM events),
+         |l AS (SELECT user_id, event_id, ts_us, event_type,
+         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+         |  FROM e),
+         |b AS (SELECT user_id, event_id, ts_us, event_type,
+         |    CASE WHEN prev IS NULL OR ts_us - prev > $GapUs THEN 1 ELSE 0 END AS brk
+         |  FROM l),
+         |sid AS (SELECT user_id, event_id, ts_us, event_type,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM b),
+         |rn AS (SELECT user_id, sid, event_type,
+         |    row_number() OVER (PARTITION BY user_id, sid
+         |      ORDER BY ts_us, event_id) AS rn
+         |  FROM sid),
+         |paths AS (SELECT user_id, sid,
+         |    concat_ws('>',
+         |      MAX(CASE WHEN rn = 1 THEN event_type END),
+         |      MAX(CASE WHEN rn = 2 THEN event_type END),
+         |      MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+         |  FROM rn WHERE rn <= 3 GROUP BY user_id, sid)
+         |SELECT path, COUNT(*) AS n_sessions FROM paths
+         |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
 
     "events_scd2_ranges" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,

@@ -172,6 +172,48 @@ object RelationalPack {
         .orderBy(col("order_year"))
     }),
 
+    // A-family — deterministic per-group mode: each nation's most common
+    // customer market segment (tie → lexicographically smallest segment).
+    // Count per (nation, segment) — a ≤ |nations|×|segments| domain with
+    // full map-side combine — then one row_number over that tiny frame;
+    // never a window over the raw rows.
+    "agg_mode_per_group" -> ((s, d) => {
+      val cnt = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("n").desc, col("c_mktsegment").asc)
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          col("c_mktsegment").as("modal_segment"), col("n"))
+        .orderBy(col("nation"))
+    }),
+
+    // W-family — day-over-day deltas on the daily revenue series: one
+    // aggregation collapses orders to ~2.4k (date) rows, then a single
+    // unpartitioned lag() window over that BOUNDED date domain (the
+    // calendar, not the data, sets its size — safe at any corpus scale).
+    // Delta stays exact decimal; pct is one rounded double division.
+    "win_lag_delta" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy(col("o_orderdate"))
+      daily
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_orderdate"), col("n_orders"), col("revenue"),
+          (col("revenue") - col("prev")).as("delta"),
+          round((col("revenue") - col("prev")).cast("double") / col("prev") * 100, 6)
+            .as("pct_change"))
+        .orderBy(col("o_orderdate"))
+        .limit(3000)
+    }),
+
     // J1/J2/J3 — multi-hop dimension enrichment with broadcast joins.
     "join_enrich_region" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -425,6 +467,30 @@ object RelationalPack {
         |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
         |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "agg_mode_per_group" ->
+      """WITH cnt AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |rk AS (SELECT c_nationkey, c_mktsegment, n,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY n DESC, c_mktsegment ASC) AS rn
+        |  FROM cnt)
+        |SELECT n_name AS nation, c_mktsegment AS modal_segment, n
+        |FROM rk JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY nation""".stripMargin,
+
+    "win_lag_delta" ->
+      s"""WITH daily AS (SELECT o_orderdate, COUNT(*) AS n_orders,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY o_orderdate),
+         |lagged AS (SELECT o_orderdate, n_orders, revenue,
+         |    lag(revenue) OVER (ORDER BY o_orderdate) AS prev
+         |  FROM daily)
+         |SELECT o_orderdate, n_orders, revenue,
+         |  revenue - prev AS delta,
+         |  round((revenue - prev) / prev * 100, 6) AS pct_change
+         |FROM lagged WHERE prev IS NOT NULL
+         |ORDER BY o_orderdate LIMIT 3000""".stripMargin,
 
     "join_enrich_region" ->
       s"""SELECT r_name,
