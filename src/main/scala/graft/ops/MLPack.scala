@@ -259,6 +259,68 @@ object MLPack {
         .orderBy(col("c1"), col("c2")).limit(5000)
     }),
 
+    // Jaccard-coefficient link predictor over the sampled pairs — the
+    // normalized cousin of ml_pair_features' common-neighbor count
+    // (|N∩| / |N∪|, Liben-Nowell & Kleinberg 2003): same candidate-pair
+    // equi-join on the shared neighbor, degrees from one cached groupBy;
+    // the ratio is exact-integer until one rounded double division.
+    // Top-20 with full (score, c1, c2) tie-break so the rank is total.
+    "ml_jaccard_topk" -> ((s, d) => {
+      val e = edges(s, d)
+      val pairs = pairSample(s, d)
+      val cn = pairs
+        .join(e.select(col("c").as("c1"), col("p")), "c1")
+        .join(e.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("common_neighbors"))
+      val cdeg = e.groupBy(col("c")).agg(count(lit(1)).as("cdeg"))
+      cn.join(cdeg.select(col("c").as("c1"), col("cdeg").as("deg1")), "c1")
+        .join(cdeg.select(col("c").as("c2"), col("cdeg").as("deg2")), "c2")
+        .select(col("c1"), col("c2"), col("common_neighbors"),
+          (col("deg1") + col("deg2") - col("common_neighbors")).as("union_size"),
+          round(col("common_neighbors").cast("double") /
+            (col("deg1") + col("deg2") - col("common_neighbors")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("c1").asc, col("c2").asc)
+        .limit(20)
+    }),
+
+    // χ² feature-relevance screen — which categorical customer features
+    // carry signal about the "has at least one order" label (the
+    // feature-selection gate before training; V1 family). Contingency
+    // cells are integer counts over tiny (feature × label) domains
+    // (≤ 2·|values| cells, full map-side combine); each cell's
+    // (O−E)²/E lands in an exact decimal so the cell-sum is
+    // order-independent, and the only float step is one rounded division
+    // per cell. One row per screened feature.
+    "ml_chi2_features" -> ((s, d) => {
+      val hasOrd = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      val lab = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        .join(hasOrd, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          when(col("o_custkey").isNotNull, 1).otherwise(0).as("label"))
+      def chi2Of(feat: String): DataFrame = {
+        val obs = lab.groupBy(col(feat).cast("string").as("v"), col("label"))
+          .agg(count(lit(1)).as("o"))
+        val rt = obs.groupBy(col("v")).agg(sum(col("o")).as("rt"))
+        val ct = obs.groupBy(col("label")).agg(sum(col("o")).as("ct"))
+        val n = obs.agg(sum(col("o")).as("n"))
+        obs.join(broadcast(rt), "v").join(broadcast(ct), "label")
+          .crossJoin(broadcast(n))
+          .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+          .withColumn("cell",
+            (pow(col("o").cast("double") - col("e"), 2) / col("e"))
+              .cast("decimal(28,12)"))
+          .agg(countDistinct(col("v")).as("nv"),
+            countDistinct(col("label")).as("nl"),
+            round(sum(col("cell")).cast("double"), 6).as("chi2"))
+          .select(lit(feat).as("feature"),
+            ((col("nv") - 1) * (col("nl") - 1)).as("dof"), col("chi2"))
+      }
+      chi2Of("c_mktsegment").unionAll(chi2Of("c_nationkey"))
+        .orderBy(col("feature"))
+    }),
+
     // V5+V7 — constrained top-k recommendation: candidates = 2-hop
     // neighbors, minus existing partners (taboo anti-join), scored by
     // Adamic-Adar with the reference's hub penalty score/(log(deg)+1)
@@ -959,6 +1021,56 @@ object MLPack {
       s"""WITH $edgesSql, $pairSampleSql, $pairFeaturesSql
          |SELECT c1, c2, common_neighbors, adamic_adar, pref_attachment, same_nation
          |FROM feat ORDER BY c1, c2 LIMIT 5000""".stripMargin,
+
+    "ml_jaccard_topk" ->
+      s"""WITH $edgesSql, $pairSampleSql,
+         |cn AS (SELECT pr.c1, pr.c2, COUNT(*) AS common_neighbors
+         |  FROM pairs pr
+         |  JOIN edges e1 ON e1.c = pr.c1
+         |  JOIN edges e2 ON e2.c = pr.c2 AND e2.p = e1.p
+         |  GROUP BY pr.c1, pr.c2),
+         |cdeg AS (SELECT c, COUNT(*) AS cdeg FROM edges GROUP BY c)
+         |SELECT cn.c1, cn.c2, cn.common_neighbors,
+         |  d1.cdeg + d2.cdeg - cn.common_neighbors AS union_size,
+         |  round(CAST(cn.common_neighbors AS DOUBLE) /
+         |    (d1.cdeg + d2.cdeg - cn.common_neighbors), 6) AS jaccard
+         |FROM cn JOIN cdeg d1 ON d1.c = cn.c1 JOIN cdeg d2 ON d2.c = cn.c2
+         |ORDER BY jaccard DESC, c1 ASC, c2 ASC LIMIT 20""".stripMargin,
+
+    "ml_chi2_features" ->
+      """WITH lab AS (SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END AS label
+        |  FROM customer c),
+        |o1 AS (SELECT CAST(c_mktsegment AS VARCHAR) AS v, label, COUNT(*) AS o
+        |  FROM lab GROUP BY 1, 2),
+        |s1 AS (SELECT o1.v, o1.label, o1.o,
+        |    SUM(o1.o) OVER (PARTITION BY o1.v) AS rt,
+        |    SUM(o1.o) OVER (PARTITION BY o1.label) AS ct,
+        |    SUM(o1.o) OVER () AS n
+        |  FROM o1),
+        |c1 AS (SELECT 'c_mktsegment' AS feature,
+        |    (COUNT(DISTINCT v) - 1) * (COUNT(DISTINCT label) - 1) AS dof,
+        |    round(CAST(SUM(CAST(
+        |      pow(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n, 2)
+        |        / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(28,12)))
+        |      AS DOUBLE), 6) AS chi2
+        |  FROM s1),
+        |o2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS v, label, COUNT(*) AS o
+        |  FROM lab GROUP BY 1, 2),
+        |s2 AS (SELECT o2.v, o2.label, o2.o,
+        |    SUM(o2.o) OVER (PARTITION BY o2.v) AS rt,
+        |    SUM(o2.o) OVER (PARTITION BY o2.label) AS ct,
+        |    SUM(o2.o) OVER () AS n
+        |  FROM o2),
+        |c2 AS (SELECT 'c_nationkey' AS feature,
+        |    (COUNT(DISTINCT v) - 1) * (COUNT(DISTINCT label) - 1) AS dof,
+        |    round(CAST(SUM(CAST(
+        |      pow(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n, 2)
+        |        / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(28,12)))
+        |      AS DOUBLE), 6) AS chi2
+        |  FROM s2)
+        |SELECT * FROM c1 UNION ALL SELECT * FROM c2 ORDER BY feature""".stripMargin,
 
     "ml_recommend_multitype" ->
       """WITH rp AS MATERIALIZED (SELECT DISTINCT l_returnflag AS rel,
