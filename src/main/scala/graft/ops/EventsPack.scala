@@ -269,6 +269,26 @@ object EventsPack {
         .limit(20)
     }),
 
+    // Weekly-active / monthly-active users + stickiness (WAU/MAU) — the
+    // engagement health metric every activity log reports. Both distinct
+    // counts come from ONE pass over the per-(user, week) distinct frame
+    // (weeks roll up into the containing 4-week "month"), so the log is
+    // shuffled once on user-time keys; the ratio is one rounded division
+    // over broadcast-sized week rows.
+    "events_wau_mau" -> ((s, d) => {
+      val uw = withMicros(s, d)
+        .select(col("user_id"), expr(s"ts_us div $WeekUs").as("wk"))
+        .distinct()
+      val wau = uw.groupBy(col("wk")).agg(countDistinct(col("user_id")).as("wau"))
+      val mau = uw.select(col("user_id"), expr("wk div 4").as("mo")).distinct()
+        .groupBy(col("mo")).agg(countDistinct(col("user_id")).as("mau"))
+      wau.withColumn("mo", expr("wk div 4"))
+        .join(broadcast(mau), "mo")
+        .select(col("wk"), col("wau"), col("mau"),
+          round(col("wau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy(col("wk"))
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -368,6 +388,17 @@ object EventsPack {
          |  FROM rn WHERE rn <= 3 GROUP BY user_id, sid)
          |SELECT path, COUNT(*) AS n_sessions FROM paths
          |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    "events_wau_mau" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // $WeekUs AS wk
+         |  FROM events),
+         |wau AS (SELECT wk, COUNT(DISTINCT user_id) AS wau FROM uw GROUP BY wk),
+         |mau AS (SELECT wk // 4 AS mo, COUNT(DISTINCT user_id) AS mau
+         |  FROM uw GROUP BY 1)
+         |SELECT wk, wau, mau,
+         |  round(CAST(wau AS DOUBLE) / mau, 6) AS stickiness
+         |FROM wau JOIN mau ON wau.wk // 4 = mau.mo
+         |ORDER BY wk""".stripMargin,
 
     "events_scd2_ranges" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,

@@ -214,6 +214,28 @@ object RelationalPack {
         .limit(3000)
     }),
 
+    // W-family — 7-day MOVING average over the daily revenue series: the
+    // RANGE-frame window form (value-based frame over the day ordinal,
+    // not a row count — days with no orders widen a row frame but not a
+    // range frame). Same bounded post-aggregation domain as
+    // win_lag_delta; the frame sum stays exact decimal so the window
+    // accumulation order can't leak into the hash.
+    "win_moving_avg" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,4)")).as("rev"))
+        .withColumn("day", datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily
+        .select(col("o_orderdate"),
+          round(col("rev").cast("double"), 4).as("revenue"),
+          round(sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w), 6)
+            .as("ma7"),
+          count(lit(1)).over(w).as("n_days"))
+        .orderBy(col("o_orderdate"))
+        .limit(3000)
+    }),
+
     // J1/J2/J3 — multi-hop dimension enrichment with broadcast joins.
     "join_enrich_region" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -491,6 +513,21 @@ object RelationalPack {
          |  round((revenue - prev) / prev * 100, 6) AS pct_change
          |FROM lagged WHERE prev IS NOT NULL
          |ORDER BY o_orderdate LIMIT 3000""".stripMargin,
+
+    "win_moving_avg" ->
+      """WITH daily AS (SELECT o_orderdate,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS rev,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day
+        |  FROM orders GROUP BY o_orderdate)
+        |SELECT o_orderdate,
+        |  round(CAST(rev AS DOUBLE), 4) AS revenue,
+        |  round(CAST(SUM(rev) OVER (ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+        |  COUNT(*) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+        |FROM daily ORDER BY o_orderdate LIMIT 3000""".stripMargin,
 
     "join_enrich_region" ->
       s"""SELECT r_name,
