@@ -102,15 +102,23 @@ object Analytics {
     * Σ i·x_i is deterministic. Returns one row (n, total, gini) with
     * gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), rounded to 6 places.
     * A degenerate range (all values equal) is exactly gini = 0. */
-  def gini(df: DataFrame, key: Column, value: Column,
+  /** Exact GLOBAL ascending rank of every row by (value, key) — the
+    * two-phase bucketed form shared by gini and the RFM scorer: values
+    * hash into range buckets, row_number runs PER BUCKET (bounded
+    * partitions — never one global sort task), and bucket offsets come
+    * from a cumulative window over the ≤ `buckets`-row histogram.
+    * (value, key) is a total order, so the rank is deterministic in any
+    * engine; the small-data oracle of record is a plain global
+    * row_number. Returns (__k, v, i) with i in 1..n. */
+  def globalRank(df: DataFrame, key: Column, value: Column,
       buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spend = df.select(key.as("__k"), value.cast("decimal(28,4)").as("v"))
-    val stats = spend.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val bucketed = spend.crossJoin(broadcast(stats))
+    val vals = df.select(key.as("__k"), value.cast("decimal(28,4)").as("v"))
+    val stats = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bucketed = vals.crossJoin(broadcast(stats))
       // Degenerate range guard: with mx == mn the ratio is null, the bkt
       // join would drop all rows and the query would return an empty
-      // frame instead of gini = 0; one bucket ranks the all-ties case.
+      // frame instead of ranking the all-ties case; one bucket handles it.
       .withColumn("bkt", when(col("mx") === col("mn"), lit(0L)).otherwise(
         least(
           floor((col("v") - col("mn")) / (col("mx") - col("mn")) * buckets),
@@ -127,7 +135,13 @@ object Analytics {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bkt"), col("off"))
     ranked.join(broadcast(offs), "bkt")
-      .select(col("v"), (col("off") + col("rn")).as("i"))
+      .select(col("__k"), col("v"), (col("off") + col("rn")).as("i"))
+  }
+
+  def gini(df: DataFrame, key: Column, value: Column,
+      buckets: Int = 1024): DataFrame = {
+    globalRank(df, key, value, buckets)
+      .select(col("v"), col("i"))
       .agg(count(lit(1)).as("n"),
         sum(col("v")).as("sx"),
         sum(col("i").cast("decimal(28,4)") * col("v")).as("six"))

@@ -212,6 +212,36 @@ object AnalyticsPack {
           round(max(col("spend")), 4).as("max_spend"))
     }),
 
+    // RFM (recency / frequency / monetary) segmentation — the customer-
+    // value grid CRM pipelines cut on. Each dimension is scored 1-5 by
+    // GLOBAL quintile of its exact rank; ranks come from the same
+    // two-phase bucketed form as gini (per-bucket row_number + broadcast
+    // offsets — no single-partition sort at any scale), and the quintile
+    // is the integer formula ((i−1)·5) div n + 1 — replayed verbatim by
+    // the oracle, with none of NTILE's engine-specific remainder
+    // placement. Output: the populated RFM cells with sizes and average
+    // spend.
+    "ana_rfm_segments" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(datediff(max(col("o_orderdate")), to_date(lit("1970-01-01"))).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(28,4)")).as("mon"))
+      val n = per.agg(count(lit(1)).as("n"))
+      def score(metric: Column, name: String): DataFrame =
+        graft.api.Analytics.globalRank(per, col("o_custkey"), metric)
+          .crossJoin(broadcast(n))
+          .select(col("__k").as("o_custkey"),
+            (expr("((i - 1) * 5) div n") + 1).as(name))
+      score(col("rec"), "r_score")
+        .join(score(col("freq"), "f_score"), "o_custkey")
+        .join(score(col("mon"), "m_score"), "o_custkey")
+        .join(per.select(col("o_custkey"), col("mon")), "o_custkey")
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("mon")).cast("double") / count(lit(1)), 4).as("avg_monetary"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
+
     // Exact Gini coefficient of customer spend — the inequality summary
     // that goes with a power-law analysis (hub concentration in money
     // rather than degree). Needs every row's GLOBAL ascending rank;
@@ -485,6 +515,30 @@ object AnalyticsPack {
         |    AS n_outliers,
         |  round(MAX(spend), 4) AS max_spend
         |FROM dev, md""".stripMargin,
+
+    // Plain global row_number is the small-data oracle of record for the
+    // two-phase bucketed quintile ranks.
+    "ana_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1970-01-01', MAX(o_orderdate)) AS rec,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT COUNT(*) AS n FROM per),
+        |r AS (SELECT o_custkey,
+        |    ((row_number() OVER (ORDER BY rec, o_custkey) - 1) * 5) // n + 1
+        |      AS r_score FROM per, n),
+        |f AS (SELECT o_custkey,
+        |    ((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5) // n + 1
+        |      AS f_score FROM per, n),
+        |m AS (SELECT o_custkey,
+        |    ((row_number() OVER (ORDER BY mon, o_custkey) - 1) * 5) // n + 1
+        |      AS m_score FROM per, n)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  round(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 4) AS avg_monetary
+        |FROM r JOIN f USING (o_custkey) JOIN m USING (o_custkey)
+        |  JOIN per USING (o_custkey)
+        |GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
 
     // Plain global row_number is the small-data oracle of record for the
     // two-phase bucketed rank; Σ i·x_i is tie-permutation-invariant.
