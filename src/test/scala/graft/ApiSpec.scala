@@ -632,6 +632,21 @@ class ApiSpec extends SparkSpec {
     assert(psiShift > 0.2, s"disjoint periods must trip the 0.2 gate: $psiShift")
   }
 
+  test("analytics: globalRank is the exact global (value, key) rank 1..n") {
+    // Ties on v resolve by key; the two-phase bucketed rank must equal a
+    // plain global row_number over (v, key).
+    val rows = Seq((10L, 5.0), (11L, 3.0), (12L, 5.0), (13L, 1.0),
+      (14L, 3.0), (15L, 9.0), (16L, 0.5))
+    val df = rows.toDF("k", "v")
+    val got = Graft.analytics.globalRank(df, col("k"), col("v"), buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = rows.sortBy { case (k, v) => (v, k) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1).toLong }.toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (1L to rows.size).toSeq,
+      "ranks must be a bijection onto 1..n")
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")

@@ -254,6 +254,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("events_markov_transitions broadcasts the per-from totals, windows by user") {
+    val p = planOf(graft.ops.EventsPack.queries("events_markov_transitions")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"normalization join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // The lead() window must partition by user_id — a global window over
+    // the raw log would single-partition the corpus.
+    assert("""Window \[lead[^\]]*\], \[user_id""".r.findFirstIn(p).isDefined,
+      s"lead window must partition by user_id:\n$p")
+  }
+
+  test("events_session_paths and win_moving_avg plan top-k / bounded windows") {
+    val p1 = planOf(graft.ops.EventsPack.queries("events_session_paths")(spark, sf()))
+    assert(p1.contains("TakeOrderedAndProject"), s"path top-20 must be TakeOrdered:\n$p1")
+    val p2 = planOf(RelationalPack.queries("win_moving_avg")(spark, sf()))
+    // The RANGE-frame window runs AFTER the date aggregation (bounded
+    // domain); the raw orders scan must carry only the two needed columns.
+    assert(!p2.contains("o_custkey"), s"column pruning lost on orders scan:\n$p2")
+  }
+
+  test("ana_rfm_segments never globally sorts the per-customer frame") {
+    val p = planOf(AnalyticsPack.queries("ana_rfm_segments")(spark, sf()))
+    // Every row_number window partitions by the range bucket; the only
+    // allowed global Sort is the final ≤125-cell presentation orderBy.
+    assert("""Window \[row_number[^\]]*\], \[bkt""".r.findFirstIn(p).isDefined,
+      s"rank windows must partition by bkt:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("chunking is an exchange-free flat map; shuffle manifest shuffles on shard only") {
     // Sliding-window chunking: per-row generate/project only — one scan,
     // no Exchange anywhere before the final presentation orderBy.
