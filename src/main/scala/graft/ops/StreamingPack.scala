@@ -139,6 +139,16 @@ object StreamingPack {
       res.orderBy(col("n_events").desc, col("user_id").asc).limit(25)
     }),
 
+    // CDC-apply snapshot materialization via foreachBatch — the
+    // streaming MERGE: each micro-batch collapses to its latest change
+    // per user, then merges into the standing snapshot keeping the
+    // greater (ts, event_id). The fold is associative and idempotent,
+    // so a DOUBLED source split across micro-batches still equals the
+    // single-copy batch argmax (the oracle).
+    "stream_cdc_apply" -> ((s, d) => {
+      StreamOps.cdcApply(s, d).orderBy(col("user_id"))
+    }),
+
     // Streaming rate-anomaly alerting: the tumbling-window counts come
     // from the LIVE stream (integer-exact state — same windowed
     // aggregation as stream_window_counts), and windows whose count
@@ -243,6 +253,19 @@ object StreamingPack {
          |  ${OpsUtil.dsumSql("value")} AS total_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // Single-copy batch argmax per user — the doubled, batch-split CDC
+    // fold must land exactly here.
+    "stream_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    event_type, value FROM events),
+        |rk AS (SELECT user_id, ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, ts_us AS last_ts_us, event_type AS last_event_type,
+        |  value AS last_value
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // The doubled-then-deduped stream must equal the single-copy batch.
     "stream_dedup_events" ->

@@ -357,6 +357,61 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,4)")).cast("double").as("total_value"))
 
+  /** CDC-apply: materialize a keyed snapshot from a change stream via
+    * foreachBatch — the streaming MERGE pattern (each micro-batch first
+    * collapses to one latest-change row per key, then full-merges with
+    * the standing snapshot; the snapshot swaps generations atomically by
+    * path). The merge keeps the row with the GREATER (ts_us, event_id)
+    * struct, which makes the fold:
+    *  - batch-boundary independent (any split of the log yields the same
+    *    final snapshot — the argmax is associative/commutative), and
+    *  - idempotent under at-least-once replay (this runs on a DOUBLED
+    *    source; the single-copy batch argmax is the oracle).
+    * At production scale the generation swap is a Delta/Iceberg MERGE;
+    * the per-batch plan — delta pre-aggregation, key-partitioned merge
+    * join — is exactly this one. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cdc_src")
+    tmp.toFile.deleteOnExit()
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    Files.createSymbolicLink(tmp.resolve("events_a.parquet"), src)
+    Files.createSymbolicLink(tmp.resolve("events_b.parquet"), src)
+    val stream = s.readStream.schema(eventsSchema(s, dir))
+      // One file per micro-batch: the replay copy arrives as a SECOND
+      // batch, so the cross-batch merge path actually executes.
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp.toString)
+    val snap = Files.createTempDirectory("graft_cdc_snap")
+    snap.toFile.deleteOnExit()
+    @volatile var cur: String = null
+    var gen = 0
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch
+          .withColumn("ts_us", OpsUtil.tsMicros(batch))
+          .select(col("user_id"),
+            struct(col("ts_us"), col("event_id"), col("event_type"), col("value")).as("st"))
+          .groupBy(col("user_id")).agg(max(col("st")).as("st"))
+        val merged = Option(cur) match {
+          case None => delta
+          case Some(p) => s.read.parquet(p).unionByName(delta)
+            .groupBy(col("user_id")).agg(max(col("st")).as("st"))
+        }
+        gen += 1
+        val out = snap.resolve(s"gen_$gen").toString
+        merged.write.mode("overwrite").parquet(out)
+        cur = out
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(cur)
+      .select(col("user_id"), col("st.ts_us").as("last_ts_us"),
+        col("st.event_type").as("last_event_type"), col("st.value").as("last_value"))
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Complete mode: with a
     * one-shot trigger, append mode would hold every window open behind

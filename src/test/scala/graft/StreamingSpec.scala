@@ -65,6 +65,22 @@ class StreamingSpec extends SparkSpec {
       "watermark-bounded dedup must also restore exactly-once on in-horizon replays")
   }
 
+  test("cdc-apply snapshot equals the batch argmax despite replay and batch splits") {
+    val e = graft.tables.Tables.events(spark, sf())
+    val withUs = e.withColumn("ts_us", graft.ops.OpsUtil.tsMicros(e))
+    val batch = withUs
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id"), col("event_type"), col("value")).as("st"))
+      .groupBy(col("user_id")).agg(max(col("st")).as("st"))
+      .select(col("user_id"), col("st.ts_us"), col("st.event_type"), col("st.value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val snap = StreamOps.cdcApply(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(snap == batch,
+      "doubled source split into per-file micro-batches must fold to the batch argmax")
+    assert(snap.nonEmpty)
+  }
+
   test("bounded dedup: in-horizon replays drop, expired state re-admits") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]              // (event_id, ts_us)
