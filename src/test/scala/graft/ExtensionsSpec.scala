@@ -128,6 +128,24 @@ class ExtensionsSpec extends SparkSpec {
       s"rule fired despite an equi-key:\n$optimized")
   }
 
+  test("jaro_winkler matches textbook values through SQL and codegen") {
+    // Known values (also DuckDB's answers — the oracle cross-validates
+    // the full fixture; these pin the classic pairs and the edge cases).
+    val got = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS a,
+        |  jaro_winkler('DIXON', 'DICKSONX') AS b,
+        |  jaro_winkler('abc', 'abc') AS c,
+        |  jaro_winkler('', '') AS d,
+        |  jaro_winkler('abc', '') AS e,
+        |  jaro_winkler('abc', 'xyz') AS f""".stripMargin).head()
+    assert(math.abs(got.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(got.getDouble(1) - 0.8133333333333332) < 1e-10)
+    assert(got.getDouble(2) == 1.0)
+    assert(got.getDouble(3) == 0.0, "both-empty is 0.0 (DuckDB semantics)")
+    assert(got.getDouble(4) == 0.0)
+    assert(got.getDouble(5) == 0.0)
+  }
+
   test("strict < and = comparisons rewrite without changing results") {
     val base = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
