@@ -212,6 +212,26 @@ object AnalyticsPack {
           round(max(col("spend")), 4).as("max_spend"))
     }),
 
+    // Benford first-digit audit — the classic fabricated-data screen:
+    // observed first-digit shares of order totals vs Benford's
+    // log10(1+1/d) expectation, plus the chi²-style divergence. The
+    // digit comes from the INTEGER part as a string (no log10-boundary
+    // float hazard); shares and the divergence follow the exact-decimal
+    // cell-sum discipline. Nine output rows at any scale.
+    "ana_benford" -> ((s, d) => {
+      val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit")
+      val obs = Tables.orders(s, d).select(digit)
+        .filter(col("digit") >= 1)
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("tot"))
+      obs.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("observed"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"))
+        .orderBy(col("digit"))
+    }),
+
     // RFM (recency / frequency / monetary) segmentation — the customer-
     // value grid CRM pipelines cut on. Each dimension is scored 1-5 by
     // GLOBAL quintile of its exact rank; ranks come from the same
@@ -500,6 +520,17 @@ object AnalyticsPack {
         |  round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
         |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
         |FROM orders""".stripMargin,
+
+    "ana_benford" ->
+      """WITH obs AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT digit, n FROM obs WHERE digit >= 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM f)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+        |  round(log10(1.0 + CAST(1.0 AS DOUBLE) / digit), 6) AS benford
+        |FROM f, t ORDER BY digit""".stripMargin,
 
     "ana_mad_outliers" ->
       """WITH spend AS (SELECT o_custkey,

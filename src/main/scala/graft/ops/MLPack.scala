@@ -259,6 +259,21 @@ object MLPack {
         .orderBy(col("c1"), col("c2")).limit(5000)
     }),
 
+    // Popularity baseline recommender — the cold-start fallback every
+    // serving stack keeps next to the personalized path (V5 family):
+    // global supplier reach (distinct customers) minus the target
+    // customer's own suppliers (broadcast anti-join on the tiny
+    // already-connected set). One aggregation over the cached edge
+    // universe; top-10 fully tie-broken.
+    "ml_cold_start_popularity" -> ((s, d) => {
+      val e = edges(s, d)
+      val mine = e.filter(col("c") === 1).select(col("p"))
+      e.groupBy(col("p")).agg(countDistinct(col("c")).as("reach"))
+        .join(broadcast(mine), Seq("p"), "left_anti")
+        .orderBy(col("reach").desc, col("p").asc)
+        .limit(10)
+    }),
+
     // Jaccard-coefficient link predictor over the sampled pairs — the
     // normalized cousin of ml_pair_features' common-neighbor count
     // (|N∩| / |N∪|, Liben-Nowell & Kleinberg 2003): same candidate-pair
@@ -1021,6 +1036,12 @@ object MLPack {
       s"""WITH $edgesSql, $pairSampleSql, $pairFeaturesSql
          |SELECT c1, c2, common_neighbors, adamic_adar, pref_attachment, same_nation
          |FROM feat ORDER BY c1, c2 LIMIT 5000""".stripMargin,
+
+    "ml_cold_start_popularity" ->
+      s"""WITH $edgesSql
+         |SELECT p, COUNT(DISTINCT c) AS reach FROM edges
+         |WHERE p NOT IN (SELECT p FROM edges WHERE c = 1)
+         |GROUP BY p ORDER BY reach DESC, p ASC LIMIT 10""".stripMargin,
 
     "ml_jaccard_topk" ->
       s"""WITH $edgesSql, $pairSampleSql,

@@ -236,6 +236,26 @@ object RelationalPack {
         .limit(3000)
     }),
 
+    // W-family — longest consecutive-day ordering streak per customer:
+    // the canonical gaps-and-islands rank-difference trick (day ordinal
+    // minus per-customer row_number is constant within a run). All
+    // windows partition by customer; top-20 via TakeOrderedAndProject
+    // with a total tie-break.
+    "win_streaks" -> ((s, d) => {
+      val days = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      days
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("isl"))
+        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+        .select(col("o_custkey"), col("streak_days"), col("start_day"))
+        .orderBy(col("streak_days").desc, col("o_custkey").asc, col("start_day").asc)
+        .limit(20)
+    }),
+
     // J1/J2/J3 — multi-hop dimension enrichment with broadcast joins.
     "join_enrich_region" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -528,6 +548,17 @@ object RelationalPack {
         |  COUNT(*) OVER (ORDER BY day
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
         |FROM daily ORDER BY o_orderdate LIMIT 3000""".stripMargin,
+
+    "win_streaks" ->
+      """WITH days AS (SELECT DISTINCT o_custkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day
+        |  FROM orders),
+        |isl AS (SELECT o_custkey, day,
+        |    day - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS isl
+        |  FROM days)
+        |SELECT o_custkey, COUNT(*) AS streak_days, MIN(day) AS start_day
+        |FROM isl GROUP BY o_custkey, isl
+        |ORDER BY streak_days DESC, o_custkey ASC, start_day ASC LIMIT 20""".stripMargin,
 
     "join_enrich_region" ->
       s"""SELECT r_name,
