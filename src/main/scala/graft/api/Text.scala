@@ -682,4 +682,40 @@ object Text {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Zipf-law fit over the word-frequency distribution: OLS slope of
+    * ln(freq) on ln(rank) for the top-`topK` words (a natural corpus
+    * follows freq ∝ rank^(−s) with s ≈ 1 — the health check that
+    * catches template-spam corpora, which go flat). One corpus pass
+    * builds the vocab; everything after is topK-row work (the rank
+    * window runs over the ALREADY-LIMITED frame). The four regression
+    * moments accumulate as exact decimals, so the two float divisions
+    * at the end see identical inputs in any engine. */
+  def zipfFit(corpus: DataFrame, id: String, text: String,
+      topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = corpus
+      .select(explode(split(lower(col(text)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val top = vocab
+      .orderBy(col("freq").desc, col("w").asc).limit(topK)
+      // Bounded window: the frame is the topK rows just materialized.
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("w").asc)))
+    def dsum15(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,15)")).cast("double")
+    top
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"), dsum15(col("x")).as("sx"),
+        dsum15(col("y")).as("sy"), dsum15(col("x") * col("y")).as("sxy"),
+        dsum15(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
 }

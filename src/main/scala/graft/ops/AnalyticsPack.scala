@@ -134,6 +134,29 @@ object AnalyticsPack {
         k = KmvK)
     }),
 
+    // GROUPED KMV distinct-count sketches — the per-segment cardinality
+    // profile: one ≤k-long partial buffer PER (task, group) merges
+    // map-side through the exchange (never a distinct-shuffle of the key
+    // universe per group), and the deterministic kth-hash estimate
+    // replays exactly in the oracle via per-group ordered top-k. The
+    // shape a 100 TB profiler runs per column × segment.
+    "ana_kmv_by_group" -> ((s, d) => {
+      val M = 268435456.0
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(call_function("kmv_sketch",
+            TextHash.h28(col("o_custkey").cast("string")), lit(KmvK)).as("mins"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(col("o_orderpriority"),
+          size(col("mins")).cast("long").as("k_used"),
+          element_at(col("mins"), -1).as("kth_hash"), col("n_exact"))
+        .select(col("o_orderpriority"), col("k_used"), col("kth_hash"),
+          round((col("k_used") - 1) * lit(M) / col("kth_hash"), 6)
+            .as("est_distinct"),
+          col("n_exact"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A5 — basic stats + mean imputation (ref transformer.py:345
     // mean-imputes birth_year). The fixtures have no nulls, so
     // missingness is injected deterministically (hash-bucket 1-in-10)
@@ -474,6 +497,21 @@ object AnalyticsPack {
          |  round(abs((a.k_used - 1) * 268435456.0 / a.kth_hash - e.n_exact)
          |    / e.n_exact, 6) AS rel_err
          |FROM a, e""".stripMargin,
+
+    "ana_kmv_by_group" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority,
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |rk AS (SELECT o_orderpriority, h, row_number() OVER (
+         |    PARTITION BY o_orderpriority ORDER BY h) AS rn FROM h),
+         |t AS (SELECT o_orderpriority, COUNT(*) AS k_used, MAX(h) AS kth_hash
+         |  FROM rk WHERE rn <= $KmvK GROUP BY 1),
+         |e AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+         |  FROM orders GROUP BY 1)
+         |SELECT t.o_orderpriority, t.k_used, t.kth_hash,
+         |  round((t.k_used - 1) * 268435456.0 / t.kth_hash, 6) AS est_distinct,
+         |  e.n_exact
+         |FROM t JOIN e ON t.o_orderpriority = e.o_orderpriority
+         |ORDER BY t.o_orderpriority""".stripMargin,
 
     // Replays the sketch cell-for-cell: same affine cell indexes, same
     // min-over-depths estimate, same sampled candidate set.

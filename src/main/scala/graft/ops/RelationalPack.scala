@@ -150,6 +150,21 @@ object RelationalPack {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // A-family — CUBE grouping sets: all four aggregation lattices
+    // (year×priority, year, priority, grand total) in ONE pass — the
+    // grouping-set plan expands rows map-side, so the cube costs one
+    // shuffle like the plain group-by, not four scans. Completes the
+    // grouping-set family next to ROLLUP.
+    "agg_cube_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("order_year"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .cube(col("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // A-family — PIVOT to a wide per-year priority matrix (explicit value
     // list so the output schema is static — the distributed form never
     // needs a driver-side distinct to discover columns). Spark's pivot
@@ -509,6 +524,13 @@ object RelationalPack {
         |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
         |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "agg_cube_orders" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY CUBE (1, o_orderpriority)
+         |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_mode_per_group" ->
       """WITH cnt AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n

@@ -368,6 +368,14 @@ object TextPack {
       graft.api.Text.bpePairCounts(Tables.documents(s, d), "doc_id", "text")
     }),
 
+    // Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the top-100
+    // words — the corpus-health check (natural text has s ≈ 1;
+    // template-spam corpora go flat). Vocab from one corpus pass; all
+    // downstream work is 100-row.
+    "text_zipf_fit" -> ((s, d) => {
+      graft.api.Text.zipfFit(Tables.documents(s, d), "doc_id", "text")
+    }),
+
     // Sliding-window CHUNKING with overlap (long doc → fixed-token
     // training contexts, consecutive chunks sharing ChunkTokens−Stride
     // tokens): sequence→explode→slice per row, all codegen'd — a flat
@@ -841,6 +849,28 @@ object TextPack {
         |    SELECT w, freq, unnest(range(1, length(w))) AS i FROM words))
         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH v AS (SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |top AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+        |  FROM v ORDER BY freq DESC, w ASC LIMIT 100),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y FROM top),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,15))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    AS intercept
+        |FROM m""".stripMargin,
 
     // The oracle ranks the vocabulary with one global window (DuckDB is
     // single-node); the two-phase digit-bucket rank must agree exactly.
