@@ -91,6 +91,37 @@ object Events {
       .drop("__lastA")
   }
 
+  /** N-step funnel chain (A then B then C …, each within `windowUs` of
+    * the PREVIOUS qualifying step): the [[funnel]] single-window shape
+    * folded once per transition — k−1 per-key windows for a k-step
+    * chain, never a self-join over the log. Stage k marks a row
+    * "qualified" when it is step k and the last stage-(k−1) qualifier
+    * lies within the window; within a timestamp tie, qualifiers sort
+    * before consumers (the same (ts, is-qual DESC) order as [[funnel]]),
+    * and ties among equal qualifiers all carry the same timestamp, so
+    * the fold is deterministic without a full row tie-break. Returns
+    * the final-step rows with a `converted` flag. */
+  def funnelChain(events: DataFrame, key: Column, tsUs: Column, step: Column,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel chain needs at least two steps")
+    var df = events.select(key.as("__u"), tsUs.as("__ts"), step.as("__st"))
+      .withColumn("__q0", when(col("__st") === steps.head, col("__ts")))
+    for (k <- 1 until steps.size) {
+      val prev = s"__q${k - 1}"
+      val w = Window.partitionBy(col("__u"))
+        .orderBy(col("__ts").asc, col(prev).isNotNull.cast("int").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df = df
+        .withColumn(s"__l${k - 1}", last(col(prev), ignoreNulls = true).over(w))
+        .withColumn(s"__q$k",
+          when(col("__st") === steps(k) && col(s"__l${k - 1}").isNotNull &&
+            col("__ts") - col(s"__l${k - 1}") <= windowUs, col("__ts")))
+    }
+    df.filter(col("__st") === steps.last)
+      .select(col("__u").as("key"), col("__ts").as("ts_us"),
+        col(s"__q${steps.size - 1}").isNotNull.cast("int").as("converted"))
+  }
+
   /** SCD Type-2 from a change log: collapse each key's CONSECUTIVE runs
     * of the same `state` value (ordered by `tsUs`, ties broken by `ord`
     * — pass a unique column or run boundaries are nondeterministic) into

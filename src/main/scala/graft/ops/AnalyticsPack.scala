@@ -134,6 +134,38 @@ object AnalyticsPack {
         k = KmvK)
     }),
 
+    // KMV sketch SET ALGEBRA — the cross-period audience overlap
+    // estimate: one sketch per period plus one over the union (the union
+    // sketch is what merging the two period sketches yields — KMV union
+    // = re-min over both buffers), intersection by inclusion-exclusion.
+    // Every estimate is the deterministic kth-hash formula, replayed by
+    // the oracle from ordered top-k; the exact overlap sits beside the
+    // estimate. At 100 TB the periods never co-shuffle — each sketch is
+    // a bounded-buffer aggregation over its own partition-pruned scan.
+    "ana_kmv_union" -> ((s, d) => {
+      val M = 268435456.0
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) < 1998).as("pre"),
+          TextHash.h28(col("o_custkey").cast("string")).as("h"))
+      def est(df: DataFrame, name: String): DataFrame =
+        df.agg(call_function("kmv_sketch", col("h"), lit(KmvK)).as("mins"))
+          .select(round((size(col("mins")).cast("long") - 1) * lit(M) /
+            element_at(col("mins"), -1), 6).as(name))
+      val ea = est(o.filter(col("pre")), "est_a")
+      val eb = est(o.filter(!col("pre")), "est_b")
+      val eu = est(o, "est_union")
+      val exact = o.filter(col("pre")).select(col("o_custkey")).distinct()
+        .join(o.filter(!col("pre")).select(col("o_custkey")).distinct(), "o_custkey")
+        .agg(count(lit(1)).as("n_exact_inter"))
+      ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+        .crossJoin(broadcast(exact))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 6)
+            .as("est_inter"),
+          col("n_exact_inter"))
+    }),
+
     // GROUPED KMV distinct-count sketches — the per-segment cardinality
     // profile: one ≤k-long partial buffer PER (task, group) merges
     // map-side through the exchange (never a distinct-shuffle of the key
@@ -497,6 +529,29 @@ object AnalyticsPack {
          |  round(abs((a.k_used - 1) * 268435456.0 / a.kth_hash - e.n_exact)
          |    / e.n_exact, 6) AS rel_err
          |FROM a, e""".stripMargin,
+
+    "ana_kmv_union" ->
+      s"""WITH o AS (SELECT o_custkey, year(o_orderdate) < 1998 AS pre,
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |ta AS (SELECT h FROM (SELECT DISTINCT h FROM o WHERE pre)
+         |  ORDER BY h LIMIT $KmvK),
+         |tb AS (SELECT h FROM (SELECT DISTINCT h FROM o WHERE NOT pre)
+         |  ORDER BY h LIMIT $KmvK),
+         |tu AS (SELECT h FROM (SELECT DISTINCT h FROM o)
+         |  ORDER BY h LIMIT $KmvK),
+         |ea AS (SELECT round((COUNT(*) - 1) * 268435456.0 / MAX(h), 6)
+         |  AS est_a FROM ta),
+         |eb AS (SELECT round((COUNT(*) - 1) * 268435456.0 / MAX(h), 6)
+         |  AS est_b FROM tb),
+         |eu AS (SELECT round((COUNT(*) - 1) * 268435456.0 / MAX(h), 6)
+         |  AS est_union FROM tu),
+         |ex AS (SELECT COUNT(*) AS n_exact_inter FROM (
+         |  SELECT DISTINCT o_custkey FROM o WHERE pre) a
+         |  JOIN (SELECT DISTINCT o_custkey FROM o WHERE NOT pre) b
+         |  USING (o_custkey))
+         |SELECT est_a, est_b, est_union,
+         |  round(est_a + est_b - est_union, 6) AS est_inter, n_exact_inter
+         |FROM ea, eb, eu, ex""".stripMargin,
 
     "ana_kmv_by_group" ->
       s"""WITH h AS (SELECT DISTINCT o_orderpriority,

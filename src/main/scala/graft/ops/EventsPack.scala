@@ -269,6 +269,20 @@ object EventsPack {
         .limit(20)
     }),
 
+    // Three-step funnel (view → click → purchase, each hop within 30
+    // min of the previous qualifying step): the generalized
+    // api.Events.funnelChain fold — two per-user windows, no self-join
+    // over the log. Per-user conversion rollup.
+    "events_funnel_steps" -> ((s, d) => {
+      graft.api.Events.funnelChain(withMicros(s, d), col("user_id"),
+          col("ts_us"), col("event_type"),
+          steps = Seq("view", "click", "purchase"), FunnelUs)
+        .groupBy(col("key").as("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("converted")).cast("long").as("n_converted3"))
+        .orderBy(col("user_id"))
+    }),
+
     // Weekly-active / monthly-active users + stickiness (WAU/MAU) — the
     // engagement health metric every activity log reports. Both distinct
     // counts come from ONE pass over the per-(user, week) distinct frame
@@ -388,6 +402,28 @@ object EventsPack {
          |  FROM rn WHERE rn <= 3 GROUP BY user_id, sid)
          |SELECT path, COUNT(*) AS n_sessions FROM paths
          |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    "events_funnel_steps" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+         |  FROM events),
+         |s0 AS (SELECT user_id, ts_us, event_type,
+         |    CASE WHEN event_type = 'view' THEN ts_us END AS q0 FROM e),
+         |l0 AS (SELECT *, last_value(q0 IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us ASC,
+         |      CAST(q0 IS NOT NULL AS INT) DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv FROM s0),
+         |s1 AS (SELECT user_id, ts_us, event_type,
+         |    CASE WHEN event_type = 'click' AND lv IS NOT NULL
+         |      AND ts_us - lv <= $FunnelUs THEN ts_us END AS q1 FROM l0),
+         |l1 AS (SELECT *, last_value(q1 IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY ts_us ASC,
+         |      CAST(q1 IS NOT NULL AS INT) DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc FROM s1)
+         |SELECT user_id, COUNT(*) AS n_purchases,
+         |  CAST(SUM(CASE WHEN lc IS NOT NULL AND ts_us - lc <= $FunnelUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted3
+         |FROM l1 WHERE event_type = 'purchase'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_wau_mau" ->
       s"""WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // $WeekUs AS wk
