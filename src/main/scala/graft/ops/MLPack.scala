@@ -633,6 +633,30 @@ object MLPack {
         .orderBy(col("bin"))
     }),
 
+    // Cumulative gains / lift curve at score cutoffs — the campaign-
+    // targeting eval next to AUC/calibration/NDCG: at each distinct
+    // model score (descending), the positive rate among everything at
+    // or above it vs the base rate. Computed over the SCORE-GROUPED
+    // frame (ties never straddle a cutoff — the row-decile form is
+    // ambiguous under ties), so the unpartitioned cumulative window
+    // runs over the bounded distinct-score domain, not the pairs.
+    // Reuses the session-cached scored eval frame.
+    "ml_lift_curve" -> ((s, d) => {
+      val per = aaScored(s, d).groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_pos", sum(col("pos")).over(w))
+        .select(col("score"), col("cum_n"), col("cum_pos"),
+          round((col("cum_pos").cast("double") / col("cum_n")) /
+            (col("tp").cast("double") / col("tn")), 6).as("lift"))
+        .orderBy(col("score").desc)
+        .limit(50)
+    }),
+
     // split/eval plumbing is exactly what the real-data run would use.
     // M4/M7 — the actual MLlib pipeline: features from one hash-half of
     // the graph predict co-purchase links observed in the other half;
@@ -980,6 +1004,26 @@ object MLPack {
 
     // Same scored frame as the AUC oracle; equal-width bins against the
     // max score, identical floor/clamp arithmetic.
+    "ml_lift_curve" ->
+      s"""WITH $edgesSql, $pairSampleSql,
+         |$aaScoredSql,
+         |per AS (SELECT score, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+         |  FROM scored GROUP BY score),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+         |    CAST(SUM(pos) AS BIGINT) AS tp FROM per),
+         |cum AS (SELECT score,
+         |    CAST(SUM(n) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_n,
+         |    CAST(SUM(pos) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_pos
+         |  FROM per)
+         |SELECT score, cum_n, cum_pos,
+         |  round((CAST(cum_pos AS DOUBLE) / cum_n) /
+         |    (CAST(tp AS DOUBLE) / tn), 6) AS lift
+         |FROM cum, tot ORDER BY score DESC LIMIT 50""".stripMargin,
+
     "ml_calibration_bins" ->
       s"""WITH $edgesSql, $pairSampleSql,
          |$aaScoredSql,
