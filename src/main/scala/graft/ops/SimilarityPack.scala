@@ -23,11 +23,20 @@ import TextHash.{h28Sql, h28}
 object SimilarityPack {
   type Q = (SparkSession, String) => DataFrame
 
-  // 6 planes → 64 buckets ≈ 8 vectors/bucket at the fixed 500-vector
-  // table: enough selectivity to show the candidate-set reduction while
-  // keeping the query's bucket non-empty. At real scale this grows with
-  // log2(corpus/target-bucket-size).
-  private val NumPlanes = 6
+  // SELF-SIZING hyperplane count: smallest p (≤ MaxPlanes) with
+  // ceil(n / 2^p) ≤ TargetBucket — buckets stay ~TargetBucket vectors
+  // and same-bucket candidate pairs stay LINEAR in n (a fixed p makes
+  // them n²/2^p: the round-7 sf1 checkpoint measured the then-fixed
+  // p = 6 at 54× time for 10× vectors on sim_dedup_sweep). The integer
+  // derivation (n ≤ TargetBucket·2^p) is replayed verbatim by the
+  // DuckDB oracle — same discipline as Search.sizedBlockedSimJoin.
+  private val TargetBucket = 32
+  private val MaxPlanes    = 16
+  private[ops] def sizedNumPlanes(n: Long): Int = {
+    var p = 0
+    while (p < MaxPlanes && n > (TargetBucket.toLong << p)) p += 1
+    p
+  }
   /** Block count of the exact near-dup sweep: ids are hashed into
     * NumBlocks blocks and the all-pairs product is re-expressed as an
     * equi-join on the NumBlocks·(NumBlocks+1)/2 block-pair keys. Each
@@ -89,16 +98,24 @@ object SimilarityPack {
        |    sqrt(CAST(SUM(CAST(v * v AS $PsumCast)) AS DOUBLE)) AS nrm
        |  FROM comps GROUP BY vec_id)""".stripMargin
 
-  /** ±1 hyperplane components: sign from md5 parity of "hp<j>_<pos>". */
-  private def planes(s: SparkSession): DataFrame =
-    graft.api.Similarity.hyperplanes(s, NumPlanes, Dim)
+  /** ±1 hyperplane components: sign from md5 parity of "hp<j>_<pos>";
+    * plane COUNT sized to the corpus (one metadata-only count() — the
+    * same driver-side derivation precedent as sizedBlockedSimJoin). */
+  private def planes(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    graft.api.Similarity.hyperplanes(s, sizedNumPlanes(n), Dim)
+  }
 
   private val planesSql =
-    s"""planes AS MATERIALIZED (SELECT j, pos,
+    s"""np AS (SELECT MIN(p) AS p FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p)
+       |  CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings)
+       |  WHERE p = $MaxPlanes OR n <= $TargetBucket * (1 << p)),
+       |planes AS MATERIALIZED (SELECT j, pos,
        |    CASE WHEN ${h28Sql("concat('hp', j, '_', pos)")} % 2 = 1
        |      THEN 1.0 ELSE -1.0 END AS r
-       |  FROM (SELECT unnest(range(0, $NumPlanes)) AS j)
-       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos))""".stripMargin
+       |  FROM (SELECT unnest(range(0, $MaxPlanes)) AS j)
+       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos)
+       |  CROSS JOIN np WHERE j < np.p)""".stripMargin
 
   /** 16-bit LSH bucket per vector: bit j = sign of dot(v, plane_j). */
   // Session-cached: the bucket index is a prebuilt artifact queries
@@ -108,7 +125,7 @@ object SimilarityPack {
   // a Warm.scala entry so the build cost stays attributed).
   private[ops] def buckets(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.buckets:$d") {
-      graft.api.Similarity.lshBuckets(comps(s, d), planes(s))
+      graft.api.Similarity.lshBuckets(comps(s, d), planes(s, d))
     }
 
   private val bucketsSql =

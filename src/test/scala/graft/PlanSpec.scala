@@ -282,6 +282,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("win_streaks and events_funnel_steps keep every window key-partitioned") {
+    val p1 = planOf(RelationalPack.queries("win_streaks")(spark, sf()))
+    assert("""Window \[row_number[^\]]*\], \[o_custkey""".r.findFirstIn(p1).isDefined,
+      s"streak island window must partition by customer:\n$p1")
+    assert(p1.contains("TakeOrderedAndProject"))
+    val p2 = planOf(graft.ops.EventsPack.queries("events_funnel_steps")(spark, sf()))
+    // Both chain stages window by user_id; nothing global, no self-join.
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"funnel chain must not join the log to itself:\n$p2")
+    assert("""Window \[last[^\]]*\], \[__u""".r.findFirstIn(p2).isDefined,
+      s"chain windows must partition by user:\n$p2")
+  }
+
+  test("agg_cube_orders expands grouping sets in one aggregation pass") {
+    val p = planOf(RelationalPack.queries("agg_cube_orders")(spark, sf()))
+    assert(p.contains("Expand"), s"cube must compile to Expand + one agg:\n$p")
+    // One shuffle for the aggregation — the cube must not scan four times.
+    assert(p.split("FileScan").length - 1 == 1, s"cube re-scanned the source:\n$p")
+  }
+
   test("chunking is an exchange-free flat map; shuffle manifest shuffles on shard only") {
     // Sliding-window chunking: per-row generate/project only — one scan,
     // no Exchange anywhere before the final presentation orderBy.
