@@ -303,6 +303,41 @@ object EventsPack {
         .orderBy(col("wk"))
     }),
 
+    // Growth accounting — per week: new / retained / resurrected active
+    // users plus churned-from-last-week (the four quantities every
+    // weekly growth report decomposes WAU into). One distinct
+    // (user, week) pass, one per-user lag() window to classify each
+    // active week, and a self-join shifted by one week for churn; all
+    // keyed work shares the user partitioning, and the final frame is
+    // calendar-sized.
+    "events_user_lifecycle" -> ((s, d) => {
+      val uw = withMicros(s, d)
+        .select(col("user_id"), expr(s"ts_us div $WeekUs").as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val cls = uw.withColumn("prev", lag(col("wk"), 1).over(w))
+        .select(col("user_id"), col("wk"),
+          when(col("prev").isNull, "new")
+            .when(col("wk") - col("prev") === 1, "retained")
+            .otherwise("resurrected").as("status"))
+      val active = cls.groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("status") === "new", 1).otherwise(0)).cast("long").as("n_new"),
+          sum(when(col("status") === "retained", 1).otherwise(0)).cast("long").as("n_retained"),
+          sum(when(col("status") === "resurrected", 1).otherwise(0)).cast("long")
+            .as("n_resurrected"))
+      // Churned at week w: active at w−1 but not at w (weeks with no
+      // active users at all don't appear — calendar gaps are empty in
+      // the fixture and the metric is per-observed-week).
+      val churn = uw.select(col("user_id").as("u"), (col("wk") + 1).as("wk"))
+        .join(uw.select(col("user_id").as("u"), col("wk")), Seq("u", "wk"), "left_anti")
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("wk"), "left")
+        .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("wk"))
+    }),
+
     // Per-user event-type top-k (W3 shape on the activity log).
     "events_top_users" -> ((s, d) => {
       Tables.events(s, d)
@@ -402,6 +437,33 @@ object EventsPack {
          |  FROM rn WHERE rn <= 3 GROUP BY user_id, sid)
          |SELECT path, COUNT(*) AS n_sessions FROM paths
          |GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    "events_user_lifecycle" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // $WeekUs AS wk
+         |  FROM events),
+         |cls AS (SELECT user_id, wk,
+         |    CASE WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk) IS NULL
+         |        THEN 'new'
+         |      WHEN wk - lag(wk) OVER (PARTITION BY user_id ORDER BY wk) = 1
+         |        THEN 'retained'
+         |      ELSE 'resurrected' END AS status
+         |  FROM uw),
+         |act AS (SELECT wk, COUNT(*) AS n_active,
+         |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new,
+         |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_retained,
+         |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_resurrected
+         |  FROM cls GROUP BY wk),
+         |ch AS (SELECT a.wk + 1 AS wk, COUNT(*) AS n_churned FROM uw a
+         |  WHERE NOT EXISTS (SELECT 1 FROM uw b
+         |    WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+         |  GROUP BY a.wk + 1)
+         |SELECT act.wk, n_active, n_new, n_retained, n_resurrected,
+         |  COALESCE(ch.n_churned, 0) AS n_churned
+         |FROM act LEFT JOIN ch ON ch.wk = act.wk
+         |ORDER BY act.wk""".stripMargin,
 
     "events_funnel_steps" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type

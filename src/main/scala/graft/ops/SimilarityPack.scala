@@ -456,6 +456,38 @@ object SimilarityPack {
         .limit(10)
     }),
 
+    // ANN honesty metric: recall@10 of the IVF/nprobe path against the
+    // exact brute-force ranking — the number an ANN deployment actually
+    // tunes nprobe by. Cosines are computed ONCE over all query pairs;
+    // the IVF list is the same ranking restricted to the probed cells'
+    // candidates, so the comparison isolates exactly what the coarse
+    // quantizer loses. One row: k, overlap, recall.
+    "sim_ivf_recall" -> ((s, d) => {
+      val c = comps(s, d)
+      val allPairs = Tables.embeddings(s, d)
+        .select(lit(QueryVec).as("i"), col("vec_id").as("j"))
+        .filter(col("j") =!= QueryVec)
+      val cos = cosineOf(c, allPairs)
+      val ex = cos.orderBy(col("cosine").desc, col("j").asc)
+        .limit(TopK).select(col("j"))
+      val cent = kmeansCentroids(s, d)
+      val qcells = c.filter(col("vec_id") === QueryVec).join(cent, "pos")
+        .groupBy(col("cid"))
+        .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rn") <= NProbe).select(col("cid"))
+      val iv = cos.join(
+          ivfAssign(s, d).join(broadcast(qcells), Seq("cid"))
+            .select(col("vec_id").as("j")), "j")
+        .orderBy(col("cosine").desc, col("j").asc)
+        .limit(TopK).select(col("j"))
+      ex.join(iv, "j")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(TopK).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / TopK, 6).as("recall"))
+    }),
+
     // PQ (product quantization) ANN — the third standard ANN family next
     // to IVF and LSH (Jégou et al. 2011): vectors are compressed to one
     // code per subspace against FITTED per-subspace codebooks
@@ -715,6 +747,28 @@ object SimilarityPack {
          |$cosinePairSql
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_ivf_recall" ->
+      s"""WITH $compsSql, $normsSql,
+         |$ivfKmeansSql,
+         |qc AS (SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM (SELECT c.cid,
+         |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+         |      FROM comps x JOIN c$KmIters c ON c.pos = x.pos
+         |      WHERE x.vec_id = $QueryVec GROUP BY c.cid))
+         |  WHERE rn <= $NProbe),
+         |pairs AS (SELECT $QueryVec AS i, vec_id AS j FROM embeddings
+         |  WHERE vec_id <> $QueryVec),
+         |$cosinePairSql,
+         |ex AS (SELECT j FROM cos ORDER BY cosine DESC, j ASC LIMIT $TopK),
+         |iv AS (SELECT c2.j FROM cos c2
+         |  JOIN afin a ON a.vec_id = c2.j
+         |  JOIN qc ON qc.cid = a.cid
+         |  ORDER BY c2.cosine DESC, c2.j ASC LIMIT $TopK)
+         |SELECT $TopK AS k, COUNT(*) AS n_overlap,
+         |  round(CAST(COUNT(*) AS DOUBLE) / $TopK, 6) AS recall
+         |FROM ex JOIN iv ON ex.j = iv.j""".stripMargin,
 
     "sim_pq_topk" ->
       s"""WITH $compsSql, $normsSql, $ncompsSql,
