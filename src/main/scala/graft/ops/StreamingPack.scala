@@ -139,6 +139,23 @@ object StreamingPack {
       res.orderBy(col("n_events").desc, col("user_id").asc).limit(25)
     }),
 
+    // Parquet FILE-SINK landing zone: the purchase feed is filtered and
+    // projected statelessly and streamed straight into checkpointed
+    // columnar files (the sink commit log = exactly-once under
+    // retries); the check reads the directory back and rolls it up —
+    // which must equal the batch answer over the same slice. The shape
+    // every 100 TB ingest pipeline starts with.
+    "stream_sink_parquet" -> ((s, d) => {
+      val e = StreamOps.eventsStream(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val landed = StreamOps.runToParquet(s, purchases)
+      landed.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          OpsUtil.dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // CDC-apply snapshot materialization via foreachBatch — the
     // streaming MERGE: each micro-batch collapses to its latest change
     // per user, then merges into the standing snapshot keeping the
@@ -253,6 +270,12 @@ object StreamingPack {
          |  ${OpsUtil.dsumSql("value")} AS total_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "stream_sink_parquet" ->
+      s"""SELECT user_id, COUNT(*) AS n_purchases,
+         |  ${OpsUtil.dsumSql("value")} AS total_value
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Single-copy batch argmax per user — the doubled, batch-split CDC
     // fold must land exactly here.

@@ -412,6 +412,27 @@ object StreamOps {
         col("st.event_type").as("last_event_type"), col("st.value").as("last_value"))
   }
 
+  /** Run an append-mode stream into a PARQUET FILE SINK (checkpointed —
+    * the sink's commit log is what makes file output exactly-once under
+    * retries: a re-run micro-batch overwrites its own manifest entry
+    * instead of double-appending) and return the read-back result. The
+    * production landing-zone shape: stateless transforms stream straight
+    * to columnar files, downstream batch jobs read the directory. */
+  def runToParquet(s: SparkSession, streamed: DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_stream_sink")
+    root.toFile.deleteOnExit()
+    val q = streamed.writeStream
+      .format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/data")
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Complete mode: with a
     * one-shot trigger, append mode would hold every window open behind
