@@ -267,6 +267,24 @@ object AnalyticsPack {
           round(max(col("spend")), 4).as("max_spend"))
     }),
 
+    // Month-of-year seasonal index — the classical-decomposition seasonal
+    // component (index = month share × 12; 1.0 = no seasonality): one
+    // aggregation to the 12-row month domain, exact decimal revenue, one
+    // rounded division against the broadcast total.
+    "ana_seasonality" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(28,4)")).as("rev"))
+      val tot = m.agg(sum(col("rev")).as("trev"))
+      m.crossJoin(broadcast(tot))
+        .select(col("mo"), col("n_orders"),
+          round(col("rev").cast("double"), 4).as("revenue"),
+          round(col("rev").cast("double") * 12 / col("trev").cast("double"), 6)
+            .as("seasonal_index"))
+        .orderBy(col("mo"))
+    }),
+
     // Benford first-digit audit — the classic fabricated-data screen:
     // observed first-digit shares of order totals vs Benford's
     // log10(1+1/d) expectation, plus the chi²-style divergence. The
@@ -613,6 +631,18 @@ object AnalyticsPack {
         |  round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
         |  round(quantile_cont(o_totalprice, 0.95), 6) AS q95
         |FROM orders""".stripMargin,
+
+    "ana_seasonality" ->
+      """WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS mo,
+        |    COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS trev FROM m)
+        |SELECT mo, n_orders,
+        |  round(CAST(rev AS DOUBLE), 4) AS revenue,
+        |  round(CAST(rev AS DOUBLE) * 12 / CAST(trev AS DOUBLE), 6)
+        |    AS seasonal_index
+        |FROM m, t ORDER BY mo""".stripMargin,
 
     "ana_benford" ->
       """WITH obs AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)

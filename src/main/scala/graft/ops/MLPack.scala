@@ -633,6 +633,29 @@ object MLPack {
         .orderBy(col("bin"))
     }),
 
+    // Confusion matrix + operating-point metrics at the deployment
+    // threshold (score > 0 — "any Adamic-Adar evidence"): TP/FP/FN/TN
+    // and precision/recall/F1 in ONE pass over the session-cached scored
+    // frame. The classifier-ops summary the threshold-free metrics
+    // (AUC, lift, calibration) don't give.
+    "ml_confusion_threshold" -> ((s, d) => {
+      aaScored(s, d)
+        .agg(
+          sum(when(col("score") > 0 && col("label") === 1, 1).otherwise(0))
+            .cast("long").as("tp"),
+          sum(when(col("score") > 0 && col("label") === 0, 1).otherwise(0))
+            .cast("long").as("fp"),
+          sum(when(col("score") <= 0 && col("label") === 1, 1).otherwise(0))
+            .cast("long").as("fn"),
+          sum(when(col("score") <= 0 && col("label") === 0, 1).otherwise(0))
+            .cast("long").as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
+          round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6)
+            .as("f1"))
+    }),
+
     // Cumulative gains / lift curve at score cutoffs — the campaign-
     // targeting eval next to AUC/calibration/NDCG: at each distinct
     // model score (descending), the positive rate among everything at
@@ -1004,6 +1027,21 @@ object MLPack {
 
     // Same scored frame as the AUC oracle; equal-width bins against the
     // max score, identical floor/clamp arithmetic.
+    "ml_confusion_threshold" ->
+      s"""WITH $edgesSql, $pairSampleSql,
+         |$aaScoredSql,
+         |m AS (SELECT
+         |    CAST(SUM(CASE WHEN score > 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN score > 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN score <= 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN score <= 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT tp, fp, fn, tn,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+         |  round(CAST(2.0 AS DOUBLE) * tp / (CAST(2.0 AS DOUBLE) * tp + fp + fn), 6) AS f1
+         |FROM m""".stripMargin,
+
     "ml_lift_curve" ->
       s"""WITH $edgesSql, $pairSampleSql,
          |$aaScoredSql,
