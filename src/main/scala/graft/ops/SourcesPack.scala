@@ -115,6 +115,24 @@ object SourcesPack {
     // (key, name), v2 files (key, regionkey); a mergeSchema read unions
     // the schemas and nulls the columns a generation lacks — the
     // landing-directory reality of any long-lived 100 TB dataset.
+    // ANALYZE-style table profile — the stats collection every optimizer
+    // and data catalog runs per column: row count, per-column null
+    // counts, min/max bounds, and exact NDVs, in ONE scan (the distinct
+    // counts share the expand; the KMV sketch is the bounded-memory
+    // swap-in at 100 TB with no other plan change).
+    "src_table_stats" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("nulls_custkey"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        countDistinct(col("o_orderpriority")).as("ndv_priority"),
+        round(min(col("o_totalprice")), 4).as("min_price"),
+        round(max(col("o_totalprice")), 4).as("max_price"),
+        min(col("o_orderdate")).cast("date").as("min_date"),
+        max(col("o_orderdate")).cast("date").as("max_date"))
+    }),
+
     "src_schema_evolution" -> ((s, d) => {
       val out = scratch(d, "nation_evolve")
       val n = Tables.nation(s, d)
@@ -245,6 +263,19 @@ object SourcesPack {
         |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY event_type""".stripMargin,
+
+    "src_table_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nulls_custkey,
+        |  COUNT(DISTINCT o_custkey) AS ndv_custkey,
+        |  COUNT(DISTINCT o_orderstatus) AS ndv_status,
+        |  COUNT(DISTINCT o_orderpriority) AS ndv_priority,
+        |  round(MIN(o_totalprice), 4) AS min_price,
+        |  round(MAX(o_totalprice), 4) AS max_price,
+        |  CAST(MIN(o_orderdate) AS DATE) AS min_date,
+        |  CAST(MAX(o_orderdate) AS DATE) AS max_date
+        |FROM orders""".stripMargin,
 
     // The merged read sees every row twice, with each generation's
     // missing column null — equivalently, per-column counts over nation.
