@@ -32,7 +32,7 @@ object SimilarityPack {
   // DuckDB oracle — same discipline as Search.sizedBlockedSimJoin.
   private val TargetBucket = 32
   private val MaxPlanes    = 16
-  private[ops] def sizedNumPlanes(n: Long): Int = {
+  private[graft] def sizedNumPlanes(n: Long): Int = {
     var p = 0
     while (p < MaxPlanes && n > (TargetBucket.toLong << p)) p += 1
     p

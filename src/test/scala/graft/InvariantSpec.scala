@@ -1,5 +1,27 @@
 package graft
 
+/** Self-sizing LSH plane count: the integer rule (smallest p with
+  * ceil(n/2^p) ≤ 32, capped at 16) the DuckDB oracle replays. */
+class LshSizingSpec extends SparkSpec {
+  test("sizedNumPlanes tracks log2(n/32), capped") {
+    import graft.ops.SimilarityPack.sizedNumPlanes
+    assert(sizedNumPlanes(1L) == 0)
+    assert(sizedNumPlanes(32L) == 0)
+    assert(sizedNumPlanes(33L) == 1)
+    assert(sizedNumPlanes(200L) == 3)     // sf0.01 fixture
+    assert(sizedNumPlanes(2000L) == 6)    // sf0.1 fixture — the old fixed p
+    assert(sizedNumPlanes(20000L) == 10)  // sf1 fixture
+    assert(sizedNumPlanes(Long.MaxValue) == 16, "cap")
+    // Monotone, and buckets stay at or under the target:
+    (1L to 4096L).foreach { n =>
+      val p = sizedNumPlanes(n)
+      assert((n + (1L << p) - 1) / (1L << p) <= 32, s"bucket too big at n=$n")
+      if (p > 0) assert((n + (1L << (p - 1)) - 1) / (1L << (p - 1)) > 32,
+        s"p not minimal at n=$n")
+    }
+  }
+}
+
 import org.apache.spark.sql.functions._
 import graft.ops.AnalyticsPack
 
