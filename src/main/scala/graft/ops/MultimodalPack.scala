@@ -35,6 +35,44 @@ object MultimodalPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Image-text pair curation (the LAION-style gate): every image doc
+    // paired with its caption text, then the standard keep gates —
+    // caption token count in [5, 77] and a bytes-per-token ceiling —
+    // with every dropped pair attributed to its FIRST failing gate.
+    // Pure per-row projection + one tiny aggregation; the pair table
+    // (not shown) is what a contrastive trainer consumes.
+    "mm_caption_gate" -> ((s, d) => {
+      val pairs = Multimodal.featuresDF(s, d)
+        .filter(col("media_type") === "image")
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("n_bytes"),
+          size(split(col("text"), " ")).as("cap_tokens"))
+      pairs
+        .select(
+          when(col("cap_tokens") < 5, "caption_too_short")
+            .when(col("cap_tokens") > 77, "caption_too_long")
+            .when(col("n_bytes") > col("cap_tokens") * 12, "bytes_per_token")
+            .otherwise("kept").as("gate"))
+        .groupBy(col("gate")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("gate"))
+    }),
+
+    // Modality mix report — the byte/doc budget per (media_type, lang)
+    // cell a multimodal training run balances on: one aggregation over
+    // the typed media table joined to the document language, shares as
+    // rounded divisions against the broadcast total.
+    "mm_modality_mix" -> ((s, d) => {
+      val m = Multimodal.featuresDF(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("media_type"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("bytes"))
+      val tot = m.agg(sum(col("bytes")).as("tb"))
+      m.crossJoin(broadcast(tot))
+        .select(col("media_type"), col("lang"), col("n_docs"), col("bytes"),
+          round(col("bytes").cast("double") / col("tb"), 6).as("byte_share"))
+        .orderBy(col("media_type"), col("lang"))
+    }),
+
     // Frame sampling through the QUERY layer: every SampleEvery-th
     // FrameBytes-sized slice of the payload as its own row, with offset,
     // length, and content digest — the listing a downstream captioning /
@@ -90,6 +128,31 @@ object MultimodalPack {
          |  CAST((n_bytes + $FB - 1) // $FB AS INT) AS n_frames,
          |  CAST(((n_bytes + $FB - 1) // $FB + $SE - 1) // $SE AS INT) AS n_sampled
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "mm_caption_gate" ->
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |    len(string_split(text, ' ')) AS cap_tokens
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT CASE WHEN cap_tokens < 5 THEN 'caption_too_short'
+        |    WHEN cap_tokens > 77 THEN 'caption_too_long'
+        |    WHEN n_bytes > cap_tokens * 12 THEN 'bytes_per_token'
+        |    ELSE 'kept' END AS gate
+        |  FROM p)
+        |SELECT gate, COUNT(*) AS n_pairs FROM g
+        |GROUP BY gate ORDER BY gate""".stripMargin,
+
+    "mm_modality_mix" ->
+      """WITH m AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |    lang, octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |a AS (SELECT media_type, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_bytes) AS BIGINT) AS bytes
+        |  FROM m GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(bytes) AS BIGINT) AS tb FROM a)
+        |SELECT media_type, lang, n_docs, bytes,
+        |  round(CAST(bytes AS DOUBLE) / tb, 6) AS byte_share
+        |FROM a, t ORDER BY media_type, lang""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, text,
