@@ -647,6 +647,22 @@ class ApiSpec extends SparkSpec {
       "ranks must be a bijection onto 1..n")
   }
 
+  test("events: funnelChain with two steps equals the single-window funnel") {
+    val e = graft.tables.Tables.events(spark, sf())
+    val withUs = e.withColumn("ts_us", graft.ops.OpsUtil.tsMicros(e))
+    val two = graft.api.Events.funnelChain(withUs, col("user_id"),
+        col("ts_us"), col("event_type"), Seq("view", "purchase"),
+        30L * 60 * 1000000)
+      .groupBy(col("key")).agg(sum(col("converted")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = graft.api.Events.funnel(withUs, col("user_id"), col("ts_us"),
+        col("event_type"), "view", "purchase", 30L * 60 * 1000000)
+      .groupBy(col("user_id")).agg(sum(col("converted")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == one, "the chain fold must degenerate to the 2-step funnel")
+    assert(two.values.sum > 0, "fixture must actually convert somewhere")
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
