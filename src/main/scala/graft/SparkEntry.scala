@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AnalyticsPack, DedupPack, EventsPack, GraphPack, MLPack, MultimodalPack, RelationalPack, SearchPack, SimilarityPack, SourcesPack, StreamingPack, TextPack}
+import graft.ops.{AnalyticsPack, DedupPack, EtlPack, EventsPack, GraphPack, MLPack, MultimodalPack, RelationalPack, SearchPack, SimilarityPack, SourcesPack, StreamingPack, TextPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalPack.queries ++ AnalyticsPack.queries ++ GraphPack.queries ++
       DedupPack.queries ++ SimilarityPack.queries ++ TextPack.queries ++
       SearchPack.queries ++ MLPack.queries ++ EventsPack.queries ++
-      StreamingPack.queries ++ MultimodalPack.queries ++ SourcesPack.queries
+      StreamingPack.queries ++ MultimodalPack.queries ++ SourcesPack.queries ++
+      EtlPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalPack.oracle ++ AnalyticsPack.oracle ++ GraphPack.oracle ++
       DedupPack.oracle ++ SimilarityPack.oracle ++ TextPack.oracle ++
       SearchPack.oracle ++ MLPack.oracle ++ EventsPack.oracle ++
-      StreamingPack.oracle ++ MultimodalPack.oracle ++ SourcesPack.oracle
+      StreamingPack.oracle ++ MultimodalPack.oracle ++ SourcesPack.oracle ++
+      EtlPack.oracle
 }

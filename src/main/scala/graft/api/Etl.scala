@@ -1,0 +1,182 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's end-to-end ETL chain over its ACTUAL landing data
+  * contract — SPARQL result JSON (`{head, results.bindings}` with
+  * `{type, value, xml:lang}` cells) — re-expressed as one declarative
+  * Spark chain (SURVEY.md §3.1, §5; FIXTURES.md §1.1-1.3).
+  *
+  * Reference shape (cited, not copied):
+  *  - extractor.py:150-169 writes one whole JSON document per page;
+  *    transformer.py:104-108 `json.load` + `pd.json_normalize(bindings)`.
+  *    Here: `spark.read.option("multiLine", true).json(dir)` — one row
+  *    per page file — then `posexplode(results.bindings)` + nested
+  *    struct projection of the `.value` leaves. Page order recovered
+  *    from the file name (the reference concatenates pages in file
+  *    order, transformer.py:60-88).
+  *  - transformer.py:175-246 clean chain: `.value`-suffix projection,
+  *    whitespace scrub, URI→Q-id strip, garbage-id filter (`^Q\d+$` on
+  *    both endpoints), unresolved-label filter (label itself `^Q\d+$`),
+  *    null/empty person drop, (person, rel, object) dedup keep-first,
+  *    canonical back-edge dedup keep-first.
+  *  - transformer.py:139-173 node build: person-side ∪ object-side
+  *    projections, keep-first by id, birth-year numeric coercion,
+  *    occupation side-table left-merge, per-type dense `pyg_id`.
+  *
+  * Deliberate deviations (deterministic-by-construction, documented so
+  * the DuckDB oracle can replay them bit-for-bit):
+  *  - multi-valued attribute collapse uses SORTED distinct join
+  *    (`array_sort(collect_set)`), not pandas first-occurrence order;
+  *  - "keep first" is an explicit `row_number() OVER (ORDER BY ord)`
+  *    on the landing position, not partition-order luck;
+  *  - pandas' `astype(str)` NaN→"nan" artifacts are not reproduced —
+  *    nulls stay nulls and the filters handle them explicitly.
+  *
+  * Scale: the whole chain is narrow maps + hash-partitioned
+  * window/aggregation on high-cardinality keys (person, triple,
+  * canonical pair, node id) — no driver collection, no all-pairs
+  * product, no global sort. At 100 TB the landing read parallelizes by
+  * file count (pages are ~5k rows each per extractor settings.py:35)
+  * and everything downstream by shuffle partition.
+  */
+object Etl {
+
+  /** Raw SPARQL-binding vars carried by the landing fixture (FIXTURES.md
+    * §1.1 plus the two type vars that stand in for the reference's
+    * side-table merges, transformer.py:136-141). */
+  val Vars: Seq[String] = Seq(
+    "person", "personLabel", "personDescription", "personType", "birthYear",
+    "birthPlaceLabel", "countryLabel",
+    "object", "objectLabel", "objectDescription", "objectType",
+    "relationshipLabel")
+
+  /** S7 on the real landing shape: whole-document JSON pages →
+    * one row per binding, `.value` leaves projected, plus `ord` (global
+    * landing position: page*100000 + 1-based offset) and the
+    * `xml:lang` tag of the person label (proving the metadata leaves
+    * are reachable before the clean chain drops them). */
+  def flattenSparql(s: SparkSession, dir: String): DataFrame = {
+    val pages = s.read.option("multiLine", "true").json(dir)
+      .withColumn("page",
+        regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
+      .select(col("page"), posexplode(col("results.bindings")).as(Seq("pos", "b")))
+    val valueCols = Vars.map(v => col(s"b.$v.value").as(v))
+    pages.select(
+      (col("page") * 100000 + col("pos") + 1).cast("long").as("ord") +:
+        col("b.personLabel.`xml:lang`").as("personLang") +:
+        valueCols: _*)
+  }
+
+  private def scrub(c: Column): Column =
+    trim(regexp_replace(c, "[\\r\\n\\t]+", " "))
+
+  private def qId(c: Column): Column = element_at(split(c, "/"), -1)
+
+  /** Matches only when the (scrubbed) value is a bare Q-id; null-safe
+    * (null → false), mirroring DuckDB's COALESCE(regexp_matches(..)). */
+  private def isQ(c: Column): Column =
+    coalesce(c.rlike("^Q\\d+$"), lit(false))
+
+  /** The full clean chain on a flattened landing frame: scrub → Q-id
+    * strip → garbage filters → multi-value collapse → triple dedup →
+    * canonical back-edge dedup. Returns one row per surviving edge with
+    * both raw-var and collapsed attribute columns plus `ord`. */
+  def cleanSparql(flat: DataFrame): DataFrame = {
+    val scrubbed = flat.select(
+      col("ord") +: Vars.map(v => scrub(col(v)).as(v)): _*)
+    val ids = scrubbed
+      .withColumn("person", qId(col("person")))
+      .withColumn("object", qId(col("object")))
+      // transformer.py:226-242 — both endpoint ids must be bare Q-ids,
+      // neither label may be an unresolved Q-id, person non-empty.
+      .filter(isQ(col("person")) && isQ(col("object")))
+      .filter(!(isQ(col("personLabel")) || isQ(col("objectLabel"))))
+      .filter(col("person").isNotNull && col("person") =!= "")
+
+    // transformer.py:197-201 — per-person collapse of the multi-valued
+    // attributes (sorted distinct ", "-join; empty → null). Hash
+    // aggregation on `person`, then an equi-join back — both sides
+    // shuffle once on the same key.
+    def joined(v: String): Column = {
+      val j = array_join(array_sort(collect_set(col(v))), ", ")
+      when(j === "", lit(null)).otherwise(j).as(v)
+    }
+    val collapsed = ids.groupBy("person")
+      .agg(joined("countryLabel"), joined("birthPlaceLabel"), joined("birthYear"))
+    val merged = ids
+      .drop("countryLabel", "birthPlaceLabel", "birthYear")
+      .join(collapsed, Seq("person"), "left")
+
+    // transformer.py:244 — (person, rel, object) dedup, keep first
+    // landing occurrence; then :116-134 — canonical undirected dedup.
+    val tripleW = Window
+      .partitionBy(col("person"), col("relationshipLabel"), col("object"))
+      .orderBy(col("ord"))
+    val canonW = Window
+      .partitionBy(least(col("person"), col("object")),
+        greatest(col("person"), col("object")), col("relationshipLabel"))
+      .orderBy(col("ord"))
+    merged
+      .withColumn("__rn", row_number().over(tripleW)).filter(col("__rn") === 1)
+      .withColumn("__cn", row_number().over(canonW)).filter(col("__cn") === 1)
+      .drop("__rn", "__cn")
+  }
+
+  /** Edges split (transformer.py:251-269): the seven snake_case columns
+    * of the cleaned frame. */
+  def edges(cleaned: DataFrame): DataFrame =
+    cleaned.select(
+      col("person"), col("personLabel").as("person_label"),
+      col("personType").as("person_type"),
+      col("relationshipLabel").as("relationship_label"),
+      col("object"), col("objectLabel").as("object_label"),
+      col("objectType").as("object_type"))
+
+  /** Nodes split (transformer.py:139-173): person-side ∪ object-side
+    * projections of the cleaned frame, keep-first by id (person side
+    * wins ties by construction: side offset 1e6 > max ord), occupation
+    * left-merged from a side table keyed by id, birth-year coerced
+    * (bad/multi-valued parses → null), dense per-type `pyg_id` in
+    * first-occurrence order.
+    *
+    * Scale contract: `pyg_id` is an inherently sequential per-type
+    * index (the reference's `groupby(type).cumcount()`), so its window
+    * partitions by `type` — 11 values at the reference's 4.6 M-node
+    * scale, i.e. one ~3 M-row sorted partition for `human`. That is the
+    * semantic, not an accident; at 100× swap the window for the
+    * standard two-phase form (per-partition counts → exclusive prefix
+    * offsets → partition-local running index) with no API change. */
+  def nodes(cleaned: DataFrame, occupations: DataFrame): DataFrame = {
+    val pSide = cleaned.select(
+      col("person").as("id"), col("personLabel").as("name"),
+      col("personDescription").as("description"),
+      col("birthYear").as("birth_year_raw"),
+      col("countryLabel").as("country"),
+      col("birthPlaceLabel").as("birth_place"),
+      col("personType").as("type"),
+      col("ord").as("node_ord"))
+    val oSide = cleaned.select(
+      col("object").as("id"), col("objectLabel").as("name"),
+      col("objectDescription").as("description"),
+      lit(null).cast("string").as("birth_year_raw"),
+      lit(null).cast("string").as("country"),
+      lit(null).cast("string").as("birth_place"),
+      col("objectType").as("type"),
+      (col("ord") + 1000000L).as("node_ord"))
+    val firstW = Window.partitionBy(col("id")).orderBy(col("node_ord"))
+    val pygW = Window.partitionBy(col("type")).orderBy(col("node_ord"))
+    pSide.unionAll(oSide)
+      .withColumn("__rn", row_number().over(firstW)).filter(col("__rn") === 1)
+      .join(occupations, Seq("id"), "left")
+      // try_cast: the reference's to_numeric(errors='coerce') — bad or
+      // multi-valued years become null instead of an ANSI cast error.
+      .withColumn("birth_year", expr("try_cast(birth_year_raw AS int)"))
+      .withColumn("pyg_id", (row_number().over(pygW) - 1).cast("long"))
+      .select(col("id"), col("name"), col("description"), col("birth_year"),
+        col("country"), col("birth_place"), col("type"), col("occupation"),
+        col("pyg_id"))
+  }
+}

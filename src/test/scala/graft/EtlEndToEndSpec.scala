@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
+import org.apache.spark.sql.functions._
+import graft.api.Etl
+import graft.ops.EtlPack
+
+/** SURVEY.md §5 end-to-end domain slice: the reference's own landing
+  * contract (SPARQL-result JSON, FIXTURES.md §1.1) through
+  * flatten → clean → dedup → edges/nodes split → graph build, asserting
+  * the reference's reconciliation checks:
+  *  - stage garbage counters (transformer.py:216-246 print chain),
+  *  - duplicate audits == 0 (notebook cells 71-72),
+  *  - FIXTURES.md §1.2 edge invariants (id shape, no triple dups, no
+  *    canonical dups),
+  *  - vcount()==len(nodes), ecount()==len(edges) after graph build
+  *    (notebook cells 122-123),
+  *  - dense per-type pyg_id (transformer.py:173).
+  */
+class EtlEndToEndSpec extends SparkSpec {
+
+  private lazy val flat = Etl.flattenSparql(spark, EtlPack.ensureFixture()).cache()
+  private lazy val cleaned = Etl.cleanSparql(flat).cache()
+  private lazy val edges = Etl.edges(cleaned).cache()
+  private lazy val nodes = Etl.nodes(cleaned, EtlPack.occupations(spark)).cache()
+
+  test("flatten: one row per binding, metadata leaves reachable") {
+    assert(flat.count() === 64)
+    // xml:lang leaf survives flattening (dropped later by the cleaner)
+    val langs = flat.groupBy("personLang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(langs.contains("en") && langs.contains("vi"))
+    // absent vars land as null, not errors (the absent-person dirty row)
+    assert(flat.filter(col("person").isNull).count() === 1)
+  }
+
+  test("clean chain drops exactly the planted dirty rows, stage by stage") {
+    // 64 bindings − 5 planted garbage rows − 2 unresolved-object rows
+    val filtered = 64 - 7
+    // − 3 exact duplicate triples − 2 reversed pairs
+    assert(cleaned.count() === filtered - 3 - 2)
+    assert(edges.count() === 52)
+  }
+
+  test("edges invariants (FIXTURES.md §1.2)") {
+    assert(edges.distinct().count() === 52)                 // no whole-row dups
+    assert(edges.select("person", "relationship_label", "object")
+      .distinct().count() === 52)                           // no triple dups
+    assert(edges.select(least(col("person"), col("object")),
+      greatest(col("person"), col("object")), col("relationship_label"))
+      .distinct().count() === 52)                           // no canonical dups
+    assert(edges.filter(!col("person").rlike("^Q\\d+$") ||
+      !col("object").rlike("^Q\\d+$")).count() === 0)       // id shape
+    assert(edges.filter(col("person_label").rlike("^Q\\d+$") ||
+      col("object_label").rlike("^Q\\d+$")).count() === 0)  // labels resolved
+    // whitespace dirt scrubbed: the \t / \n labels became single spaces
+    val p11 = edges.filter(col("person") === "Q11")
+      .select("person_label").head().getString(0)
+    assert(p11 === "Person 11")
+  }
+
+  test("nodes: keep-first union, coercion, collapse, occupation merge") {
+    assert(nodes.count() === 49)
+    assert(nodes.select("id").distinct().count() === 49)
+    val byId = nodes.collect().map(r => r.getString(0) -> r).toMap
+    // multi-valued collapse, sorted distinct join (P7 has two countries)
+    assert(byId("Q7").getString(4) === "Country 2, Country X")
+    // multi-valued birth year coerces to null (P5: 1905 + 1906)
+    assert(byId("Q5").isNullAt(3))
+    // unparseable year → null (P9: "unknown"), clean year parses
+    assert(byId("Q9").isNullAt(3) && byId("Q1").getInt(3) === 1901)
+    // occupation side-merge rule: i%3==1 writer, ==2 engineer, ==0 null
+    assert(byId("Q1").getString(7) === "writer")
+    assert(byId("Q2").getString(7) === "engineer")
+    assert(byId("Q3").isNullAt(7))
+    // spouse targets stay typed from their person-side first occurrence
+    assert(byId("Q2").getString(6) === "human")
+    // trailing-space description trimmed (P5)
+    assert(byId("Q5").getString(2) === "A person number 5")
+  }
+
+  test("per-type pyg_id is dense 0..n-1 in landing order") {
+    val perType = nodes.groupBy("type").agg(
+      count(lit(1)).as("n"), min("pyg_id").as("lo"), max("pyg_id").as("hi"),
+      countDistinct("pyg_id").as("nd")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expected = Map("human" -> 30L, "film" -> 4L, "organization" -> 4L,
+      "educational_institution" -> 4L, "award" -> 3L, "music" -> 4L)
+    assert(perType.view.mapValues(_._1).toMap === expected)
+    perType.values.foreach { case (n, lo, hi, nd) =>
+      assert(lo === 0L && hi === n - 1 && nd === n)
+    }
+    // landing order: P1 first; P12 LAST — its page-0 educated_at row was
+    // dropped (unresolved O113 label), so its first surviving occurrence
+    // is the page-1 employer row, after P19..P30's educated_at rows.
+    val pyg = nodes.filter(col("type") === "human")
+      .select("id", "pyg_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pyg("Q1") === 0L && pyg("Q18") === 16L &&
+      pyg("Q30") === 28L && pyg("Q12") === 29L)
+  }
+
+  test("graph build reconciliation: vcount==len(nodes), ecount==len(edges)") {
+    // igraph-build twin (transformer.py:335; notebook cells 122-123):
+    // vertex ids = first-occurrence node order, edges joined to them.
+    val vids = nodes.select(col("id"), col("pyg_id"), col("type"))
+      .withColumn("vid", hash(col("id")).cast("long"))
+    val vRdd = vids.select("vid", "id").rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+    val eRdd = edges
+      .join(vids.select(col("id").as("person"), col("vid").as("src")), "person")
+      .join(vids.select(col("id").as("object"), col("vid").as("dst")), "object")
+      .select("src", "dst", "relationship_label").rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    val g = GXGraph(vRdd, eRdd)
+    assert(g.numVertices === nodes.count())
+    assert(g.numEdges === edges.count())
+    // every edge endpoint resolved to a node (no dangling vertices added)
+    val endpointIds = edges.select(col("person").as("id"))
+      .unionAll(edges.select(col("object").as("id"))).distinct().count()
+    assert(endpointIds === nodes.count())
+  }
+}
