@@ -93,15 +93,6 @@ object Analytics {
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_cooc"))
   }
 
-  /** Exact Gini coefficient of `value` over one row per `key` — the
-    * inequality summary behind `ana_gini_spend`, over an arbitrary frame.
-    * Needs every row's GLOBAL ascending rank; computed with a two-phase
-    * rank (range buckets → per-bucket row_number → histogram-window
-    * offsets) so no single-partition global sort exists at any scale.
-    * Rank sums stay in exact decimals; (value, key) is a total order so
-    * Σ i·x_i is deterministic. Returns one row (n, total, gini) with
-    * gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), rounded to 6 places.
-    * A degenerate range (all values equal) is exactly gini = 0. */
   /** Exact GLOBAL ascending rank of every row by (value, key) — the
     * two-phase bucketed form shared by gini and the RFM scorer: values
     * hash into range buckets, row_number runs PER BUCKET (bounded
@@ -138,6 +129,14 @@ object Analytics {
       .select(col("__k"), col("v"), (col("off") + col("rn")).as("i"))
   }
 
+  /** Exact Gini coefficient of `value` over one row per `key` — the
+    * inequality summary behind `ana_gini_spend`, over an arbitrary
+    * frame. Built on [[globalRank]] (two-phase bucketed rank — no
+    * single-partition global sort at any scale). Rank sums stay in
+    * exact decimals; (value, key) is a total order so Σ i·x_i is
+    * deterministic. Returns ONE row (n, total, gini) with
+    * gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), rounded to 6 places.
+    * A degenerate range (all values equal) is exactly gini = 0. */
   def gini(df: DataFrame, key: Column, value: Column,
       buckets: Int = 1024): DataFrame = {
     globalRank(df, key, value, buckets)

@@ -104,6 +104,16 @@ object Events {
   def funnelChain(events: DataFrame, key: Column, tsUs: Column, step: Column,
       steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.size >= 2, "a funnel chain needs at least two steps")
+    // With steps(k) == steps(k-1) a stage-k row would see its OWN
+    // stage-(k-1) qualifier (the window frame includes currentRow) and
+    // self-qualify at a 0-µs gap instead of requiring a PRIOR
+    // occurrence — reject the ambiguous spec rather than guess.
+    steps.sliding(2).zipWithIndex.foreach { case (pair, i) =>
+      require(pair.head != pair.last,
+        s"adjacent funnel steps must differ (steps $i and ${i + 1} are " +
+          s"both '${pair.head}'); a repeat-step funnel needs an explicit " +
+          "occurrence index, not a chain of identical labels")
+    }
     var df = events.select(key.as("__u"), tsUs.as("__ts"), step.as("__st"))
       .withColumn("__q0", when(col("__st") === steps.head, col("__ts")))
     for (k <- 1 until steps.size) {

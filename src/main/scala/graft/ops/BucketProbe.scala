@@ -4,12 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off diagnostic: LSH bucket-size profile + candidate-pair count of
-  * the similarity pack's bucket index at a given fixture dir. */
+  * the similarity pack's bucket index at a given fixture dir (required
+  * first argument — e.g. `runMain graft.ops.BucketProbe /path/to/sf`). */
 object BucketProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/testdata_sf1")
-    val s = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", 16)
+    require(args.nonEmpty,
+      "usage: BucketProbe <fixtureDir> — the parquet fixture directory to profile")
+    val dir = args.head
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -32,8 +32,12 @@ object SimilarityPack {
   // DuckDB oracle — same discipline as Search.sizedBlockedSimJoin.
   private val TargetBucket = 32
   private val MaxPlanes    = 16
+  // Floored at p = 1: p = 0 means ZERO hyperplanes, and lshBuckets'
+  // inner join on the (empty) plane frame would silently drop every
+  // vector on a ≤ TargetBucket corpus — one plane (two buckets) keeps
+  // the index total while still trivially satisfying the size rule.
   private[graft] def sizedNumPlanes(n: Long): Int = {
-    var p = 0
+    var p = 1
     while (p < MaxPlanes && n > (TargetBucket.toLong << p)) p += 1
     p
   }
@@ -107,7 +111,7 @@ object SimilarityPack {
   }
 
   private val planesSql =
-    s"""np AS (SELECT MIN(p) AS p FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p)
+    s"""np AS (SELECT MIN(p) AS p FROM (SELECT unnest(range(1, ${MaxPlanes + 1})) AS p)
        |  CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings)
        |  WHERE p = $MaxPlanes OR n <= $TargetBucket * (1 << p)),
        |planes AS MATERIALIZED (SELECT j, pos,

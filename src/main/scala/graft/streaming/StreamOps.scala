@@ -407,9 +407,32 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Source staging is finished and superseded generations are dead —
+    // reclaim them NOW (deleteOnExit cannot remove non-empty trees, so
+    // relying on it leaked a snapshot generation per run). Only the
+    // final generation must outlive this call: the returned frame reads
+    // it lazily.
+    deleteTree(tmp)
+    if (cur == null)
+      throw new IllegalStateException(
+        s"cdcApply: source directory $dir/events.parquet yielded no " +
+          "micro-batches — no snapshot generation was materialized")
+    (1 until gen).foreach(g => deleteTree(snap.resolve(s"gen_$g")))
     s.read.parquet(cur)
       .select(col("user_id"), col("st.ts_us").as("last_ts_us"),
         col("st.event_type").as("last_event_type"), col("st.value").as("last_value"))
+  }
+
+  /** Recursive scratch-tree delete (child-first walk; deleteOnExit is a
+    * no-op on non-empty directories). */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally stream.close()
+    }
   }
 
   /** Run an append-mode stream into a PARQUET FILE SINK (checkpointed —
@@ -418,10 +441,18 @@ object StreamOps {
     * instead of double-appending) and return the read-back result. The
     * production landing-zone shape: stateless transforms stream straight
     * to columnar files, downstream batch jobs read the directory. */
-  def runToParquet(s: SparkSession, streamed: DataFrame): DataFrame = {
-    import java.nio.file.Files
-    val root = Files.createTempDirectory("graft_stream_sink")
-    root.toFile.deleteOnExit()
+  def runToParquet(s: SparkSession, streamed: DataFrame,
+      name: String = "default"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    // Stable per-name scratch root, recycled run to run (a fresh
+    // createTempDirectory per call accumulated sink+checkpoint trees
+    // that deleteOnExit can never remove — ADVICE r7). The previous
+    // run's tree is torn down before the new query starts so the file
+    // sink's commit log never mixes generations.
+    val root = Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_sink/$name")
+    deleteTree(root)
+    Files.createDirectories(root)
     val q = streamed.writeStream
       .format("parquet")
       .option("path", s"$root/data")

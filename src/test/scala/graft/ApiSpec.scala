@@ -663,6 +663,20 @@ class ApiSpec extends SparkSpec {
     assert(two.values.sum > 0, "fixture must actually convert somewhere")
   }
 
+  test("events: funnelChain rejects repeated adjacent steps") {
+    // ADVICE r7: with steps(k) == steps(k-1) a row's own qualifier is
+    // visible to its stage-k frame (rowsBetween includes currentRow) and
+    // every such row would self-qualify at a 0-µs gap. The ambiguous
+    // spec must fail fast, not silently over-convert.
+    val e = graft.tables.Tables.events(spark, sf())
+    val withUs = e.withColumn("ts_us", graft.ops.OpsUtil.tsMicros(e))
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Events.funnelChain(withUs, col("user_id"), col("ts_us"),
+        col("event_type"), Seq("view", "view", "purchase"), 60L * 1000000)
+    }
+    assert(ex.getMessage.contains("adjacent funnel steps must differ"))
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")

@@ -1,24 +1,42 @@
 package graft
 
-/** Self-sizing LSH plane count: the integer rule (smallest p with
+/** Self-sizing LSH plane count: the integer rule (smallest p ≥ 1 with
   * ceil(n/2^p) ≤ 32, capped at 16) the DuckDB oracle replays. */
 class LshSizingSpec extends SparkSpec {
-  test("sizedNumPlanes tracks log2(n/32), capped") {
+  test("sizedNumPlanes tracks log2(n/32), floored at 1, capped at 16") {
     import graft.ops.SimilarityPack.sizedNumPlanes
-    assert(sizedNumPlanes(1L) == 0)
-    assert(sizedNumPlanes(32L) == 0)
+    // Degenerate regime: p = 0 would mean an EMPTY hyperplane frame and
+    // an index that silently drops every vector — the floor keeps one
+    // plane even when a single bucket would satisfy the size target.
+    assert(sizedNumPlanes(1L) == 1)
+    assert(sizedNumPlanes(32L) == 1)
     assert(sizedNumPlanes(33L) == 1)
     assert(sizedNumPlanes(200L) == 3)     // sf0.01 fixture
     assert(sizedNumPlanes(2000L) == 6)    // sf0.1 fixture — the old fixed p
     assert(sizedNumPlanes(20000L) == 10)  // sf1 fixture
     assert(sizedNumPlanes(Long.MaxValue) == 16, "cap")
-    // Monotone, and buckets stay at or under the target:
+    // Minimal above the floor, and buckets stay at or under the target:
     (1L to 4096L).foreach { n =>
       val p = sizedNumPlanes(n)
+      assert(p >= 1, s"plane floor lost at n=$n")
       assert((n + (1L << p) - 1) / (1L << p) <= 32, s"bucket too big at n=$n")
-      if (p > 0) assert((n + (1L << (p - 1)) - 1) / (1L << (p - 1)) > 32,
+      if (p > 1) assert((n + (1L << (p - 1)) - 1) / (1L << (p - 1)) > 32,
         s"p not minimal at n=$n")
     }
+  }
+
+  test("tiny corpus still lands every vector in a bucket") {
+    // ADVICE r7: with p = 0 the bucket build's inner join on the plane
+    // frame dropped ALL vectors (and the oracle's identically-empty
+    // planes CTE could not catch it). Pin the non-degenerate floor on a
+    // 5-vector corpus end to end.
+    import spark.implicits._
+    val comps = (0L until 5L).flatMap(id => (0 until 4).map(p =>
+      (id, p, (id * 4 + p % 3).toDouble + 0.5))).toDF("vec_id", "pos", "v")
+    val planes = graft.api.Similarity.hyperplanes(spark,
+      graft.ops.SimilarityPack.sizedNumPlanes(5L), 4)
+    val buckets = graft.api.Similarity.lshBuckets(comps, planes)
+    assert(buckets.count() === 5, "every vector must keep a bucket row")
   }
 }
 

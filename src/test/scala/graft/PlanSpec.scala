@@ -295,6 +295,31 @@ class PlanSpec extends SparkSpec {
       s"chain windows must partition by user:\n$p2")
   }
 
+  test("graph_rich_club never force-broadcasts the hub set") {
+    // The P90 hub set is ~10% of the projection's vertices — millions of
+    // rows at the reference's 4.6 M-node graph. Only the two 1-row
+    // scalar frames (threshold, e_hubs) may carry broadcast hints; the
+    // hub-gating joins must be planner-decided equi-joins. With
+    // auto-broadcast off, a hinted hub broadcast would still surface as
+    // a BroadcastHashJoin — so none may appear.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val p = planOf(graft.ops.GraphPack.queries("graph_rich_club")(spark, sf()))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"hub set must not carry a broadcast hint:\n$p")
+      // The hub-gating equi-joins surface as planner-chosen shuffled
+      // joins. (The broadcast-SCALAR crossJoins remain nested-loop
+      // broadcasts; their count is not pinned here because the printed
+      // plan replicates the cached pair frame's lineage under every
+      // InMemoryTableScan.)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"hub gating must be a shuffled equi-join with broadcasts off:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("agg_cube_orders expands grouping sets in one aggregation pass") {
     val p = planOf(RelationalPack.queries("agg_cube_orders")(spark, sf()))
     assert(p.contains("Expand"), s"cube must compile to Expand + one agg:\n$p")
