@@ -4,6 +4,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // QUIET-HOST GATE: a bench taken at load-average 13 (round 7's
+    // driver capture) measures the host, not the engine — min-of-2 and
+    // the skew counter contain the damage but the official artifact
+    // deserves a quiet start. Before any Spark work, wait (bounded) for
+    // the 1-minute load to fall under the gate; if it never does,
+    // proceed and let the recorded load/wait fields self-identify the
+    // noisy run. SPARK_GRAFT_LOAD_GATE=0 disables.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX", "600").toInt
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    var gateWaited = 0
+    if (loadGate > 0) {
+      while (load1() > loadGate && gateWaited < loadWaitMax) {
+        System.err.println(f"[bench] load ${load1()}%.2f > gate $loadGate%.1f — " +
+          s"waiting (${gateWaited}s/${loadWaitMax}s)")
+        Thread.sleep(15000)
+        gateWaited += 15
+      }
+      if (load1() > loadGate)
+        System.err.println(f"[bench] WARNING: proceeding at load ${load1()}%.2f " +
+          s"after ${gateWaited}s — artifact will be load-tainted")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -118,6 +144,7 @@ object Bench {
       s""""metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
         s""""passes":$passes,"failed":$failedJson,"max_over_min_gt3":$skewed,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
+        s""""load_gate":$loadGate,"load_gate_waited_sec":$gateWaited,""" +
         s""""queries_total":$queriesTotal,"sf":"$sfDir""""
     // stdout is the driver contract and long lines truncate there: its
     // capture keeps only a ~2.2 KB tail, so rounds 1-5 all recorded

@@ -84,7 +84,7 @@ object MLPack {
     * from feature-half A and its co-purchase label from half B —
     * (score, label), leak-free by the hash-half split. Session-cached:
     * both metrics aggregate the same frame. */
-  private[ops] def aaScored(s: SparkSession, d: String): DataFrame =
+  private[graft] def aaScored(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"ml.aaScored:$d") {
       val eB = edgesHalfB(s, d)
       val pairs = pairSample(s, d)
@@ -594,6 +594,17 @@ object MLPack {
     // kept in INTEGER arithmetic (doubled ranks) until the final
     // division, so both engines agree bitwise — the eval metric the
     // LBFGS query can't oracle-check, made checkable.
+    // BOUNDED-WINDOW CONTRACT (shared with ml_lift_curve): the global
+    // window's frame is the distinct-score domain, which is NOT the
+    // pair count — an AA score is a 6-decimal-rounded sum of
+    // 1/ln(pdeg+1) terms, so distinct scores track the distinct
+    // common-neighbor-degree MULTISETS and saturate as degrees repeat.
+    // Measured on the fixtures: 3 846 / 2 547 / 9 769 distinct scores
+    // for 7 485 / 74 985 / 749 850 pairs (sf0.01/0.1/1) — two decades
+    // of pair growth, ~2.5x domain growth (AaScoreDomainSpec pins the
+    // falling density). If a corpus ever defeated the saturation, the
+    // swap-in is the ml_calibration_bins shape: equal-width score bins
+    // as cutoffs, one broadcast max, no distinct-score window at all.
     "ml_auc_exact" -> ((s, d) => {
       val scored = aaScored(s, d)
       val grp = scored.groupBy(col("score"))
@@ -662,7 +673,9 @@ object MLPack {
     // or above it vs the base rate. Computed over the SCORE-GROUPED
     // frame (ties never straddle a cutoff — the row-decile form is
     // ambiguous under ties), so the unpartitioned cumulative window
-    // runs over the bounded distinct-score domain, not the pairs.
+    // runs over the bounded distinct-score domain, not the pairs —
+    // see ml_auc_exact's measured saturation contract (the domain grew
+    // ~2.5x while pairs grew 100x; AaScoreDomainSpec pins it).
     // Reuses the session-cached scored eval frame.
     "ml_lift_curve" -> ((s, d) => {
       val per = aaScored(s, d).groupBy(col("score"))

@@ -256,14 +256,29 @@ object SearchPack {
          |WHERE levenshtein(a.nm, b.nm) <= 1
          |ORDER BY i, j LIMIT 5000""".stripMargin,
 
-    // all-pairs in DuckDB (sound blocking means the exact join), blocked
-    // equi-join in Spark via LevenshteinJoinRule
+    // The oracle replays the SAME deletion-neighborhood signature join
+    // the Spark rule derives (FastSS, k=1): lev(a,b) ≤ 1 ⟹ a and b
+    // share an element of {s} ∪ {s minus one char} (equal: s itself;
+    // substitution: both delete the differing position; indel: the
+    // longer side deletes the extra char) — so the sig equi-join is a
+    // complete candidate set and the bounded-DP filter makes it exact.
+    // Proven identical to the all-pairs θ-join at sf0.01; unlike it,
+    // feasible at sf1 (35 s vs ~1.1e10 levenshtein calls).
     "search_lev_autojoin" ->
       s"""WITH names AS (SELECT c_custkey AS id, ${normSql("c_name")} AS nm
-         |  FROM customer)
-         |SELECT a.id AS i, b.id AS j, levenshtein(a.nm, b.nm) AS dist
-         |FROM names a JOIN names b ON a.id < b.id
-         |WHERE levenshtein(a.nm, b.nm) <= 1
+         |  FROM customer),
+         |sigs AS (
+         |  SELECT id, nm, nm AS sig FROM names
+         |  UNION ALL
+         |  SELECT id, nm, substr(nm, 1, i - 1) || substr(nm, i + 1) AS sig
+         |  FROM (SELECT id, nm, unnest(range(1, length(nm) + 1)) AS i FROM names)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS i, b.id AS j, a.nm AS na, b.nm AS nb
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+         |)
+         |SELECT i, j, levenshtein(na, nb) AS dist FROM cand
+         |WHERE levenshtein(na, nb) <= 1
          |ORDER BY i, j LIMIT 5000""".stripMargin
   )
 }

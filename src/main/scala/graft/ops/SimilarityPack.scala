@@ -832,11 +832,25 @@ object SimilarityPack {
          |SELECT j AS vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // The oracle mirrors the Spark plan's two-stage shape: a CHEAP
+    // native cosine prefilter over the within-cell candidates (DuckDB's
+    // vectorized list_cosine_similarity, double precision, with the same
+    // 1e-4 margin the Spark cosine_sim prefilter uses), then the exact
+    // decimal cosine deciding the threshold on survivors only. Float-dot
+    // error is ~1e-7 at Dim=64, so the margin makes the prefilter
+    // lossless — proven value-identical to the unfiltered form at
+    // sf0.01, and what turns the sf1 twin from >25 min (every
+    // within-cell pair through decimal arithmetic) into ~3 min.
     "dedup_semantic" ->
       s"""WITH $compsSql, $normsSql,
          |$ivfKmeansSql,
-         |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+         |cand AS (SELECT a.vec_id AS i, b.vec_id AS j
          |  FROM afin a JOIN afin b ON b.cid = a.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT c.i, c.j FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.i
+         |  JOIN embeddings eb ON eb.vec_id = c.j
+         |  WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+         |    >= $SemThresh - 1e-4),
          |$cosinePairSql
          |SELECT j AS vec_id, COUNT(*) AS n_better_dups,
          |  max(cosine) AS max_cosine

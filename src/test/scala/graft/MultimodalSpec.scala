@@ -82,6 +82,75 @@ class MultimodalSpec extends SparkSpec {
     // rows decoded-before-open with media_type "NOT_OPENED".
     assert(got.nonEmpty && got.forall(_.media_type != "NOT_OPENED"))
   }
+
+  // ---- the REAL codec through the seam (VERDICT r7 item 6) ----------
+
+  test("BmpCodec round-trips 24-bit pixels exactly, padding included") {
+    // 3x2 (stride 12, 3 pad bytes/row) and 4x3 (stride 12, no padding).
+    for ((w, h) <- Seq((3, 2), (4, 3))) {
+      val px = Array.tabulate(w * h)(i => (i * 37 + 11) * 65793 % 0x1000000)
+      val bytes = graft.multimodal.BmpCodec.encode(w, h, px)
+      assert(graft.multimodal.BmpCodec.isBmp(bytes))
+      val (dw, dh, got) = graft.multimodal.BmpCodec.decode(bytes)
+      assert(dw == w && dh == h && got.sameElements(px))
+    }
+    // Text payloads must NOT parse as BMP (the fallback trigger).
+    assert(!graft.multimodal.BmpCodec.isBmp("BMnot an image".getBytes("UTF-8")))
+  }
+
+  test("BmpMediaDecoder: hand-computed luminance features on a real image") {
+    // 2x1: pure red (luma 299*255/1000 = 76) and pure white (luma 255).
+    val bytes = graft.multimodal.BmpCodec.encode(2, 1, Array(0xff0000, 0xffffff))
+    val f = graft.multimodal.BmpMediaDecoder.decode(MediaRow(5L, "image", bytes))
+    assert(f.doc_id == 5L && f.n_bytes == bytes.length.toLong)
+    assert(f.byte_sum == 76L + 255L)
+    assert(f.mean_byte == (76.0 + 255.0) / 2)
+    assert(f.n_frames == 1 && f.n_sampled == 1)       // one scanline, sampled
+    assert(f.sampled_checksum == (76L * 31 + 255L) % 1000000007L)
+  }
+
+  test("real BMP bytes decode through the unchanged extractFeatures seam") {
+    import spark.implicits._
+    // Distributed decode of genuine encoded images — the feature rows
+    // must differ from the stub's byte statistics on the same payloads
+    // (pixel domain vs raw-byte domain), proving a real codec ran.
+    val media = (0L until 40L).map { id =>
+      val w = 4 + (id % 3).toInt; val h = 2 + (id % 5).toInt
+      val px = Array.tabulate(w * h)(i => ((id * 131 + i * 997) % 0x1000000).toInt)
+      MediaRow(id, "image", graft.multimodal.BmpCodec.encode(w, h, px))
+    }.toDS().repartition(4)
+    val real = Multimodal.extractFeatures(media, graft.multimodal.BmpMediaDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    val stub = Multimodal.extractFeatures(media, graft.multimodal.StubDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(real.size == 40)
+    (0L until 40L).foreach { id =>
+      assert(real(id).n_frames == 2 + (id % 5).toInt, "frames = image height")
+      assert(real(id) != stub(id), "pixel features must differ from byte stats")
+    }
+    // Determinism across runs (retried-task contract).
+    val again = Multimodal.extractFeatures(media, graft.multimodal.BmpMediaDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(again == real)
+  }
+
+  test("BmpMediaDecoder via conf: unchanged mm_* query, safe fallback on text") {
+    import org.apache.spark.sql.functions._
+    // The fixture media table carries TEXT payloads — a session-wide
+    // swap to the BMP decoder must degrade to the stub's statistics,
+    // not crash the query surface.
+    spark.conf.set(Multimodal.DecoderConfKey,
+      graft.multimodal.BmpMediaDecoder.getClass.getName)
+    try {
+      assert(Multimodal.resolveDecoder(spark) eq graft.multimodal.BmpMediaDecoder)
+      val viaBmp = graft.ops.MultimodalPack.queries("mm_decode_features")(spark, sf())
+        .collect().map(_.toSeq).toSet
+      spark.conf.unset(Multimodal.DecoderConfKey)
+      val viaStub = graft.ops.MultimodalPack.queries("mm_decode_features")(spark, sf())
+        .collect().map(_.toSeq).toSet
+      assert(viaBmp == viaStub && viaBmp.nonEmpty)
+    } finally spark.conf.unset(Multimodal.DecoderConfKey)
+  }
 }
 
 /** Test decoder: halves the frame count (as if frames were 2x the stub's

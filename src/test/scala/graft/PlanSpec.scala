@@ -327,6 +327,76 @@ class PlanSpec extends SparkSpec {
     assert(p.split("FileScan").length - 1 == 1, s"cube re-scanned the source:\n$p")
   }
 
+  test("every unpartitioned window in every query plan sits over a bounded frame") {
+    // Executable form of the per-site justification comments: a
+    // WindowExec with an EMPTY partitionSpec moves its whole input to
+    // one task, so it is only sanctioned over a frame some upstream
+    // node has already bounded — an aggregation (distinct scores, day
+    // histograms, bucket counts, centroids), a limit/top-k, or a
+    // literal/range source. A global window directly over raw scan
+    // rows is the 100 TB scale-killer this guard exists to catch.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec, RangeExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      // Literal frames and ranges are compile-time constants.
+      case _: LocalTableScanExec | _: RangeExec => true
+      // A cached artifact: its build plan is swept via the query that
+      // materializes it; the scan itself carries no size evidence, so
+      // only accept it when the cache output arity is aggregate-shaped
+      // (the k=8 centroid / stats frames) — i.e. keep walking; the scan
+      // alone does NOT bound.
+      case s: InMemoryTableScanExec => s.relation.cachedPlan.exists(bounded)
+      // A broadcast-scalar crossJoin bounds nothing by itself — keep
+      // walking both sides.
+      case b: BroadcastNestedLoopJoinExec => b.children.exists(bounded)
+      case other => other.children.exists(bounded)
+    }
+
+    // Negative control — the guard must actually fire: a global
+    // row_number over the raw lineitem scan is exactly the offending
+    // shape.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val bad = spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy("l_orderkey")))
+      val badWindows = bad.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(badWindows.nonEmpty && badWindows.forall(w => !w.child.exists(bounded)),
+        "the guard failed to flag a raw-scan global window")
+    }
+
+    // Constructing these queries RUNS work (stream sinks, MLlib fits) —
+    // their windows are covered by dedicated specs instead.
+    val excluded = graft.ops.StreamingPack.queries.keySet ++
+      Set("ml_train_eval", "ml_als_recommend")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      if (!excluded(name)) {
+        val plan = q(spark, sf()).queryExecution.sparkPlan
+        plan.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            if (!w.child.exists(bounded)) offenders += s"$name: $w"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            if (!w.child.exists(bounded)) offenders += s"$name: $w"
+          case _ =>
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded frames:\n${offenders.mkString("\n")}")
+  }
+
   test("chunking is an exchange-free flat map; shuffle manifest shuffles on shard only") {
     // Sliding-window chunking: per-row generate/project only — one scan,
     // no Exchange anywhere before the final presentation orderBy.
