@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LevenshteinJoinRule). Runs after the bound rewrite in the same
     // fixed-point batch, so it only needs to match the bounded form.
     ext.injectOptimizerRule(_ => LevenshteinJoinRule)
+    // Optimizer rule: a thresholded Jaro-Winkler θ-join gains a sound
+    // geometric length-bucket equi-key (content signatures are unsound
+    // for JW — see JaroWinklerJoinRule's analysis).
+    ext.injectOptimizerRule(_ => JaroWinklerJoinRule)
   }
 }

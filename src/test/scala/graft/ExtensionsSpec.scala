@@ -146,6 +146,63 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getDouble(5) == 0.0)
   }
 
+  test("jaro-winkler theta-join gains the length-bucket equi-key") {
+    // Length-diverse micro corpus: the sound pruning dimension for JW
+    // (content signatures are unsound — see JaroWinklerJoinRule).
+    val people = Seq(
+      (1L, "ann"), (2L, "anne"), (3L, "annette"),
+      (4L, "a completely different much longer string"),
+      (5L, "ann"), (6L, "johnathan smith the third of canterbury"))
+      .toDF("id", "nm")
+    val a = people.select(col("id").as("i"), col("nm").as("na"))
+    val b = people.select(col("id").as("j"), col("nm").as("nb"))
+    def q() = a.join(b, col("i") < col("j") &&
+      call_function("jaro_winkler", col("na"), col("nb")) >= lit(0.93))
+      .select("i", "j")
+    val optimized = q().queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__graft_jwbk"),
+      s"no length-bucket key in:\n$optimized")
+    val phys = q().queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"still a nested-loop join:\n$phys")
+    // Results identical to the un-rewritten nested loop.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRule = pairs(q())
+    spark.conf.set("spark.graft.jwjoin.enabled", "false")
+    val direct = try pairs(q())
+    finally spark.conf.unset("spark.graft.jwjoin.enabled")
+    assert(viaRule == direct)
+    assert(viaRule.contains((1L, 5L)), "identical strings score 1.0")
+    assert(viaRule.contains((1L, 2L)), "ann/anne is 0.9417 with the boost")
+    assert(!viaRule.contains((1L, 4L)), "cross-length-scale pair pruned AND scored out")
+  }
+
+  test("search_jw_topk recast as a theta-join returns identical rows") {
+    // The VERDICT r7 stretch contract: the hand-built top-k query and
+    // its natural θ-join spelling (customer × 1-row query frame on
+    // jw ≥ t, then top-k) must agree row for row — with the θ-join
+    // planning through JaroWinklerJoinRule's equi-key, not a scan-less
+    // nested loop.
+    val topk = graft.ops.SearchPack.queries("search_jw_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(topk.length == 10 && topk.last._2 >= 0.9,
+      "fixture sanity: ten rows, all above the rewrite's threshold floor")
+    val query = Seq("custoner#000000042").toDF("q")   // the pack's FuzzyQuery
+    val theta = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_custkey"), col("c_name"),
+        graft.api.Search.normalizeKey(col("c_name")).as("__k"))
+      .join(query, call_function("jaro_winkler", col("__k"), col("q")) >= lit(0.9))
+      .select(col("c_custkey"), col("c_name"),
+        round(call_function("jaro_winkler", col("__k"), col("q")), 6).as("jw"))
+      .orderBy(col("jw").desc, col("c_custkey").asc).limit(10)
+    assert(theta.queryExecution.optimizedPlan.toString.contains("__graft_jwbk"),
+      "theta-join did not take the length-bucket rewrite")
+    val got = theta.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == topk.toSeq, "theta-join results diverged from the top-k query")
+  }
+
   test("strict < and = comparisons rewrite without changing results") {
     val base = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
