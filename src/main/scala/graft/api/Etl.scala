@@ -64,8 +64,13 @@ object Etl {
         regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
       .select(col("page"), posexplode(col("results.bindings")).as(Seq("pos", "b")))
     val valueCols = Vars.map(v => col(s"b.$v.value").as(v))
+    // Long arithmetic BEFORE the multiply: an int product wraps silently
+    // in Spark but errors in DuckDB — the engines would diverge instead
+    // of hash-matching. 100k slots per page is 20× the extractor's 5k
+    // page size (settings.py:35); a page overrunning it would collide
+    // ords across pages, so the bound is part of the landing contract.
     pages.select(
-      (col("page") * 100000 + col("pos") + 1).cast("long").as("ord") +:
+      (col("page").cast("long") * 100000L + col("pos") + 1).as("ord") +:
         col("b.personLabel.`xml:lang`").as("personLang") +:
         valueCols: _*)
   }
@@ -136,11 +141,14 @@ object Etl {
       col("objectType").as("object_type"))
 
   /** Nodes split (transformer.py:139-173): person-side ∪ object-side
-    * projections of the cleaned frame, keep-first by id (person side
-    * wins ties by construction: side offset 1e6 > max ord), occupation
-    * left-merged from a side table keyed by id, birth-year coerced
-    * (bad/multi-valued parses → null), dense per-type `pyg_id` in
-    * first-occurrence order.
+    * projections of the cleaned frame, keep-first by id in the
+    * reference's concat order — ALL person-side rows precede all
+    * object-side rows, each side in landing order — expressed as the
+    * two-column sort key (side, ord) rather than an additive offset
+    * (an offset constant silently inverts the tie-break once ord
+    * outgrows it). Occupation left-merged from a side table keyed by
+    * id, birth-year coerced (bad/multi-valued parses → null), dense
+    * per-type `pyg_id` in first-occurrence order.
     *
     * Scale contract: `pyg_id` is an inherently sequential per-type
     * index (the reference's `groupby(type).cumcount()`), so its window
@@ -157,7 +165,7 @@ object Etl {
       col("countryLabel").as("country"),
       col("birthPlaceLabel").as("birth_place"),
       col("personType").as("type"),
-      col("ord").as("node_ord"))
+      lit(0).as("side"), col("ord").as("node_ord"))
     val oSide = cleaned.select(
       col("object").as("id"), col("objectLabel").as("name"),
       col("objectDescription").as("description"),
@@ -165,9 +173,11 @@ object Etl {
       lit(null).cast("string").as("country"),
       lit(null).cast("string").as("birth_place"),
       col("objectType").as("type"),
-      (col("ord") + 1000000L).as("node_ord"))
-    val firstW = Window.partitionBy(col("id")).orderBy(col("node_ord"))
-    val pygW = Window.partitionBy(col("type")).orderBy(col("node_ord"))
+      lit(1).as("side"), col("ord").as("node_ord"))
+    val firstW = Window.partitionBy(col("id"))
+      .orderBy(col("side"), col("node_ord"))
+    val pygW = Window.partitionBy(col("type"))
+      .orderBy(col("side"), col("node_ord"))
     pSide.unionAll(oSide)
       .withColumn("__rn", row_number().over(firstW)).filter(col("__rn") === 1)
       .join(occupations, Seq("id"), "left")

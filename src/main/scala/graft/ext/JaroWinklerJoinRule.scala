@@ -120,8 +120,14 @@ object JaroWinklerJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 if (canEvaluate(t.a, left) && canEvaluate(t.b, right)) Some((t.a, t.b))
                 else if (canEvaluate(t.b, left) && canEvaluate(t.a, right)) Some((t.b, t.a))
                 else None
+              // t must stay strictly below 1.0: at t = 1.0 α = 1,
+              // ln(1/α) = 0, and the bucket expression degenerates to
+              // x/0 — one shared Infinity bucket for every row, i.e.
+              // the whole corpus on a single shuffle key. An exact-
+              // match join (jw ≥ 1.0) is better served by the plain
+              // nested loop (or an equality the user should spell).
               oriented.collect {
-                case (a, b) if t.t >= minT && t.t < 1.0 + 1e-12 &&
+                case (a, b) if t.t >= minT && t.t < 1.0 &&
                     a.deterministic && b.deterministic &&
                     a.dataType == StringType && b.dataType == StringType =>
                   (a, b, t.t, c)

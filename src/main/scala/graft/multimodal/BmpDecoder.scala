@@ -43,15 +43,30 @@ object BmpCodec {
     b.array()
   }
 
-  /** True when the payload carries the BMP magic and a parseable 24-bit
-    * uncompressed header. */
+  /** True when the payload carries the BMP magic and a FULLY validated
+    * 24-bit uncompressed header: positive in-range dimensions, a
+    * non-negative pixel offset, and a size check done in LONG space —
+    * a hostile/corrupt header must route to the decoder's stub
+    * fallback, never crash the task (int overflow on width*3 or a
+    * negative offset would defeat a naive check and send decode() out
+    * of bounds). */
   def isBmp(bytes: Array[Byte]): Boolean =
     bytes.length >= HeaderSize && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte && {
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val off = b.getInt(10)
       val width = b.getInt(18); val height = b.getInt(22)
-      b.getShort(28) == 24 && b.getInt(30) == 0 && width > 0 && height > 0 &&
-        bytes.length >= b.getInt(10) + rowStride(width) * height
+      b.getShort(28) == 24 && b.getInt(30) == 0 &&
+        width > 0 && height > 0 &&
+        width <= MaxDim && height <= MaxDim &&
+        off >= HeaderSize &&
+        bytes.length.toLong >= off.toLong + rowStride(width).toLong * height
     }
+
+  /** Dimension cap for header validation: generous for real images,
+    * small enough that width*height and row strides stay far from int
+    * overflow (2^15 × 2^15 pixels = 1 GiB-class decoded arrays are
+    * already beyond a per-row payload's plausible size). */
+  private val MaxDim = 1 << 15
 
   /** Decode to (width, height, top-down row-major 0xRRGGBB pixels). */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {

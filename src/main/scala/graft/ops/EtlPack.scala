@@ -208,22 +208,32 @@ object EtlPack {
     // (notebook cells 71-72), and the vcount/ecount checks (cells
     // 122-123): node count == distinct edge endpoints, pyg_id dense.
     "etl_sparql_reconcile" -> ((s, _) => {
+      // Driver-side counting is deliberately confined to this one
+      // query; the caches exist only for the duration of the six
+      // counters and are released before the result frame is returned
+      // (a query function must not pin executor memory past its call —
+      // the PlanSpec sweep constructs every query).
       val flat = Etl.flattenSparql(s, ensureFixture())
       val cl = Etl.cleanSparql(flat)
       val ed = Etl.edges(cl).cache()
       val no = Etl.nodes(cl, occupations(s)).cache()
-      val nBind = flat.count()
-      val nEdges = ed.count()
-      val nEdgeDistinct = ed.distinct().count()
-      val nNodes = no.count()
-      val nEndpoints = ed.select(col("person").as("id"))
-        .unionAll(ed.select(col("object").as("id"))).distinct().count()
-      val nPygDense = no.groupBy(col("type")).agg(max(col("pyg_id")).as("mx"))
-        .agg(sum(col("mx") + 1)).head().getLong(0)
-      import s.implicits._
-      Seq((nBind, nEdges, nEdgeDistinct, nNodes, nEndpoints, nPygDense))
-        .toDF("n_bindings", "n_edges", "n_edge_distinct", "n_nodes",
-          "n_endpoint_ids", "n_pyg_dense")
+      try {
+        val nBind = flat.count()
+        val nEdges = ed.count()
+        val nEdgeDistinct = ed.distinct().count()
+        val nNodes = no.count()
+        val nEndpoints = ed.select(col("person").as("id"))
+          .unionAll(ed.select(col("object").as("id"))).distinct().count()
+        val nPygDense = no.groupBy(col("type")).agg(max(col("pyg_id")).as("mx"))
+          .agg(sum(col("mx") + 1)).head().getLong(0)
+        import s.implicits._
+        Seq((nBind, nEdges, nEdgeDistinct, nNodes, nEndpoints, nPygDense))
+          .toDF("n_bindings", "n_edges", "n_edge_distinct", "n_nodes",
+            "n_endpoint_ids", "n_pyg_dense")
+      } finally {
+        ed.unpersist(blocking = false)
+        no.unpersist(blocking = false)
+      }
     })
   )
 
@@ -240,7 +250,7 @@ object EtlPack {
        |         unnest(results.bindings) AS b
        |  FROM read_json('$landingDir/page_*.json', filename=true)
        |), flat AS (
-       |  SELECT CAST(page * 100000 + pos AS BIGINT) AS ord,
+       |  SELECT CAST(page AS BIGINT) * 100000 + pos AS ord,
        |    b.personLabel."xml:lang" AS personLang,
        |    $flatCols
        |  FROM raw
@@ -294,15 +304,15 @@ object EtlPack {
        |  SELECT person AS id, personLabel AS name, personDescription AS description,
        |         birthYear AS birth_year_raw, countryLabel AS country,
        |         birthPlaceLabel AS birth_place, personType AS type,
-       |         ord AS node_ord
+       |         0 AS side, ord AS node_ord
        |  FROM canon
        |  UNION ALL
        |  SELECT "object", objectLabel, objectDescription, NULL, NULL, NULL,
-       |         objectType, ord + 1000000
+       |         objectType, 1, ord
        |  FROM canon
        |), firsts AS (
        |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY node_ord) AS fn
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY side, node_ord) AS fn
        |    FROM sides) WHERE fn = 1
        |), occ AS (
        |  SELECT 'Q' || i AS id,
@@ -312,8 +322,8 @@ object EtlPack {
        |  SELECT f.id, f.name, f.description,
        |         TRY_CAST(f.birth_year_raw AS INTEGER) AS birth_year,
        |         f.country, f.birth_place, f.type, o.occupation,
-       |         CAST(row_number() OVER (PARTITION BY f.type ORDER BY f.node_ord) - 1
-       |              AS BIGINT) AS pyg_id
+       |         CAST(row_number() OVER (PARTITION BY f.type
+       |              ORDER BY f.side, f.node_ord) - 1 AS BIGINT) AS pyg_id
        |  FROM firsts f LEFT JOIN occ o ON f.id = o.id
        |)""".stripMargin
   }

@@ -149,7 +149,8 @@ object StreamingPack {
       val e = StreamOps.eventsStream(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
-      val landed = StreamOps.runToParquet(s, purchases)
+      val landed = StreamOps.runToParquet(s, purchases,
+        s"purchases_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
       landed.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
           OpsUtil.dsum(col("value")).as("total_value"))

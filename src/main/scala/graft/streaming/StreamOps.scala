@@ -382,8 +382,14 @@ object StreamOps {
       // batch, so the cross-batch merge path actually executes.
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp.toString)
-    val snap = Files.createTempDirectory("graft_cdc_snap")
-    snap.toFile.deleteOnExit()
+    // Stable snapshot root recycled at call start (same discipline as
+    // runToParquet): a fresh temp dir per call would leak its FINAL
+    // generation forever — the returned frame reads it lazily, so it
+    // can only be reclaimed by the NEXT run (or the OS tmp sweeper).
+    val snap = Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_cdc_snap/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    deleteTree(snap)
+    Files.createDirectories(snap)
     @volatile var cur: String = null
     var gen = 0
     val q = stream.writeStream
@@ -448,7 +454,10 @@ object StreamOps {
     // createTempDirectory per call accumulated sink+checkpoint trees
     // that deleteOnExit can never remove — ADVICE r7). The previous
     // run's tree is torn down before the new query starts so the file
-    // sink's commit log never mixes generations.
+    // sink's commit log never mixes generations. CONTRACT: the frame a
+    // call returns reads this path lazily, so it must be consumed
+    // before the next same-`name` call — concurrent or interleaved
+    // runs need distinct names.
     val root = Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_stream_sink/$name")
     deleteTree(root)

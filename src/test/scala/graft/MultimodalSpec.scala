@@ -98,6 +98,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!graft.multimodal.BmpCodec.isBmp("BMnot an image".getBytes("UTF-8")))
   }
 
+  test("malformed BMP headers route to the stub, never crash the task") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // Start from a valid image, then corrupt each header field a
+    // hostile/corrupt payload could carry: negative pixel offset,
+    // overflow-scale width, negative height. isBmp must reject ALL of
+    // them (decode() would otherwise index out of bounds or allocate
+    // absurdly), and the decoder must fall back to byte statistics.
+    val good = graft.multimodal.BmpCodec.encode(3, 2, Array.fill(6)(0x808080))
+    def corrupt(at: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(at, v)
+      b
+    }
+    val bad = Seq(
+      corrupt(10, -54),          // negative pixel-data offset
+      corrupt(18, 1 << 30),      // width*3 overflows int
+      corrupt(22, -2),           // negative height
+      corrupt(18, 1 << 20))      // dims past MaxDim: giant allocation
+    bad.zipWithIndex.foreach { case (p, i) =>
+      assert(!graft.multimodal.BmpCodec.isBmp(p), s"corrupt header $i accepted")
+      val f = graft.multimodal.BmpMediaDecoder.decode(MediaRow(9L, "image", p))
+      assert(f == graft.multimodal.StubDecoder.decode(MediaRow(9L, "image", p)),
+        s"corrupt payload $i did not fall back to the stub")
+    }
+    assert(graft.multimodal.BmpCodec.isBmp(good), "control: the valid image parses")
+  }
+
   test("BmpMediaDecoder: hand-computed luminance features on a real image") {
     // 2x1: pure red (luma 299*255/1000 = 76) and pure white (luma 255).
     val bytes = graft.multimodal.BmpCodec.encode(2, 1, Array(0xff0000, 0xffffff))

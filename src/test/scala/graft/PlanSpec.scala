@@ -340,7 +340,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec, RangeExec, LocalTableScanExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 
     def bounded(p: SparkPlan): Boolean = p match {
       case _: HashAggregateExec | _: ObjectHashAggregateExec |
@@ -349,16 +348,15 @@ class PlanSpec extends SparkSpec {
            _: TakeOrderedAndProjectExec => true
       // Literal frames and ranges are compile-time constants.
       case _: LocalTableScanExec | _: RangeExec => true
-      // A cached artifact: its build plan is swept via the query that
-      // materializes it; the scan itself carries no size evidence, so
-      // only accept it when the cache output arity is aggregate-shaped
-      // (the k=8 centroid / stats frames) — i.e. keep walking; the scan
-      // alone does NOT bound.
-      case s: InMemoryTableScanExec => s.relation.cachedPlan.exists(bounded)
-      // A broadcast-scalar crossJoin bounds nothing by itself — keep
-      // walking both sides.
-      case b: BroadcastNestedLoopJoinExec => b.children.exists(bounded)
-      case other => other.children.exists(bounded)
+      // A cached artifact: the scan itself carries no size evidence —
+      // walk its BUILD plan for the bounding node.
+      case s: InMemoryTableScanExec => bounded(s.relation.cachedPlan)
+      // Any multi-child node (joins, unions): EVERY input must be
+      // bounded — a raw scan crossJoined with a 1-row stats frame is
+      // still scan-sized, so an exists-check on either side would wave
+      // through exactly the shape this guard exists to catch.
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
     }
 
     // Negative control — the guard must actually fire: a global
@@ -372,23 +370,24 @@ class PlanSpec extends SparkSpec {
       val badWindows = bad.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
-      assert(badWindows.nonEmpty && badWindows.forall(w => !w.child.exists(bounded)),
+      assert(badWindows.nonEmpty && badWindows.forall(w => !bounded(w.child)),
         "the guard failed to flag a raw-scan global window")
     }
 
-    // Constructing these queries RUNS work (stream sinks, MLlib fits) —
-    // their windows are covered by dedicated specs instead.
+    // Constructing these queries RUNS work (stream sinks, MLlib fits,
+    // the reconcile query's driver-side counters) — their windows are
+    // covered by dedicated specs instead.
     val excluded = graft.ops.StreamingPack.queries.keySet ++
-      Set("ml_train_eval", "ml_als_recommend")
+      Set("ml_train_eval", "ml_als_recommend", "etl_sparql_reconcile")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       if (!excluded(name)) {
         val plan = q(spark, sf()).queryExecution.sparkPlan
         plan.foreach {
           case w: WindowExec if w.partitionSpec.isEmpty =>
-            if (!w.child.exists(bounded)) offenders += s"$name: $w"
+            if (!bounded(w.child)) offenders += s"$name: $w"
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-            if (!w.child.exists(bounded)) offenders += s"$name: $w"
+            if (!bounded(w.child)) offenders += s"$name: $w"
           case _ =>
         }
       }
