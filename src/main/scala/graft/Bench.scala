@@ -30,6 +30,11 @@ object Bench {
         System.err.println(f"[bench] WARNING: proceeding at load ${load1()}%.2f " +
           s"after ${gateWaited}s — artifact will be load-tainted")
     }
+    // The EXTERNAL-load reading: taken at gate release, before any
+    // Spark work. load_avg_before (recorded after warmup) inevitably
+    // includes our own local[cpus] warmup in the 1-minute average —
+    // comparing it against the gate misreads self-load as host noise.
+    val loadAtGate = load1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -145,6 +150,7 @@ object Bench {
         s""""passes":$passes,"failed":$failedJson,"max_over_min_gt3":$skewed,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
         s""""load_gate":$loadGate,"load_gate_waited_sec":$gateWaited,""" +
+        s""""load_avg_at_gate":$loadAtGate,""" +
         s""""queries_total":$queriesTotal,"sf":"$sfDir""""
     // stdout is the driver contract and long lines truncate there: its
     // capture keeps only a ~2.2 KB tail, so rounds 1-5 all recorded

@@ -189,4 +189,41 @@ object Etl {
         col("country"), col("birth_place"), col("type"), col("occupation"),
         col("pyg_id"))
   }
+
+  /** The reference's edge-COST model (bfs.py:15-90) over the ETL
+    * outputs — the §3.2 path-query preprocessing on its own data shape:
+    *  - blacklisted relations (`influenced_by`) cost ∞ (impassable);
+    *  - hub avoidance: base cost = ln(in_degree(dst) + 1) over the
+    *    FULL heterograph's in-degrees (blacklisted edges included,
+    *    matching igraph's degree(mode='in'));
+    *  - generation gap: both endpoints human with valid years
+    *    (non-null, > 1000) and |Δyear| > 15 adds (|Δyear| − 15)/5.
+    * One in-degree aggregation + two node-attribute joins — all
+    * hash-partitioned equi-joins, no broadcast hints (the node side is
+    * 4.6 M rows at the reference's scale; AQE may still elect a
+    * broadcast when it measures small). Costs round to 6 places (ln is
+    * inherently float); ∞ survives rounding on both engines. */
+  def edgeWeights(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val indeg = edges.groupBy(col("object").as("__d"))
+      .agg(count(lit(1)).as("in_deg"))
+    val src = nodes.select(col("id").as("person"),
+      col("type").as("__st"), col("birth_year").as("__sy"))
+    val dst = nodes.select(col("id").as("object"),
+      col("type").as("__dt"), col("birth_year").as("__dy"))
+    val gap = abs(col("__sy") - col("__dy"))
+    val agePenalty = when(
+      col("__st") === "human" && col("__dt") === "human" &&
+        col("__sy").isNotNull && col("__dy").isNotNull &&
+        col("__sy") > 1000 && col("__dy") > 1000 && gap > 15,
+      (gap - 15) / 5.0).otherwise(0.0)
+    edges
+      .join(indeg, col("object") === col("__d")).drop("__d")
+      .join(src, "person").join(dst, "object")
+      .select(col("person"), col("object"),
+        col("relationship_label"), col("in_deg"),
+        when(col("relationship_label") === "influenced_by",
+          lit(Double.PositiveInfinity))
+          .otherwise(round(log(col("in_deg") + 1) + agePenalty, 6))
+          .as("weight"))
+  }
 }

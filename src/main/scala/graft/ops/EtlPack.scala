@@ -138,7 +138,15 @@ object EtlPack {
             "An object number 2")
             .filterNot(_._1 == "person")
             .map { case ("personLabel", c) => "personLabel" -> c.copy(value = "Ghost")
-                   case kv => kv })                    // absent person → dropped
+                   case kv => kv },                    // absent person → dropped
+          // Weight-model legs (bfs.py:15-90): a >15-year generation-gap
+          // spouse pair (1925 vs 1903 → penalty (22−15)/5) and two
+          // blacklisted influenced_by edges (cost = ∞).
+          spouseRow(25, 3),
+          edgeRow(9, "influenced_by", "Q10", "Person 10", "human",
+            "A person number 10"),
+          edgeRow(20, "influenced_by", "Q21", "Person 21", "human",
+            "A person number 21"))
     Seq(page0, page1)
   }
 
@@ -202,6 +210,14 @@ object EtlPack {
     // birth-year coercion, per-type dense pyg_id (transformer.py:139-173;
     // FIXTURES.md §1.3).
     "etl_sparql_nodes" -> ((s, _) => Etl.nodes(cleaned(s), occupations(s))),
+
+    // The reference's edge-cost model over the §5 slice's own outputs
+    // (bfs.py:15-90): blacklist → ∞, ln(in_degree+1) hub avoidance,
+    // (|Δyear|−15)/5 generation-gap penalty on human-human edges.
+    "etl_sparql_weights" -> ((s, _) => {
+      val cl = cleaned(s)
+      Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s)))
+    }),
 
     // The reference's reconciliation counters in one row: stage counts
     // (transformer.py:216-246 print(len(df)) chain), duplicate audits
@@ -347,6 +363,29 @@ object EtlPack {
          |SELECT id, name, description, birth_year, country, birth_place,
          |       type, occupation, pyg_id
          |FROM nod""".stripMargin,
+
+    "etl_sparql_weights" ->
+      s"""$chainSql,
+         |edg AS (SELECT person, relationshipLabel AS relationship_label,
+         |    "object" FROM canon),
+         |ind AS (SELECT "object" AS d, COUNT(*) AS in_deg
+         |  FROM edg GROUP BY "object")
+         |SELECT e.person, e."object", e.relationship_label, i.in_deg,
+         |  CASE WHEN e.relationship_label = 'influenced_by'
+         |       THEN CAST('infinity' AS DOUBLE)
+         |       ELSE round(ln(i.in_deg + 1) +
+         |         CASE WHEN sn.type = 'human' AND dn.type = 'human'
+         |              AND sn.birth_year IS NOT NULL
+         |              AND dn.birth_year IS NOT NULL
+         |              AND sn.birth_year > 1000 AND dn.birth_year > 1000
+         |              AND abs(sn.birth_year - dn.birth_year) > 15
+         |           THEN (abs(sn.birth_year - dn.birth_year) - 15) / 5.0
+         |           ELSE 0.0 END, 6)
+         |  END AS weight
+         |FROM edg e
+         |JOIN ind i ON i.d = e."object"
+         |JOIN nod sn ON sn.id = e.person
+         |JOIN nod dn ON dn.id = e."object"""".stripMargin,
 
     "etl_sparql_reconcile" ->
       s"""$chainSql

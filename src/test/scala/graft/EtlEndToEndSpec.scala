@@ -25,7 +25,7 @@ class EtlEndToEndSpec extends SparkSpec {
   private lazy val nodes = Etl.nodes(cleaned, EtlPack.occupations(spark)).cache()
 
   test("flatten: one row per binding, metadata leaves reachable") {
-    assert(flat.count() === 64)
+    assert(flat.count() === 67)
     // xml:lang leaf survives flattening (dropped later by the cleaner)
     val langs = flat.groupBy("personLang").count().collect()
       .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
@@ -35,20 +35,20 @@ class EtlEndToEndSpec extends SparkSpec {
   }
 
   test("clean chain drops exactly the planted dirty rows, stage by stage") {
-    // 64 bindings − 5 planted garbage rows − 2 unresolved-object rows
-    val filtered = 64 - 7
+    // 67 bindings − 5 planted garbage rows − 2 unresolved-object rows
+    val filtered = 67 - 7
     // − 3 exact duplicate triples − 2 reversed pairs
     assert(cleaned.count() === filtered - 3 - 2)
-    assert(edges.count() === 52)
+    assert(edges.count() === 55)
   }
 
   test("edges invariants (FIXTURES.md §1.2)") {
-    assert(edges.distinct().count() === 52)                 // no whole-row dups
+    assert(edges.distinct().count() === 55)                 // no whole-row dups
     assert(edges.select("person", "relationship_label", "object")
-      .distinct().count() === 52)                           // no triple dups
+      .distinct().count() === 55)                           // no triple dups
     assert(edges.select(least(col("person"), col("object")),
       greatest(col("person"), col("object")), col("relationship_label"))
-      .distinct().count() === 52)                           // no canonical dups
+      .distinct().count() === 55)                           // no canonical dups
     assert(edges.filter(!col("person").rlike("^Q\\d+$") ||
       !col("object").rlike("^Q\\d+$")).count() === 0)       // id shape
     assert(edges.filter(col("person_label").rlike("^Q\\d+$") ||
@@ -98,6 +98,26 @@ class EtlEndToEndSpec extends SparkSpec {
       .select("id", "pyg_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pyg("Q1") === 0L && pyg("Q18") === 16L &&
       pyg("Q30") === 28L && pyg("Q12") === 29L)
+  }
+
+  test("edge-cost model (bfs.py:15-90): blacklist ∞, hub base, generation gap") {
+    val w = Etl.edgeWeights(edges, nodes).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(w.size === 55, "one cost row per edge")
+    // blacklisted relations are impassable
+    assert(w(("Q9", "Q10", "influenced_by"))._2.isPosInfinity)
+    assert(w(("Q20", "Q21", "influenced_by"))._2.isPosInfinity)
+    // generation gap: P25 (1925) → P3 (1903), Δ22 → ln(deg+1) + (22−15)/5
+    val (d3, w3) = w(("Q25", "Q3", "spouse"))
+    assert(w3 === math.round((math.log(d3 + 1.0) + 1.4) * 1e6) / 1e6)
+    // same-generation spouse carries only the hub base cost
+    val (d2, w2) = w(("Q1", "Q2", "spouse"))
+    assert(w2 === math.round(math.log(d2 + 1.0) * 1e6) / 1e6)
+    // a null-year endpoint (P5's multi-valued year coerced to null)
+    // disables the penalty, not the edge
+    val (d6, w6) = w(("Q5", "Q6", "spouse"))
+    assert(!w6.isInfinity && w6 === math.round(math.log(d6 + 1.0) * 1e6) / 1e6)
   }
 
   test("graph build reconciliation: vcount==len(nodes), ecount==len(edges)") {
