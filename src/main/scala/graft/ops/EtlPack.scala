@@ -38,6 +38,12 @@ object EtlPack {
   private val ObjTypes = Seq(
     "film", "organization", "educational_institution", "award", "music")
 
+  /** Six-degrees source (P25 — start of the generation-gap spouse
+    * chain) and relaxation rounds (the six-degrees motif; the fixture
+    * graph's reachable depth is 3). */
+  private val SixDegreesSource = 25L
+  private val SixDegreesIters  = 6
+
   private case class Cell(tpe: String, value: String, lang: Option[String] = None)
   private type Binding = Seq[(String, Cell)]
 
@@ -219,6 +225,28 @@ object EtlPack {
       Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s)))
     }),
 
+    // The reference's SIGNATURE query (§3.2 find_connection,
+    // bfs.py:95-117) closing the §5 loop: weighted single-source
+    // shortest paths over the graph the ETL chain itself produced —
+    // SPARQL JSON → edges/nodes → bfs.py costs → Dijkstra-equivalent
+    // BSP — with Q-ids mapped to numeric vertex ids by their own digits
+    // (replayable in SQL). The source sits on the generation-gap spouse
+    // chain, so path costs exercise the age penalty; ∞ (blacklisted)
+    // edges propagate ∞ exactly as igraph treats them; unreached nodes
+    // (most of the graph — the disconnected-island motif) drop out.
+    "etl_sparql_six_degrees" -> ((s, _) => {
+      val cl = cleaned(s)
+      val w = Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s)))
+      val e = w.select(
+        expr("CAST(substr(person, 2) AS BIGINT)").as("src"),
+        expr("CAST(substr(object, 2) AS BIGINT)").as("dst"),
+        col("weight").as("w"))
+      graft.graph.DFGraphAlgs.shortestPaths(e, SixDegreesSource, SixDegreesIters)
+        .filter(col("dist").isNotNull)
+        .select(concat(lit("Q"), col("id")).as("id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // The reference's reconciliation counters in one row: stage counts
     // (transformer.py:216-246 print(len(df)) chain), duplicate audits
     // (notebook cells 71-72), and the vcount/ecount checks (cells
@@ -344,6 +372,31 @@ object EtlPack {
        |)""".stripMargin
   }
 
+  /** chainSql extended with the bfs.py edge-cost CTEs: `wts` carries
+    * (person, object, relationship_label, in_deg, weight). */
+  private def weightsChainSql: String =
+    s"""$chainSql,
+       |edg AS (SELECT person, relationshipLabel AS relationship_label,
+       |    "object" FROM canon),
+       |ind AS (SELECT "object" AS d, COUNT(*) AS in_deg
+       |  FROM edg GROUP BY "object"),
+       |wts AS (SELECT e.person, e."object", e.relationship_label, i.in_deg,
+       |  CASE WHEN e.relationship_label = 'influenced_by'
+       |       THEN CAST('infinity' AS DOUBLE)
+       |       ELSE round(ln(i.in_deg + 1) +
+       |         CASE WHEN sn.type = 'human' AND dn.type = 'human'
+       |              AND sn.birth_year IS NOT NULL
+       |              AND dn.birth_year IS NOT NULL
+       |              AND sn.birth_year > 1000 AND dn.birth_year > 1000
+       |              AND abs(sn.birth_year - dn.birth_year) > 15
+       |           THEN (abs(sn.birth_year - dn.birth_year) - 15) / 5.0
+       |           ELSE 0.0 END, 6)
+       |  END AS weight
+       |  FROM edg e
+       |  JOIN ind i ON i.d = e."object"
+       |  JOIN nod sn ON sn.id = e.person
+       |  JOIN nod dn ON dn.id = e."object")""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "etl_sparql_flatten" -> {
       val cols = Etl.Vars.map(v => s""""$v"""").mkString(", ")
@@ -365,27 +418,34 @@ object EtlPack {
          |FROM nod""".stripMargin,
 
     "etl_sparql_weights" ->
-      s"""$chainSql,
-         |edg AS (SELECT person, relationshipLabel AS relationship_label,
-         |    "object" FROM canon),
-         |ind AS (SELECT "object" AS d, COUNT(*) AS in_deg
-         |  FROM edg GROUP BY "object")
-         |SELECT e.person, e."object", e.relationship_label, i.in_deg,
-         |  CASE WHEN e.relationship_label = 'influenced_by'
-         |       THEN CAST('infinity' AS DOUBLE)
-         |       ELSE round(ln(i.in_deg + 1) +
-         |         CASE WHEN sn.type = 'human' AND dn.type = 'human'
-         |              AND sn.birth_year IS NOT NULL
-         |              AND dn.birth_year IS NOT NULL
-         |              AND sn.birth_year > 1000 AND dn.birth_year > 1000
-         |              AND abs(sn.birth_year - dn.birth_year) > 15
-         |           THEN (abs(sn.birth_year - dn.birth_year) - 15) / 5.0
-         |           ELSE 0.0 END, 6)
-         |  END AS weight
-         |FROM edg e
-         |JOIN ind i ON i.d = e."object"
-         |JOIN nod sn ON sn.id = e.person
-         |JOIN nod dn ON dn.id = e."object"""".stripMargin,
+      s"""$weightsChainSql
+         |SELECT person, "object", relationship_label, in_deg, weight
+         |FROM wts""".stripMargin,
+
+    // Bellman-Ford over the weighted ETL graph, unrolled to
+    // SixDegreesIters relaxation rounds — the same recurrence the Spark
+    // BSP runs, double arithmetic and all (each path sums left to
+    // right in both engines; ∞ edges propagate ∞ distances).
+    "etl_sparql_six_degrees" -> {
+      val iters = (1 to SixDegreesIters).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT d.id, least(d.dist, r.reach) AS dist
+           |  FROM p${k - 1} d LEFT JOIN (
+           |    SELECT e.dst AS id, MIN(p.dist + e.w) AS reach
+           |    FROM wedges e JOIN p${k - 1} p ON p.id = e.src AND p.dist IS NOT NULL
+           |    GROUP BY e.dst) r ON r.id = d.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$weightsChainSql,
+         |wedges AS (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
+         |    CAST(substr("object", 2) AS BIGINT) AS dst, weight AS w FROM wts),
+         |vx AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges)),
+         |p0 AS (SELECT id,
+         |  CAST(CASE WHEN id = $SixDegreesSource THEN 0.0 END AS DOUBLE) AS dist
+         |  FROM vx),
+         |$iters
+         |SELECT 'Q' || id AS id, round(dist, 6) AS dist
+         |FROM p$SixDegreesIters WHERE dist IS NOT NULL""".stripMargin
+    },
 
     "etl_sparql_reconcile" ->
       s"""$chainSql

@@ -120,6 +120,22 @@ class EtlEndToEndSpec extends SparkSpec {
     assert(!w6.isInfinity && w6 === math.round(math.log(d6 + 1.0) * 1e6) / 1e6)
   }
 
+  test("six-degrees path query over the slice's own graph (find_connection twin)") {
+    // The §3.2 signature query on §5's outputs: weighted SSSP from P25
+    // through the generation-gap spouse chain. Hand-derived golden —
+    // e.g. dist(Q3) = ln(indeg+1) + (22−15)/5 = ln 2 + 1.4; the two
+    // ties at 3.479441 are distinct targets of equal accumulated cost.
+    val got = graft.ops.EtlPack.queries("etl_sparql_six_degrees")(spark, "")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("Q25", "Q106", "Q3", "Q4", "Q104", "Q110",
+      "Q105", "Q109"), "reachable set (the rest of the graph is the island)")
+    assert(got("Q25") === 0.0)
+    assert(got("Q3") === math.round((math.log(2) + 1.4) * 1e6) / 1e6)
+    assert(got("Q4") === math.round((math.log(2) + 1.4 + math.log(2)) * 1e6) / 1e6)
+    assert(!got.values.exists(_.isInfinity),
+      "no blacklisted edge lies on a reachable path from P25")
+  }
+
   test("graph build reconciliation: vcount==len(nodes), ecount==len(edges)") {
     // igraph-build twin (transformer.py:335; notebook cells 122-123):
     // vertex ids = first-occurrence node order, edges joined to them.
