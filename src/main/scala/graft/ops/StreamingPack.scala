@@ -149,8 +149,9 @@ object StreamingPack {
       val e = StreamOps.eventsStream(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
-      val landed = StreamOps.runToParquet(s, purchases,
-        s"purchases_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      // Raw name; runToParquet's scratchKey makes it filesystem-safe,
+      // collision-free, and per-process.
+      val landed = StreamOps.runToParquet(s, purchases, s"purchases_$d")
       landed.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
           OpsUtil.dsum(col("value")).as("total_value"))

@@ -382,12 +382,14 @@ object StreamOps {
       // batch, so the cross-batch merge path actually executes.
       .option("maxFilesPerTrigger", 1)
       .parquet(tmp.toString)
-    // Stable snapshot root recycled at call start (same discipline as
-    // runToParquet): a fresh temp dir per call would leak its FINAL
-    // generation forever — the returned frame reads it lazily, so it
-    // can only be reclaimed by the NEXT run (or the OS tmp sweeper).
+    // Stable per-(dir, process) snapshot root recycled at call start
+    // (same discipline as runToParquet): a fresh temp dir per call
+    // would leak its FINAL generation forever — the returned frame
+    // reads it lazily, so it can only be reclaimed by the NEXT run in
+    // this process (or the OS tmp sweeper). The pid key keeps
+    // concurrent processes on the same fixture dir isolated.
     val snap = Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_cdc_snap/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"${sys.props("java.io.tmpdir")}/graft_cdc_snap/${scratchKey(dir)}")
     deleteTree(snap)
     Files.createDirectories(snap)
     @volatile var cur: String = null
@@ -429,6 +431,17 @@ object StreamOps {
         col("st.event_type").as("last_event_type"), col("st.value").as("last_value"))
   }
 
+  /** Scratch-root key for a raw path/name: filesystem-safe chars plus a
+    * hash of the raw string (distinct inputs that sanitize identically
+    * must not share a root) plus the JVM pid — concurrent PROCESSES get
+    * isolated roots, while calls within one process recycle theirs
+    * (consume-before-next-call contract). One definition so every
+    * path-keying site stays in lockstep. */
+  private[graft] def scratchKey(raw: String): String =
+    raw.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_" + Integer.toHexString(raw.hashCode) +
+      "_p" + ProcessHandle.current().pid()
+
   /** Recursive scratch-tree delete (child-first walk; deleteOnExit is a
     * no-op on non-empty directories). */
   private def deleteTree(p: java.nio.file.Path): Unit = {
@@ -459,7 +472,7 @@ object StreamOps {
     // before the next same-`name` call — concurrent or interleaved
     // runs need distinct names.
     val root = Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_stream_sink/$name")
+      s"${sys.props("java.io.tmpdir")}/graft_stream_sink/${scratchKey(name)}")
     deleteTree(root)
     Files.createDirectories(root)
     val q = streamed.writeStream
