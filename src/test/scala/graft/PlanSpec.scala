@@ -295,6 +295,23 @@ class PlanSpec extends SparkSpec {
       s"chain windows must partition by user:\n$p2")
   }
 
+  test("the ETL slice chain stays equi-join work end to end") {
+    // SPARQL flatten → clean → dedup → split → weights: per-person
+    // collapse join, keep-first windows, node-attribute joins — all
+    // key-partitioned; nothing may fall back to an all-pairs product,
+    // and every window carries a partition key (person / triple /
+    // canonical pair / id / type).
+    for (q <- Seq("etl_sparql_edges", "etl_sparql_nodes", "etl_sparql_weights")) {
+      val p = planOf(graft.ops.EtlPack.queries(q)(spark, sf()))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join work:\n$p")
+      assert(!p.contains("Window [") ||
+        """Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isEmpty,
+        s"$q has an unpartitioned window:\n$p")
+    }
+  }
+
   test("graph_rich_club never force-broadcasts the hub set") {
     // The P90 hub set is ~10% of the projection's vertices — millions of
     // rows at the reference's 4.6 M-node graph. Only the two 1-row
