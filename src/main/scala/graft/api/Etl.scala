@@ -85,12 +85,37 @@ object Etl {
   private def isQ(c: Column): Column =
     coalesce(c.rlike("^Q\\d+$"), lit(false))
 
-  /** The full clean chain on a flattened landing frame: scrub → Q-id
-    * strip → garbage filters → multi-value collapse → triple dedup →
+  /** The full clean chain on a flattened landing frame: multi-value
+    * collapse → scrub → Q-id strip → garbage filters → triple dedup →
     * canonical back-edge dedup. Returns one row per surviving edge with
-    * both raw-var and collapsed attribute columns plus `ord`. */
+    * both raw-var and collapsed attribute columns plus `ord`.
+    *
+    * Ordering matches the reference: transformer.py:197-213 runs the
+    * per-person collapse FIRST, on the raw flattened frame (group key =
+    * the full person URI, values unscrubbed), BEFORE the scrub / URI
+    * strip / garbage filters — so rows the filters later drop still
+    * contribute attribute values to persons that survive. The fixture
+    * plants a probe row for this (an unresolved-object-label row whose
+    * unique countryLabel must still reach its person's collapsed set). */
   def cleanSparql(flat: DataFrame): DataFrame = {
-    val scrubbed = flat.select(
+    // transformer.py:197-201 — sorted distinct ", "-join (deviation: the
+    // reference joins in first-occurrence order with NaN→' ' artifacts;
+    // here order is canonical and empty → null). Hash aggregation on
+    // `person`, then an equi-join back — both sides shuffle once on the
+    // same key.
+    def joined(v: String): Column = {
+      val j = array_join(array_sort(collect_set(col(v))), ", ")
+      when(j === "", lit(null)).otherwise(j).as(v)
+    }
+    val collapsed = flat.groupBy("person")
+      .agg(joined("countryLabel"), joined("birthPlaceLabel"), joined("birthYear"))
+    val merged = flat
+      .drop("countryLabel", "birthPlaceLabel", "birthYear")
+      .join(collapsed, Seq("person"), "left")
+
+    // transformer.py:214-216 — the whole-frame scrub runs AFTER the
+    // merge, so collapsed lists pass through it too.
+    val scrubbed = merged.select(
       col("ord") +: Vars.map(v => scrub(col(v)).as(v)): _*)
     val ids = scrubbed
       .withColumn("person", qId(col("person")))
@@ -101,20 +126,6 @@ object Etl {
       .filter(!(isQ(col("personLabel")) || isQ(col("objectLabel"))))
       .filter(col("person").isNotNull && col("person") =!= "")
 
-    // transformer.py:197-201 — per-person collapse of the multi-valued
-    // attributes (sorted distinct ", "-join; empty → null). Hash
-    // aggregation on `person`, then an equi-join back — both sides
-    // shuffle once on the same key.
-    def joined(v: String): Column = {
-      val j = array_join(array_sort(collect_set(col(v))), ", ")
-      when(j === "", lit(null)).otherwise(j).as(v)
-    }
-    val collapsed = ids.groupBy("person")
-      .agg(joined("countryLabel"), joined("birthPlaceLabel"), joined("birthYear"))
-    val merged = ids
-      .drop("countryLabel", "birthPlaceLabel", "birthYear")
-      .join(collapsed, Seq("person"), "left")
-
     // transformer.py:244 — (person, rel, object) dedup, keep first
     // landing occurrence; then :116-134 — canonical undirected dedup.
     val tripleW = Window
@@ -124,7 +135,7 @@ object Etl {
       .partitionBy(least(col("person"), col("object")),
         greatest(col("person"), col("object")), col("relationshipLabel"))
       .orderBy(col("ord"))
-    merged
+    ids
       .withColumn("__rn", row_number().over(tripleW)).filter(col("__rn") === 1)
       .withColumn("__cn", row_number().over(canonW)).filter(col("__cn") === 1)
       .drop("__rn", "__cn")

@@ -40,14 +40,39 @@ object DFGraphAlgs {
     * wants the reliable form. */
   val ReliableCheckpointConf = "spark.graft.reliableCheckpoint"
 
+  /** Conf key: when "true", the BSP loops build their UNTRUNCATED lazy
+    * plan — [[mat]] becomes the identity (no checkpoint jobs) and the
+    * sizing `count()` actions behind the broadcast decisions are
+    * skipped (rounds take the shuffle-join path). This exists for PLAN
+    * INSPECTION (PlanSpec's bounded-window sweep — checkpointing
+    * otherwise truncates the inspectable plan to a LogicalRDD scan):
+    * loops also clamp to ≤ 2 rounds under it, because every round is
+    * the same operator shape and the un-truncated k-round tree doubles
+    * per round (state feeds the next round twice), so analyzing the
+    * full-depth plan is exponential for zero extra coverage. Never
+    * EXECUTE under this flag. */
+  val PlanOnlyConf = "spark.graft.bsp.planOnly"
+
+  private def planOnly(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(PlanOnlyConf).contains("true")
+
+  /** Loop rounds to actually build: full `iters` normally, 2 under
+    * plan-only (identical per-round shape; see [[PlanOnlyConf]]). */
+  private def rounds(df: DataFrame, iters: Int): Int =
+    if (planOnly(df)) math.min(iters, 2) else iters
+
   /** Materialize a frame and truncate its logical lineage —
     * localCheckpoint by default, reliable checkpoint() when
-    * [[ReliableCheckpointConf]] is set and a checkpoint dir exists. */
+    * [[ReliableCheckpointConf]] is set and a checkpoint dir exists;
+    * identity under [[PlanOnlyConf]]. */
   private def mat(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val reliable = s.conf.getOption(ReliableCheckpointConf).contains("true") &&
-      s.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (planOnly(df)) df
+    else {
+      val reliable = s.conf.getOption(ReliableCheckpointConf).contains("true") &&
+        s.sparkContext.getCheckpointDir.isDefined
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    }
   }
 
   /** Vertex-state row count below which per-round state/message frames are
@@ -166,8 +191,8 @@ object DFGraphAlgs {
       lit(0.15).cast("double").as("part")))
     var rank = mat(seeds.select(col("seed"), col("seed").as("id"),
       lit(1.0).cast("double").as("rank")))
-    for (_ <- 1 to iters) {
-      val small = rank.count() <= StateBroadcastLimit
+    for (_ <- 1 to rounds(rank, iters)) {
+      val small = !planOnly(rank) && rank.count() <= StateBroadcastLimit
       val msgs = contrib.join(maybeBcast(rank, small),
           contrib("src") === rank("id"))
         .select(col("seed"), col("dst").as("id"),
@@ -194,8 +219,8 @@ object DFGraphAlgs {
       .union(e.select(col("dst").as("id"))).distinct()
     var dist = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
-    val small = dist.count() <= StateBroadcastLimit
-    for (_ <- 1 to iters) {
+    val small = !planOnly(dist) && dist.count() <= StateBroadcastLimit
+    for (_ <- 1 to rounds(dist, iters)) {
       val relaxed = e.join(maybeBcast(dist, small), e("src") === dist("id"))
         .filter(col("dist").isNotNull)
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
@@ -220,10 +245,10 @@ object DFGraphAlgs {
       coalesce(col("w"), lit(1.0)).as("w")))
     var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to rounds(dist, iters)) {
       // State grows round over round (up to sources × reached) — re-check
       // the measured size each round before choosing broadcast.
-      val small = dist.count() <= StateBroadcastLimit
+      val small = !planOnly(dist) && dist.count() <= StateBroadcastLimit
       val relaxed = e.join(maybeBcast(dist, small), e("src") === dist("id"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("reach"))
@@ -249,8 +274,8 @@ object DFGraphAlgs {
     var st = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
       lit(null).cast("long").as("pred")))
-    val small = st.count() <= StateBroadcastLimit
-    for (_ <- 1 to iters) {
+    val small = !planOnly(st) && st.count() <= StateBroadcastLimit
+    for (_ <- 1 to rounds(st, iters)) {
       // Lexicographic min over (nd, pred) as a struct-min hash aggregate:
       // same deterministic tie-break as a (nd, pred) sort-window, but with
       // map-side partial aggregation and no per-partition sort.
@@ -281,8 +306,8 @@ object DFGraphAlgs {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var comp = mat(nodes.select(col("id"), col("id").as("comp")))
-    val small = comp.count() <= StateBroadcastLimit
-    for (_ <- 1 to iters) {
+    val small = !planOnly(comp) && comp.count() <= StateBroadcastLimit
+    for (_ <- 1 to rounds(comp, iters)) {
       val better = e.join(maybeBcast(comp, small), e("src") === comp("id"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
       comp = mat(comp.join(maybeBcast(better, small), Seq("id"), "left")

@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,22 +16,60 @@ import graft.api.Etl
   * chain from the SAME landing files via `read_json` — an independent
   * second implementation over the reference's actual landing shape.
   *
-  * The landing fixture is synthesized deterministically (pure function
-  * of nothing — identical bytes every run, sf-independent) and carries
+  * The landing fixture is synthesized deterministically and carries
   * every dirty-row class FIXTURES.md §1.1 requires the cleaner to
   * handle: unresolved `^Q\d+$` labels, genid URIs that don't strip to a
   * Q-id, empty and absent person cells, exact duplicate triples,
   * reversed A→B/B→A pairs, embedded `\t`/`\n` whitespace, multi-valued
-  * person attributes split across rows, and unparseable birth years.
+  * person attributes split across rows, unparseable birth years, and a
+  * collapse-order probe (a filtered-out row whose attribute value must
+  * still reach its surviving person — transformer.py runs the
+  * per-person collapse before the garbage filters).
+  *
+  * SCALE: the landing volume is sf-parameterized (ScaleUp-style).
+  * [[scaleFor]] maps the query's data dir to a replica count
+  * (sf0.001→1, sf0.01→10, sf0.1→100, sf1→1000); each replica is an
+  * id-shifted isomorphic copy of the 30-person motif (stride 1000, two
+  * pages, all dirty-row classes), so the clean chain's work grows
+  * linearly in sf while per-replica semantics — including the
+  * six-degrees goldens, which live entirely in replica 0 — stay fixed.
+  * Replica graphs are disjoint islands, so BFS/SSSP round counts are
+  * scale-independent. The DuckDB oracle is scale-keyed: the queries
+  * record the scale they ran at ([[activeScale]]) and [[oracle]] emits
+  * SQL over that scale's landing dir — graft.Verify runs the queries
+  * before dumping oracle_sql.json, so the two always agree within a
+  * verification run.
   */
 object EtlPack {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Landing dir — sf-independent (fixture content is constant), under
-    * the JVM tmpdir so Verify and the DuckDB oracle run on the same
+  /** Id shift between fixture replicas: replica r holds persons
+    * Q(1+1000r)..Q(30+1000r) and objects Q(101+1000r)..Q(120+1000r). */
+  private val Stride = 1000L
+
+  /** Landing dir for a given replica count — keyed by scale so
+    * different-sf processes never share (or tear) a directory, under
+    * the JVM tmpdir so Verify and the DuckDB oracle read the same
     * files within a round. */
-  val landingDir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_sparql_v1"
+  def landingDir(scale: Int): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sparql_v2_s$scale"
+
+  /** sf-derived replica count: parses the `sf…` component of the data
+    * dir (sf0.001→1, sf0.01→10, sf0.1→100, sf1→1000; no match → 1).
+    * Capped at 1000 replicas (~66k bindings / 2000 pages). */
+  def scaleFor(dir: String): Int = {
+    val sf = "sf(\\d+(?:\\.\\d+)?)".r.findFirstMatchIn(dir)
+      .map(_.group(1).toDouble).getOrElse(0.001)
+    math.min(1000, math.max(1, math.round(sf * 1000).toInt))
+  }
+
+  /** Scale the LAST query invocation ran at — read by [[oracle]] so the
+    * dumped SQL replays the same landing volume the parquet results
+    * came from (Verify runs all queries, then dumps the oracle map). */
+  @volatile private var activeScaleV: Int = 1
+  private def use(dir: String): Int = {
+    val sc = scaleFor(dir); activeScaleV = sc; sc
+  }
 
   // ---- fixture synthesis (FIXTURES.md §1.1) -------------------------
 
@@ -39,15 +77,29 @@ object EtlPack {
     "film", "organization", "educational_institution", "award", "music")
 
   /** Six-degrees source (P25 — start of the generation-gap spouse
-    * chain) and relaxation rounds (the six-degrees motif; the fixture
-    * graph's reachable depth is 3). */
+    * chain, replica 0 only, so the signature query's golden is
+    * scale-independent). */
   private val SixDegreesSource = 25L
-  private val SixDegreesIters  = 6
+  /** Relaxation rounds for the weighted UNDIRECTED single-source query
+    * (bfs.py mode='all'): must reach a fixed point on the replica-0
+    * motif (EtlEndToEndSpec pins k and k+2 rounds equal). */
+  private val SixDegreesIters = 8
   /** Relaxation rounds of the pairwise experiment — must EXCEED the
     * fixture graph's undirected diameter so the distances are converged
     * experiment results, not an iteration-cap artifact (the spec pins
-    * max_hops strictly below this). */
+    * max_hops strictly below this). Replicas are disjoint islands, so
+    * the diameter — and this bound — is scale-independent. */
   private val DegreesExpIters  = 12
+
+  /** Person cap of the six-degrees experiment's deterministic sample:
+    * C(142, 2) = 10 011 unordered pairs ≈ the reference's 10 000-pair
+    * protocol (notebook cell 147; analysis_service.py:223-263 chunks
+    * the sampled pairs into per-source batches). The gate keeps a
+    * person iff `((hid·2654435761) mod 1000003) mod D = 0` with
+    * D = max(1, n_persons div 142) — an integer rule both engines
+    * replay, expected kept ≈ n/D ≲ 2·142, so the BSP source list is
+    * bounded by construction at ANY corpus size. */
+  val PairSampleCap = 142L
 
   private case class Cell(tpe: String, value: String, lang: Option[String] = None)
   private type Binding = Seq[(String, Cell)]
@@ -56,6 +108,9 @@ object EtlPack {
   private def lit2(v: String) = Cell("literal", v)
   private def lab(v: String, lang: String) = Cell("literal", v, Some(lang))
 
+  // Label/attribute TEXT is keyed by the replica-local index (every
+  // replica is isomorphic, byte-for-byte, up to its id shift); only the
+  // entity URIs carry the replica offset.
   private def personLabel(i: Int): String =
     if (i == 11) "Person\t11" else if (i == 12) "Person\n12" else s"Person $i"
   private def personLang(i: Int): String = if (i % 6 == 0) "vi" else "en"
@@ -72,16 +127,17 @@ object EtlPack {
   private def country(i: Int, rel: String): String =
     if (i % 7 == 0 && rel == "employer") "Country X" else s"Country ${i % 5}"
 
-  private def objId(j: Int) = s"Q${100 + j}"
+  private def objId(off: Long, j: Int) = s"Q${100 + j + off}"
   private def objLabel(j: Int): String =
     if (j == 13) "Q113" else s"Object $j"        // unresolved label → dropped
   private def objType(j: Int): String = ObjTypes(j % 5)
 
-  /** One landing row: person i --rel--> object cells. */
-  private def edgeRow(i: Int, rel: String,
+  /** One landing row: person i --rel--> object cells (ids shifted by
+    * the replica offset, text local). */
+  private def edgeRow(off: Long, i: Int, rel: String,
       oId: String, oLabel: String, oType: String, oDesc: String): Binding = {
     val base = Seq(
-      "person" -> uri(s"Q$i"),
+      "person" -> uri(s"Q${i + off}"),
       "personLabel" -> lab(personLabel(i), personLang(i)),
       "personType" -> lit2("human"),
       "birthYear" -> lit2(birthYear(i, rel)),
@@ -97,66 +153,78 @@ object EtlPack {
       birthPlace(i).map(b => "birthPlaceLabel" -> lit2(b))
   }
 
-  private def eduRow(i: Int): Binding = {
+  private def eduRow(off: Long)(i: Int): Binding = {
     val j = 1 + (i % 20)
-    edgeRow(i, "educated_at", objId(j), objLabel(j), objType(j),
+    edgeRow(off, i, "educated_at", objId(off, j), objLabel(j), objType(j),
       s"An object number $j")
   }
-  private def empRow(i: Int): Binding = {
+  private def empRow(off: Long)(i: Int): Binding = {
     val j = 1 + ((i * 3) % 20)
-    edgeRow(i, "employer", objId(j), objLabel(j), objType(j),
+    edgeRow(off, i, "employer", objId(off, j), objLabel(j), objType(j),
       s"An object number $j")
   }
-  private def awardRow(i: Int): Binding = {
+  private def awardRow(off: Long)(i: Int): Binding = {
     val j = 1 + ((i * 7) % 20)
-    edgeRow(i, "award_received", objId(j), objLabel(j), objType(j),
+    edgeRow(off, i, "award_received", objId(off, j), objLabel(j), objType(j),
       s"An object number $j")
   }
-  private def spouseRow(a: Int, b: Int): Binding =
-    edgeRow(a, "spouse", s"Q$b", s"Person $b", "human", s"A person number $b")
+  private def spouseRow(off: Long)(a: Int, b: Int): Binding =
+    edgeRow(off, a, "spouse", s"Q${b + off}", s"Person $b", "human",
+      s"A person number $b")
 
-  /** The two landing pages, in extractor pagination order. */
-  private def pages: Seq[Seq[Binding]] = {
-    val genidUri = "http://www.wikidata.org/.well-known/genid/b1a2c3"
+  /** One replica's two landing pages, in extractor pagination order. */
+  private def pagesFor(r: Int): Seq[Seq[Binding]] = {
+    val off = Stride * r
+    val genidUri = s"http://www.wikidata.org/.well-known/genid/b1a2c3r$r"
+    val edu = eduRow(off) _; val emp = empRow(off) _
+    val award = awardRow(off) _; val spouse = spouseRow(off) _
     val page0 =
-      (1 to 18).map(eduRow) ++ Seq(
-        eduRow(1),                                     // exact duplicate triple
-        edgeRow(42, "educated_at", objId(1), objLabel(1), objType(1),
+      (1 to 18).map(edu) ++ Seq(
+        edu(1),                                        // exact duplicate triple
+        edgeRow(off, 42, "educated_at", objId(off, 1), objLabel(1), objType(1),
           "An object number 1")
           .map { case ("person", _) => "person" -> Cell("uri", genidUri)
                  case kv => kv },                      // genid person → dropped
-        edgeRow(200, "educated_at", objId(1), objLabel(1), objType(1),
+        edgeRow(off, 200, "educated_at", objId(off, 1), objLabel(1), objType(1),
           "An object number 1")
-          .map { case ("personLabel", c) => "personLabel" -> c.copy(value = "Q200")
+          .map { case ("personLabel", c) => "personLabel" -> c.copy(value = s"Q${200 + off}")
                  case kv => kv })                      // unresolved person label
     val page1 =
-      (19 to 30).map(eduRow) ++
-        (1 to 15).map(empRow) ++
-        Seq(2, 4, 6, 8, 10).map(awardRow) ++
-        Seq(spouseRow(1, 2), spouseRow(3, 4), spouseRow(5, 6), spouseRow(7, 8)) ++
+      (19 to 30).map(edu) ++
+        (1 to 15).map(emp) ++
+        Seq(2, 4, 6, 8, 10).map(award) ++
+        Seq(spouse(1, 2), spouse(3, 4), spouse(5, 6), spouse(7, 8)) ++
         Seq(
-          empRow(2),                                   // duplicate triple
-          spouseRow(3, 4),                             // duplicate triple
-          spouseRow(2, 1),                             // reversed pair → canonical dedup
-          spouseRow(6, 5),                             // reversed pair → canonical dedup
-          edgeRow(3, "educated_at", genidUri, "Genid Object", "concept",
+          emp(2),                                      // duplicate triple
+          spouse(3, 4),                                // duplicate triple
+          spouse(2, 1),                                // reversed pair → canonical dedup
+          spouse(6, 5),                                // reversed pair → canonical dedup
+          edgeRow(off, 3, "educated_at", genidUri, "Genid Object", "concept",
             "genid"),                                  // genid object → dropped
-          edgeRow(1, "educated_at", objId(1), objLabel(1), objType(1),
+          edgeRow(off, 1, "educated_at", objId(off, 1), objLabel(1), objType(1),
             "An object number 1")
             .map { case ("person", _) => "person" -> Cell("uri", "")
                    case kv => kv },                    // empty person → dropped
-          edgeRow(1, "educated_at", objId(2), objLabel(2), objType(2),
+          edgeRow(off, 1, "educated_at", objId(off, 2), objLabel(2), objType(2),
             "An object number 2")
             .filterNot(_._1 == "person")
             .map { case ("personLabel", c) => "personLabel" -> c.copy(value = "Ghost")
                    case kv => kv },                    // absent person → dropped
+          // Collapse-order probe (transformer.py:197-213 runs the
+          // per-person collapse BEFORE the garbage filters): this row is
+          // dropped by the unresolved-OBJECT-label filter, but its unique
+          // countryLabel must still reach P7's collapsed attribute set.
+          edgeRow(off, 7, "educated_at", objId(off, 13), objLabel(13), objType(13),
+            "An object number 13")
+            .map { case ("countryLabel", _) => "countryLabel" -> lit2("Country Z")
+                   case kv => kv },
           // Weight-model legs (bfs.py:15-90): a >15-year generation-gap
           // spouse pair (1925 vs 1903 → penalty (22−15)/5) and two
           // blacklisted influenced_by edges (cost = ∞).
-          spouseRow(25, 3),
-          edgeRow(9, "influenced_by", "Q10", "Person 10", "human",
+          spouse(25, 3),
+          edgeRow(off, 9, "influenced_by", s"Q${10 + off}", "Person 10", "human",
             "A person number 10"),
-          edgeRow(20, "influenced_by", "Q21", "Person 21", "human",
+          edgeRow(off, 20, "influenced_by", s"Q${21 + off}", "Person 21", "human",
             "A person number 21"))
     Seq(page0, page1)
   }
@@ -180,54 +248,93 @@ object EtlPack {
     s"""{"head": {"vars": [$vars]},\n "results": {"bindings": [\n$rows\n]}}\n"""
   }
 
-  /** Write the landing pages (idempotent — constant bytes). Returns the
-    * landing dir. */
-  def ensureFixture(): String = {
-    val dir = Paths.get(landingDir)
-    Files.createDirectories(dir)
-    pages.zipWithIndex.foreach { case (bs, p) =>
-      Files.write(dir.resolve(s"page_$p.json"),
-        pageJson(bs).getBytes(StandardCharsets.UTF_8))
+  /** Write one page atomically: skip when the target already holds the
+    * expected bytes; otherwise write a pid-keyed temp file and rename it
+    * into place (POSIX rename — a concurrent reader sees either the old
+    * complete file or the new one, never a torn page). */
+  private def writePage(dir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val target = dir.resolve(name)
+    val current =
+      if (Files.exists(target)) Files.readAllBytes(target) else Array.empty[Byte]
+    if (!java.util.Arrays.equals(current, bytes)) {
+      val tmp = dir.resolve(s"$name.tmp.${ProcessHandle.current.pid}")
+      Files.write(tmp, bytes)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
-    landingDir
+  }
+
+  /** Write the landing pages for `scale` replicas (idempotent —
+    * constant bytes per scale; atomic per page). Returns the landing
+    * dir. 2·scale pages: replica r owns pages 2r and 2r+1. */
+  def ensureFixture(scale: Int = 1): String = {
+    val dir = Paths.get(landingDir(scale))
+    Files.createDirectories(dir)
+    (0 until scale).foreach { r =>
+      pagesFor(r).zipWithIndex.foreach { case (bs, side) =>
+        writePage(dir, s"page_${2 * r + side}.json",
+          pageJson(bs).getBytes(StandardCharsets.UTF_8))
+      }
+    }
+    landingDir(scale)
   }
 
   /** Occupation side table (transformer.py:141 `_get_person_occupation`
-    * twin): deterministic rule on the person index so the oracle can
-    * regenerate it with `range()`. */
-  def occupations(s: SparkSession): DataFrame = {
+    * twin): deterministic rule on the replica-local person index so the
+    * oracle can regenerate it with `range()` at any scale. */
+  def occupations(s: SparkSession, scale: Int = 1): DataFrame = {
     import s.implicits._
-    (1 to 30).map { i =>
-      val occ = (i % 3) match {
-        case 1 => "writer"; case 2 => "engineer"; case _ => null
+    (0 until scale).flatMap { r =>
+      (1 to 30).map { i =>
+        val occ = (i % 3) match {
+          case 1 => "writer"; case 2 => "engineer"; case _ => null
+        }
+        (s"Q${i + Stride * r}", occ)
       }
-      (s"Q$i", occ)
     }.toDF("id", "occupation")
   }
 
-  private def cleaned(s: SparkSession): DataFrame =
-    Etl.cleanSparql(Etl.flattenSparql(s, ensureFixture()))
+  private def cleaned(s: SparkSession, scale: Int): DataFrame =
+    Etl.cleanSparql(Etl.flattenSparql(s, ensureFixture(scale)))
+
+  /** Sample divisor of the six-degrees experiment's person gate —
+    * see [[PairSampleCap]]. */
+  def sampleDivisor(n: Long): Long = math.max(1L, n / PairSampleCap)
+
+  /** The congruential person gate of the six-degrees experiment over a
+    * (hid: BIGINT) frame — see [[PairSampleCap]]. pmod twice: operands
+    * are positive here, but the pmod form keeps the rule total if ids
+    * ever go negative (InvariantSpec pins the kept count ≈ 142 across
+    * corpus sizes). */
+  def samplePersons(persons: DataFrame, d: Long): DataFrame =
+    persons.filter(
+      pmod(pmod(col("hid") * 2654435761L, lit(1000003L)), lit(d)) === 0)
 
   val queries: Map[String, Q] = Map(
     // S7 on the real landing shape: whole-document pages → one row per
     // binding with `.value` leaves + the xml:lang metadata leaf.
-    "etl_sparql_flatten" -> ((s, _) => Etl.flattenSparql(s, ensureFixture())),
+    "etl_sparql_flatten" -> ((s, dir) =>
+      Etl.flattenSparql(s, ensureFixture(use(dir)))),
 
     // The full clean chain → the 7-column snake_case edges table
     // (transformer.py:251-269; FIXTURES.md §1.2).
-    "etl_sparql_edges" -> ((s, _) => Etl.edges(cleaned(s))),
+    "etl_sparql_edges" -> ((s, dir) => Etl.edges(cleaned(s, use(dir)))),
 
     // Person∪object node split with keep-first dedup, occupation merge,
     // birth-year coercion, per-type dense pyg_id (transformer.py:139-173;
     // FIXTURES.md §1.3).
-    "etl_sparql_nodes" -> ((s, _) => Etl.nodes(cleaned(s), occupations(s))),
+    "etl_sparql_nodes" -> ((s, dir) => {
+      val sc = use(dir)
+      Etl.nodes(cleaned(s, sc), occupations(s, sc))
+    }),
 
     // The reference's edge-cost model over the §5 slice's own outputs
     // (bfs.py:15-90): blacklist → ∞, ln(in_degree+1) hub avoidance,
     // (|Δyear|−15)/5 generation-gap penalty on human-human edges.
-    "etl_sparql_weights" -> ((s, _) => {
-      val cl = cleaned(s)
-      Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s)))
+    "etl_sparql_weights" -> ((s, dir) => {
+      val sc = use(dir)
+      val cl = cleaned(s, sc)
+      Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s, sc)))
     }),
 
     // The reference's SIGNATURE query (§3.2 find_connection,
@@ -235,47 +342,64 @@ object EtlPack {
     // shortest paths over the graph the ETL chain itself produced —
     // SPARQL JSON → edges/nodes → bfs.py costs → Dijkstra-equivalent
     // BSP — with Q-ids mapped to numeric vertex ids by their own digits
-    // (replayable in SQL). The source sits on the generation-gap spouse
-    // chain, so path costs exercise the age penalty; ∞ (blacklisted)
-    // edges propagate ∞ exactly as igraph treats them; unreached nodes
-    // (most of the graph — the disconnected-island motif) drop out.
-    "etl_sparql_six_degrees" -> ((s, _) => {
-      val cl = cleaned(s)
-      val w = Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s)))
+    // (replayable in SQL). igraph traverses with mode='all'
+    // (bfs.py:108): an edge is passable in BOTH directions at the same
+    // cost, so the weighted edge list is symmetrized before the BSP —
+    // in the oracle's Bellman-Ford twin too. The source sits on the
+    // generation-gap spouse chain, so path costs exercise the age
+    // penalty; ∞ (blacklisted) edges propagate ∞ exactly as igraph
+    // treats them; unreached nodes (the other replicas' islands) drop
+    // out, making the golden scale-independent.
+    "etl_sparql_six_degrees" -> ((s, dir) => {
+      val sc = use(dir)
+      val cl = cleaned(s, sc)
+      val w = Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s, sc)))
       val e = w.select(
         expr("CAST(substr(person, 2) AS BIGINT)").as("src"),
         expr("CAST(substr(object, 2) AS BIGINT)").as("dst"),
         col("weight").as("w"))
-      graft.graph.DFGraphAlgs.shortestPaths(e, SixDegreesSource, SixDegreesIters)
+      val sym = e.unionAll(
+        e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.graph.DFGraphAlgs.shortestPaths(sym, SixDegreesSource, SixDegreesIters)
         .filter(col("dist").isNotNull)
         .select(concat(lit("Q"), col("id")).as("id"),
           round(col("dist"), 6).as("dist"))
     }),
 
     // The six-degrees EXPERIMENT (notebook cells 143-153;
-    // analysis_service.py:223-263): pairwise hop distances between
-    // persons over the UNDIRECTED graph (the reference passes
-    // mode='all', bfs.py:62), all sources advancing in ONE multi-source
-    // BSP run instead of the reference's ProcessPool batches. The
-    // source list is driver-side by design — the reference samples 10k
-    // pairs from millions; here the sample is the (bounded) person set.
-    // One summary row: connected unordered person pairs, mean hops,
-    // max hops, and the count within six degrees — the published claim.
-    "etl_sparql_degrees_exp" -> ((s, _) => {
-      val cl = cleaned(s)
+    // analysis_service.py:223-263): pairwise hop distances over the
+    // UNDIRECTED graph (mode='all', bfs.py:62) between a SAMPLED person
+    // set — the reference samples 10 000 pairs from 2.87 M persons; here
+    // the deterministic congruential gate ([[PairSampleCap]]) keeps
+    // ~142 persons ⇒ ~10k unordered pairs, the same protocol with a
+    // replayable rule. All sampled sources advance in ONE multi-source
+    // BSP run instead of the reference's ProcessPool batches; the
+    // driver-side source list is bounded by construction (≲ 2·142 ids
+    // at any corpus size — the gate, not the corpus, sets its size).
+    // One summary row: connected sampled person pairs, mean hops, max
+    // hops, and the count within six degrees — the published claim.
+    "etl_sparql_degrees_exp" -> ((s, dir) => {
+      val sc = use(dir)
+      val cl = cleaned(s, sc)
       val ed = Etl.edges(cl)
-      val persons = Etl.nodes(cl, occupations(s))
+      val persons = Etl.nodes(cl, occupations(s, sc))
         .filter(col("type") === "human")
         .select(expr("CAST(substr(id, 2) AS BIGINT)").as("hid"))
-      val sources = persons.collect().map(_.getLong(0)).sorted.toSeq
-      val dir = ed.select(
+      // Self-sizing gate: one scalar count (driver metadata, never row
+      // data), then the integer rule both engines replay.
+      val n = persons.count()
+      val sampled = samplePersons(persons, sampleDivisor(n))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      import s.implicits._
+      val sampDf = sampled.toDF("hid")
+      val dir0 = ed.select(
         expr("CAST(substr(person, 2) AS BIGINT)").as("src"),
         expr("CAST(substr(object, 2) AS BIGINT)").as("dst"))
-      val und = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      val und = dir0.unionAll(dir0.select(col("dst").as("src"), col("src").as("dst")))
         .withColumn("w", lit(1.0))
-      val d = graft.graph.DFGraphAlgs
-        .multiSourceShortestPaths(und, sources, DegreesExpIters)
-      d.join(persons, d("id") === persons("hid"))
+      val dists = graft.graph.DFGraphAlgs
+        .multiSourceShortestPaths(und, sampled, DegreesExpIters)
+      dists.join(sampDf, dists("id") === sampDf("hid"))
         .filter(col("dist").isNotNull && col("s0") < col("id"))
         .agg(count(lit(1)).as("n_pairs"),
           round(sum(col("dist").cast("long")).cast("double") / count(lit(1)), 6)
@@ -288,33 +412,34 @@ object EtlPack {
     // (transformer.py:216-246 print(len(df)) chain), duplicate audits
     // (notebook cells 71-72), and the vcount/ecount checks (cells
     // 122-123): node count == distinct edge endpoints, pyg_id dense.
-    "etl_sparql_reconcile" -> ((s, _) => {
-      // Driver-side counting is deliberately confined to this one
-      // query; the caches exist only for the duration of the six
-      // counters and are released before the result frame is returned
-      // (a query function must not pin executor memory past its call —
-      // the PlanSpec sweep constructs every query).
-      val flat = Etl.flattenSparql(s, ensureFixture())
+    // ONE lazy job: each stage contributes (stage, value) rows to a
+    // union, folded by a single global aggregate — no driver-side
+    // actions, no caches (at 100 TB you'd persist the shared cleaned
+    // frame; at fixture scale recomputation is cheaper than pinning
+    // executor memory from a query constructor).
+    "etl_sparql_reconcile" -> ((s, dir) => {
+      val sc = use(dir)
+      val flat = Etl.flattenSparql(s, ensureFixture(sc))
       val cl = Etl.cleanSparql(flat)
-      val ed = Etl.edges(cl).cache()
-      val no = Etl.nodes(cl, occupations(s)).cache()
-      try {
-        val nBind = flat.count()
-        val nEdges = ed.count()
-        val nEdgeDistinct = ed.distinct().count()
-        val nNodes = no.count()
-        val nEndpoints = ed.select(col("person").as("id"))
-          .unionAll(ed.select(col("object").as("id"))).distinct().count()
-        val nPygDense = no.groupBy(col("type")).agg(max(col("pyg_id")).as("mx"))
-          .agg(sum(col("mx") + 1)).head().getLong(0)
-        import s.implicits._
-        Seq((nBind, nEdges, nEdgeDistinct, nNodes, nEndpoints, nPygDense))
-          .toDF("n_bindings", "n_edges", "n_edge_distinct", "n_nodes",
-            "n_endpoint_ids", "n_pyg_dense")
-      } finally {
-        ed.unpersist(blocking = false)
-        no.unpersist(blocking = false)
-      }
+      val ed = Etl.edges(cl)
+      val no = Etl.nodes(cl, occupations(s, sc))
+      def one(k: Int)(df: DataFrame): DataFrame =
+        df.select(lit(k).as("k"), lit(1L).as("v"))
+      val endpoints = ed.select(col("person").as("id"))
+        .unionAll(ed.select(col("object").as("id"))).distinct()
+      val u = one(0)(flat)
+        .unionAll(one(1)(ed))
+        .unionAll(one(2)(ed.distinct()))
+        .unionAll(one(3)(no))
+        .unionAll(one(4)(endpoints))
+        .unionAll(no.groupBy(col("type"))
+          .agg((max(col("pyg_id")) + 1).as("v"))
+          .select(lit(5).as("k"), col("v")))
+      def tally(k: Int, name: String) =
+        sum(when(col("k") === k, col("v"))).as(name)
+      u.agg(tally(0, "n_bindings"), tally(1, "n_edges"),
+        tally(2, "n_edge_distinct"), tally(3, "n_nodes"),
+        tally(4, "n_endpoint_ids"), tally(5, "n_pyg_dense"))
     })
   )
 
@@ -323,13 +448,13 @@ object EtlPack {
 
   /** read_json → flatten CTEs (shared by the flatten oracle and the
     * full chain). */
-  private def flattenSql: String = {
+  private def flattenSql(scale: Int): String = {
     val flatCols = Etl.Vars.map(v => s"""b."$v"."value" AS "$v"""").mkString(",\n    ")
     s"""WITH raw AS (
        |  SELECT CAST(regexp_extract(filename, 'page_(\\d+)', 1) AS INT) AS page,
        |         generate_subscripts(results.bindings, 1) AS pos,
        |         unnest(results.bindings) AS b
-       |  FROM read_json('$landingDir/page_*.json', filename=true)
+       |  FROM read_json('${landingDir(scale)}/page_*.json', filename=true)
        |), flat AS (
        |  SELECT CAST(page AS BIGINT) * 100000 + pos AS ord,
        |    b.personLabel."xml:lang" AS personLang,
@@ -338,17 +463,28 @@ object EtlPack {
        |)""".stripMargin
   }
 
-  /** Shared CTE prefix: read_json → flatten → scrub → id strip →
-    * garbage filters → multi-value collapse → triple dedup → canonical
-    * back-edge dedup → node build. */
-  private def chainSql: String = {
+  /** Shared CTE prefix: read_json → flatten → multi-value collapse
+    * (FIRST, on the raw frame — transformer.py:197-213) → scrub → id
+    * strip → garbage filters → triple dedup → canonical back-edge
+    * dedup → node build. */
+  private def chainSql(scale: Int): String = {
     val scrubCols = Etl.Vars.map(v =>
       s"""trim(regexp_replace("$v", '[\\r\\n\\t]+', ' ', 'g')) AS "$v"""")
       .mkString(",\n    ")
-    s"""$flattenSql, scrub AS (
+    s"""${flattenSql(scale)}, coll AS (
+       |  SELECT person AS p,
+       |    string_agg(DISTINCT countryLabel, ', ' ORDER BY countryLabel) AS countryLabel,
+       |    string_agg(DISTINCT birthPlaceLabel, ', ' ORDER BY birthPlaceLabel) AS birthPlaceLabel,
+       |    string_agg(DISTINCT birthYear, ', ' ORDER BY birthYear) AS birthYear
+       |  FROM flat GROUP BY person
+       |), mrg AS (
+       |  SELECT f.*, c.countryLabel, c.birthPlaceLabel, c.birthYear
+       |  FROM (SELECT * EXCLUDE (countryLabel, birthPlaceLabel, birthYear) FROM flat) f
+       |  LEFT JOIN coll c ON f.person = c.p
+       |), scrub AS (
        |  SELECT ord,
        |    $scrubCols
-       |  FROM flat
+       |  FROM mrg
        |), ids AS (
        |  SELECT * REPLACE (string_split(person, '/')[-1] AS person,
        |                    string_split("object", '/')[-1] AS "object")
@@ -360,21 +496,11 @@ object EtlPack {
        |    AND NOT (COALESCE(regexp_matches(personLabel, '^Q\\d+$$'), FALSE)
        |          OR COALESCE(regexp_matches(objectLabel, '^Q\\d+$$'), FALSE))
        |    AND person IS NOT NULL AND person <> ''
-       |), coll AS (
-       |  SELECT person AS p,
-       |    string_agg(DISTINCT countryLabel, ', ' ORDER BY countryLabel) AS countryLabel,
-       |    string_agg(DISTINCT birthPlaceLabel, ', ' ORDER BY birthPlaceLabel) AS birthPlaceLabel,
-       |    string_agg(DISTINCT birthYear, ', ' ORDER BY birthYear) AS birthYear
-       |  FROM filt GROUP BY person
-       |), mrg AS (
-       |  SELECT f.*, c.countryLabel, c.birthPlaceLabel, c.birthYear
-       |  FROM (SELECT * EXCLUDE (countryLabel, birthPlaceLabel, birthYear) FROM filt) f
-       |  LEFT JOIN coll c ON f.person = c.p
        |), dd AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY person, relationshipLabel, "object" ORDER BY ord) AS rn
-       |    FROM mrg) WHERE rn = 1
+       |    FROM filt) WHERE rn = 1
        |), canon AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (
@@ -396,9 +522,9 @@ object EtlPack {
        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY side, node_ord) AS fn
        |    FROM sides) WHERE fn = 1
        |), occ AS (
-       |  SELECT 'Q' || i AS id,
+       |  SELECT 'Q' || (i + $Stride * r) AS id,
        |         CASE i % 3 WHEN 1 THEN 'writer' WHEN 2 THEN 'engineer' END AS occupation
-       |  FROM range(1, 31) t(i)
+       |  FROM range(0, $scale) s(r), range(1, 31) t(i)
        |), nod AS (
        |  SELECT f.id, f.name, f.description,
        |         TRY_CAST(f.birth_year_raw AS INTEGER) AS birth_year,
@@ -411,8 +537,8 @@ object EtlPack {
 
   /** chainSql extended with the bfs.py edge-cost CTEs: `wts` carries
     * (person, object, relationship_label, in_deg, weight). */
-  private def weightsChainSql: String =
-    s"""$chainSql,
+  private def weightsChainSql(scale: Int): String =
+    s"""${chainSql(scale)},
        |edg AS (SELECT person, relationshipLabel AS relationship_label,
        |    "object" FROM canon),
        |ind AS (SELECT "object" AS d, COUNT(*) AS in_deg
@@ -434,35 +560,40 @@ object EtlPack {
        |  JOIN nod sn ON sn.id = e.person
        |  JOIN nod dn ON dn.id = e."object")""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** Scale-keyed oracle map — see [[activeScaleV]]: emitted for the
+    * scale the queries last ran at, so the dumped SQL and the parquet
+    * results always describe the same landing volume. */
+  def oracle: Map[String, String] = oracleFor(activeScaleV)
+
+  def oracleFor(scale: Int): Map[String, String] = Map(
     "etl_sparql_flatten" -> {
       val cols = Etl.Vars.map(v => s""""$v"""").mkString(", ")
-      s"""$flattenSql
+      s"""${flattenSql(scale)}
          |SELECT ord, personLang, $cols FROM flat""".stripMargin
     },
 
     "etl_sparql_edges" ->
-      s"""$chainSql
+      s"""${chainSql(scale)}
          |SELECT person, personLabel AS person_label, personType AS person_type,
          |       relationshipLabel AS relationship_label,
          |       "object", objectLabel AS object_label, objectType AS object_type
          |FROM canon""".stripMargin,
 
     "etl_sparql_nodes" ->
-      s"""$chainSql
+      s"""${chainSql(scale)}
          |SELECT id, name, description, birth_year, country, birth_place,
          |       type, occupation, pyg_id
          |FROM nod""".stripMargin,
 
     "etl_sparql_weights" ->
-      s"""$weightsChainSql
+      s"""${weightsChainSql(scale)}
          |SELECT person, "object", relationship_label, in_deg, weight
          |FROM wts""".stripMargin,
 
-    // Bellman-Ford over the weighted ETL graph, unrolled to
-    // SixDegreesIters relaxation rounds — the same recurrence the Spark
-    // BSP runs, double arithmetic and all (each path sums left to
-    // right in both engines; ∞ edges propagate ∞ distances).
+    // Bellman-Ford over the SYMMETRIZED weighted ETL graph (mode='all'),
+    // unrolled to SixDegreesIters relaxation rounds — the same
+    // recurrence the Spark BSP runs, double arithmetic and all (each
+    // path sums left to right in both engines; ∞ edges propagate ∞).
     "etl_sparql_six_degrees" -> {
       val iters = (1 to SixDegreesIters).map { k =>
         s"""p$k AS MATERIALIZED (SELECT d.id, least(d.dist, r.reach) AS dist
@@ -471,9 +602,11 @@ object EtlPack {
            |    FROM wedges e JOIN p${k - 1} p ON p.id = e.src AND p.dist IS NOT NULL
            |    GROUP BY e.dst) r ON r.id = d.id)""".stripMargin
       }.mkString(",\n")
-      s"""$weightsChainSql,
-         |wedges AS (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
+      s"""${weightsChainSql(scale)},
+         |dirw AS (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
          |    CAST(substr("object", 2) AS BIGINT) AS dst, weight AS w FROM wts),
+         |wedges AS (SELECT src, dst, w FROM dirw
+         |  UNION ALL SELECT dst, src, w FROM dirw),
          |vx AS (SELECT DISTINCT id FROM (
          |  SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges)),
          |p0 AS (SELECT id,
@@ -485,8 +618,9 @@ object EtlPack {
     },
 
     // Multi-source Bellman-Ford over the symmetrized (mode='all') hop
-    // graph, unrolled — identical recurrence to the Spark BSP, state
-    // keyed by (source, vertex).
+    // graph between the GATE-SAMPLED persons (same congruential rule as
+    // the Spark side — see PairSampleCap), unrolled — identical
+    // recurrence to the Spark BSP, state keyed by (source, vertex).
     "etl_sparql_degrees_exp" -> {
       val iters = (1 to DegreesExpIters).map { k =>
         s"""m$k AS MATERIALIZED (SELECT d.s0, d.id, least(d.dist, r.reach) AS dist
@@ -495,17 +629,20 @@ object EtlPack {
            |    FROM und e JOIN m${k - 1} p ON p.id = e.src AND p.dist IS NOT NULL
            |    GROUP BY p.s0, e.dst) r ON r.s0 = d.s0 AND r.id = d.id)""".stripMargin
       }.mkString(",\n")
-      s"""$chainSql,
+      s"""${chainSql(scale)},
          |und AS (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
          |    CAST(substr("object", 2) AS BIGINT) AS dst FROM canon
          |  UNION ALL SELECT CAST(substr("object", 2) AS BIGINT),
          |    CAST(substr(person, 2) AS BIGINT) FROM canon),
          |hum AS (SELECT CAST(substr(id, 2) AS BIGINT) AS hid
          |  FROM nod WHERE type = 'human'),
+         |samp AS (SELECT hid FROM hum
+         |  WHERE ((hid * 2654435761) % 1000003)
+         |        % GREATEST(1, (SELECT COUNT(*) FROM hum) // $PairSampleCap) = 0),
          |vx2 AS (SELECT DISTINCT src AS id FROM und),
          |m0 AS (SELECT h.hid AS s0, v.id,
          |  CAST(CASE WHEN v.id = h.hid THEN 0.0 END AS DOUBLE) AS dist
-         |  FROM hum h CROSS JOIN vx2 v),
+         |  FROM samp h CROSS JOIN vx2 v),
          |$iters
          |SELECT COUNT(*) AS n_pairs,
          |  round(CAST(SUM(CAST(dist AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
@@ -513,12 +650,12 @@ object EtlPack {
          |  MAX(CAST(dist AS BIGINT)) AS max_hops,
          |  CAST(SUM(CASE WHEN dist <= 6 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_within_six
-         |FROM m$DegreesExpIters m JOIN hum t ON t.hid = m.id
+         |FROM m$DegreesExpIters m JOIN samp t ON t.hid = m.id
          |WHERE dist IS NOT NULL AND s0 < id""".stripMargin
     },
 
     "etl_sparql_reconcile" ->
-      s"""$chainSql
+      s"""${chainSql(scale)}
          |SELECT (SELECT COUNT(*) FROM flat) AS n_bindings,
          |       (SELECT COUNT(*) FROM canon) AS n_edges,
          |       (SELECT COUNT(*) FROM (

@@ -25,7 +25,7 @@ class EtlEndToEndSpec extends SparkSpec {
   private lazy val nodes = Etl.nodes(cleaned, EtlPack.occupations(spark)).cache()
 
   test("flatten: one row per binding, metadata leaves reachable") {
-    assert(flat.count() === 67)
+    assert(flat.count() === 68)
     // xml:lang leaf survives flattening (dropped later by the cleaner)
     val langs = flat.groupBy("personLang").count().collect()
       .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
@@ -35,8 +35,9 @@ class EtlEndToEndSpec extends SparkSpec {
   }
 
   test("clean chain drops exactly the planted dirty rows, stage by stage") {
-    // 67 bindings − 5 planted garbage rows − 2 unresolved-object rows
-    val filtered = 67 - 7
+    // 68 bindings − 5 planted garbage rows − 3 unresolved-object rows
+    // (P12's and P4's Q113-label rows plus the collapse-order probe)
+    val filtered = 68 - 8
     // − 3 exact duplicate triples − 2 reversed pairs
     assert(cleaned.count() === filtered - 3 - 2)
     assert(edges.count() === 55)
@@ -64,7 +65,11 @@ class EtlEndToEndSpec extends SparkSpec {
     assert(nodes.select("id").distinct().count() === 49)
     val byId = nodes.collect().map(r => r.getString(0) -> r).toMap
     // multi-valued collapse, sorted distinct join (P7 has two countries)
-    assert(byId("Q7").getString(4) === "Country 2, Country X")
+    // PLUS the collapse-order probe: "Country Z" rides a row the
+    // garbage filters drop (unresolved object label), but the collapse
+    // runs BEFORE the filters (transformer.py:197-213), so it must
+    // still reach P7's attribute set.
+    assert(byId("Q7").getString(4) === "Country 2, Country X, Country Z")
     // multi-valued birth year coerces to null (P5: 1905 + 1906)
     assert(byId("Q5").isNullAt(3))
     // unparseable year → null (P9: "unknown"), clean year parses
@@ -121,24 +126,50 @@ class EtlEndToEndSpec extends SparkSpec {
   }
 
   test("six-degrees path query over the slice's own graph (find_connection twin)") {
-    // The §3.2 signature query on §5's outputs: weighted SSSP from P25
-    // through the generation-gap spouse chain. Hand-derived golden —
-    // e.g. dist(Q3) = ln(indeg+1) + (22−15)/5 = ln 2 + 1.4; the two
-    // ties at 3.479441 are distinct targets of equal accumulated cost.
+    // The §3.2 signature query on §5's outputs: weighted SSSP from P25,
+    // UNDIRECTED (igraph mode='all', bfs.py:108 — each edge passable in
+    // both directions at the same cost). Hand-derived goldens — e.g.
+    // dist(Q3) = ln(indeg+1) + (22−15)/5 = ln 2 + 1.4 over the
+    // generation-gap spouse edge, dist(Q106) = ln 4 (P25's educated_at
+    // object, in-degree 3, reached forward).
     val got = graft.ops.EtlPack.queries("etl_sparql_six_degrees")(spark, "")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got.keySet === Set("Q25", "Q106", "Q3", "Q4", "Q104", "Q110",
-      "Q105", "Q109"), "reachable set (the rest of the graph is the island)")
+    assert(got.size === 41, "mode='all' reach: 41 of the 49 nodes")
     assert(got("Q25") === 0.0)
+    assert(got("Q106") === math.round(math.log(4) * 1e6) / 1e6)
     assert(got("Q3") === math.round((math.log(2) + 1.4) * 1e6) / 1e6)
     assert(got("Q4") === math.round((math.log(2) + 1.4 + math.log(2)) * 1e6) / 1e6)
-    assert(!got.values.exists(_.isInfinity),
-      "no blacklisted edge lies on a reachable path from P25")
+    // Blacklisted influenced_by edges propagate ∞ exactly as igraph
+    // treats them: nodes reachable ONLY over a blacklisted edge carry
+    // dist = ∞, not absence.
+    assert(got.filter(_._2.isPosInfinity).keySet ===
+      Set("Q10", "Q20", "Q30", "Q101", "Q111"))
+  }
+
+  test("six-degrees SSSP is converged, not an iteration-cap artifact") {
+    // Re-run the identical symmetrized weighted BSP at 8 and 11 rounds
+    // directly and assert a fixed point (the query pins 8).
+    val w = Etl.edgeWeights(edges, nodes)
+    val e = w.select(
+      expr("CAST(substr(person, 2) AS BIGINT)").as("src"),
+      expr("CAST(substr(object, 2) AS BIGINT)").as("dst"),
+      col("weight").as("w"))
+    val sym = e.unionAll(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    def run(k: Int): Map[Long, Double] =
+      graft.graph.DFGraphAlgs.shortestPaths(sym, 25L, k)
+        .filter(col("dist").isNotNull).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(8) === run(11))
   }
 
   test("six-degrees experiment: converged distances, the published claim holds") {
     // notebook cells 143-153 / analysis_service.py:223-263 — pairwise
-    // undirected hop distances between persons, one multi-source BSP.
+    // undirected hop distances between SAMPLED persons, one multi-source
+    // BSP. At this corpus size the congruential gate's divisor is
+    // D = max(1, 30 div 142) = 1, so every person is sampled and the
+    // published-claim numbers cover all pairs (InvariantSpec pins the
+    // rule's behavior at larger corpus sizes).
     val r = graft.ops.EtlPack.queries("etl_sparql_degrees_exp")(spark, "").head()
     val (nPairs, mean, maxHops, within6) =
       (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))
@@ -148,6 +179,34 @@ class EtlEndToEndSpec extends SparkSpec {
     // count sits strictly below the relaxation rounds (verified stable
     // from 12 through 16 rounds when pinned).
     assert(maxHops < 12)
+  }
+
+  test("sf-scaled landing: replicas are isomorphic islands; goldens scale-invariant") {
+    // The scale-2 fixture is two id-shifted copies of the replica-0
+    // motif (stride 1000): every chain count doubles exactly, and the
+    // six-degrees reachable set — entirely inside replica 0 — is
+    // byte-identical, because the islands are disjoint.
+    val flat2 = Etl.flattenSparql(spark, EtlPack.ensureFixture(2))
+    assert(flat2.count() === 2 * 68)
+    val cl2 = Etl.cleanSparql(flat2)
+    val ed2 = Etl.edges(cl2)
+    val no2 = Etl.nodes(cl2, EtlPack.occupations(spark, 2))
+    assert(ed2.count() === 2 * 55 && no2.count() === 2 * 49)
+    // replica 1's persons sit at Q1001.., its objects at Q1101..
+    assert(no2.filter(col("id") === "Q1007").select("country").head().getString(0)
+      === "Country 2, Country X, Country Z")
+    val w2 = Etl.edgeWeights(ed2, no2)
+    val e2 = w2.select(
+      expr("CAST(substr(person, 2) AS BIGINT)").as("src"),
+      expr("CAST(substr(object, 2) AS BIGINT)").as("dst"),
+      col("weight").as("w"))
+    val sym2 = e2.unionAll(
+      e2.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val got2 = graft.graph.DFGraphAlgs.shortestPaths(sym2, 25L, 8)
+      .filter(col("dist").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2.size === 41 && got2.keys.forall(_ < 1000),
+      "P25's reach never leaves replica 0")
   }
 
   test("graph build reconciliation: vcount==len(nodes), ecount==len(edges)") {

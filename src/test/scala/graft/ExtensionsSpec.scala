@@ -179,6 +179,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(!viaRule.contains((1L, 4L)), "cross-length-scale pair pruned AND scored out")
   }
 
+  test("jw rewrite: long buckets, and near-1.0 thresholds decline soundly") {
+    // ADVICE r8: the old IntegerType bucket wrapped when t sat within
+    // ~5e-10 of 1.0 (α → 1, ln(1/α) → 0⁺, quotient beyond Int range),
+    // silently dropping qualifying pairs. Now: buckets are LongType,
+    // and thresholds in the degenerate-α regime fall back to the
+    // unrewritten join instead of producing one astronomical bucket.
+    val people = Seq((1L, "ann"), (2L, "ann"), (3L, "anne")).toDF("id", "nm")
+    val a = people.select(col("id").as("i"), col("nm").as("na"))
+    val b = people.select(col("id").as("j"), col("nm").as("nb"))
+    def q(t: Double) = a.join(b, col("i") < col("j") &&
+      call_function("jaro_winkler", col("na"), col("nb")) >= lit(t))
+      .select("i", "j")
+    // Degenerate regime: no rewrite, results still exact.
+    val tClose = 1.0 - 1e-10
+    val oClose = q(tClose).queryExecution.optimizedPlan.toString
+    assert(!oClose.contains("__graft_jwbk"),
+      s"near-1.0 threshold must decline the rewrite:\n$oClose")
+    assert(q(tClose).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)), "only the identical pair scores 1.0")
+    // Healthy regime: rewrite fires and the bucket key is a BIGINT.
+    val healthy = q(0.97).queryExecution.optimizedPlan
+    assert(healthy.toString.contains("__graft_jwbk"))
+    val bk = healthy.output ++ healthy.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generatorOutput
+    }.flatten
+    assert(bk.filter(_.name == "__graft_jwbk")
+      .forall(_.dataType == org.apache.spark.sql.types.LongType),
+      "bucket attribute must be LongType")
+  }
+
   test("search_jw_topk recast as a theta-join returns identical rows") {
     // The VERDICT r7 stretch contract: the hand-built top-k query and
     // its natural θ-join spelling (customer × 1-row query frame on

@@ -410,4 +410,26 @@ class InvariantSpec extends SparkSpec {
     val rev = sigOf(Seq("f g h i j", "a b c d e"))
     assert(fwd == rev)
   }
+
+  test("degrees-exp person gate: total at fixture size, ~PairSampleCap everywhere else") {
+    // The six-degrees experiment samples persons with
+    // ((hid*2654435761) mod 1000003) mod D = 0, D = max(1, n div 142)
+    // (EtlPack.sampleDivisor / samplePersons; C(142,2) = 10011 pairs =
+    // the reference's 10k-pair protocol, notebook cell 147). Pin the
+    // rule at the fixture's corpus size (D = 1 - every person sampled,
+    // so the published-claim goldens cover all pairs) and at two larger
+    // sizes: the kept count must track the cap, NOT the corpus - the
+    // bounded-by-construction property the BSP source list relies on.
+    import spark.implicits._
+    import graft.ops.EtlPack
+    assert(EtlPack.sampleDivisor(30L) === 1L)
+    for ((n, expected) <- Seq((3000L, 139L), (100000L, 145L))) {
+      val d = EtlPack.sampleDivisor(n)
+      assert(d === n / 142)
+      val kept = EtlPack.samplePersons((1L to n).toDF("hid"), d).count()
+      // Deterministic rule - exact kept counts, both within [cap/2, 2*cap].
+      assert(kept === expected)
+      assert(kept >= 71 && kept <= 284)
+    }
+  }
 }

@@ -391,18 +391,24 @@ class PlanSpec extends SparkSpec {
         "the guard failed to flag a raw-scan global window")
     }
 
-    // Constructing these queries RUNS work (stream sinks, MLlib fits,
-    // the reconcile query's driver-side counters, the six-degrees BSP
-    // whose localCheckpoint rounds both execute jobs AND truncate the
-    // plan to a LogicalRDD scan the guard can't see into) — their
-    // windows are covered by dedicated specs instead.
+    // Constructing these queries RUNS work (stream sinks, MLlib fits) —
+    // their windows are covered by dedicated specs instead. The BSP
+    // queries (six-degrees included, since r9) are swept under
+    // DFGraphAlgs.PlanOnlyConf, which suppresses the localCheckpoint
+    // rounds that would otherwise truncate the inspectable plan to a
+    // LogicalRDD scan.
     val excluded = graft.ops.StreamingPack.queries.keySet ++
-      Set("ml_train_eval", "ml_als_recommend",
-        "etl_sparql_reconcile", "etl_sparql_six_degrees")
+      Set("ml_train_eval", "ml_als_recommend")
+    val planOnlyQueries = Set("etl_sparql_six_degrees")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       if (!excluded(name)) {
-        val plan = q(spark, sf()).queryExecution.sparkPlan
+        val plan =
+          if (planOnlyQueries(name)) {
+            spark.conf.set(graft.graph.DFGraphAlgs.PlanOnlyConf, "true")
+            try q(spark, sf()).queryExecution.sparkPlan
+            finally spark.conf.unset(graft.graph.DFGraphAlgs.PlanOnlyConf)
+          } else q(spark, sf()).queryExecution.sparkPlan
         plan.foreach {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             if (!bounded(w.child)) offenders += s"$name: $w"
