@@ -829,6 +829,61 @@ object MLPack {
         .orderBy(col("user"), col("rn"))
     }),
 
+    // The DETERMINISTIC PREFIX of ml_train_eval, oracle-checked: the
+    // LBFGS fit can never hash-match across engines, but everything
+    // feeding it can — this companion replays the identical feature
+    // matrix (same pair sample, same leak-free half split, same cn / aa
+    // / log1p-degree / preferential-attachment features), the identical
+    // 80/20 hash split, and summarizes per split: row count, label
+    // balance, and each feature column's 6-dp decimal sum. A green row
+    // here pins every input the solver sees; ml_train_eval itself stays
+    // rows-checked with its AUC spec-pinned in MLSpec. Per-pair sums go
+    // through exact decimals (OpsUtil.rsum) and round to 6 — the
+    // deterministic twin of the raw-double features the fit consumes
+    // (identical to 6 dp; the solver keeps its unrounded path).
+    "ml_train_matrix" -> ((s, d) => {
+      val eA = edgesHalfA(s, d)
+      val eB = edgesHalfB(s, d)
+      val pairs = pairSample(s, d)
+      val posB = pairs
+        .join(eB.select(col("c").as("c1"), col("p")), "c1")
+        .join(eB.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .select(col("c1"), col("c2")).distinct()
+        .withColumn("label", lit(1L))
+      val labeled = pairs.join(posB, Seq("c1", "c2"), "left")
+        .na.fill(0L, Seq("label"))
+      val ewA = eA.join(pdegA(s, d), "p")
+      val cn = labeled.select(col("c1"), col("c2"))
+        .join(ewA.select(col("c").as("c1"), col("p"), col("pdeg")), "c1")
+        .join(ewA.select(col("c").as("c2"), col("p").as("p2")), "c2")
+        .filter(col("p") === col("p2"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(count(lit(1)).as("cn"),
+          round(OpsUtil.rsum(lit(1.0) / log(col("pdeg") + 1)), 6).as("aa"))
+      val cdegA = eA.groupBy(col("c")).agg(count(lit(1)).cast("double").as("cdeg"))
+      val data = labeled.join(cn, Seq("c1", "c2"), "left")
+        .join(cdegA.select(col("c").as("c1"), col("cdeg").as("deg1")), Seq("c1"), "left")
+        .join(cdegA.select(col("c").as("c2"), col("cdeg").as("deg2")), Seq("c2"), "left")
+        .na.fill(0L, Seq("cn")).na.fill(0.0, Seq("aa", "deg1", "deg2"))
+        .withColumn("pref", round(log1p(col("deg1") * col("deg2")), 6))
+        .withColumn("d1", round(log1p(col("deg1")), 6))
+        .withColumn("d2", round(log1p(col("deg2")), 6))
+      data
+        .withColumn("split",
+          when(h28(concat_ws("_", col("c1"), col("c2"))) % 10 < 8, "train")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("label")).as("n_pos"),
+          sum(col("cn")).as("cn_sum"),
+          round(OpsUtil.rsum(col("aa")), 6).as("aa_sum"),
+          round(OpsUtil.rsum(col("d1")), 6).as("deg1_sum"),
+          round(OpsUtil.rsum(col("d2")), 6).as("deg2_sum"),
+          round(OpsUtil.rsum(col("pref")), 6).as("pref_sum"))
+        .orderBy(col("split"))
+    }),
+
     "ml_train_eval" -> ((s, d) => {
       val eA = edgesHalfA(s, d)                          // feature graph
       val eB = edgesHalfB(s, d)                          // label graph
@@ -902,6 +957,45 @@ object MLPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "ml_train_matrix" ->
+      s"""WITH $edgesSql, $pairSampleSql,
+         |ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),
+         |eb AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 1),
+         |pos AS (SELECT DISTINCT pr.c1, pr.c2 FROM pairs pr
+         |  JOIN eb e1 ON e1.c = pr.c1
+         |  JOIN eb e2 ON e2.c = pr.c2 AND e2.p = e1.p),
+         |pdeg AS (SELECT p, COUNT(*) AS pdeg FROM ea GROUP BY p),
+         |cnaa AS (SELECT pr.c1, pr.c2, COUNT(*) AS cn,
+         |    round(CAST(SUM(CAST(1.0 / ln(d.pdeg + 1) AS DECIMAL(28,15))) AS DOUBLE), 6) AS aa
+         |  FROM pairs pr
+         |  JOIN ea e1 ON e1.c = pr.c1
+         |  JOIN ea e2 ON e2.c = pr.c2 AND e2.p = e1.p
+         |  JOIN pdeg d ON d.p = e1.p
+         |  GROUP BY pr.c1, pr.c2),
+         |cdeg AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS cdeg FROM ea GROUP BY c),
+         |mat AS (SELECT
+         |    CASE WHEN ${h28Sql("concat(pr.c1, '_', pr.c2)")} % 10 < 8
+         |         THEN 'train' ELSE 'test' END AS split,
+         |    CASE WHEN pos.c1 IS NOT NULL THEN 1 ELSE 0 END AS label,
+         |    COALESCE(cnaa.cn, 0) AS cn,
+         |    COALESCE(cnaa.aa, 0.0) AS aa,
+         |    round(ln(1 + COALESCE(d1.cdeg, 0.0)), 6) AS deg1,
+         |    round(ln(1 + COALESCE(d2.cdeg, 0.0)), 6) AS deg2,
+         |    round(ln(1 + COALESCE(d1.cdeg, 0.0) * COALESCE(d2.cdeg, 0.0)), 6) AS pref
+         |  FROM pairs pr
+         |  LEFT JOIN cnaa ON cnaa.c1 = pr.c1 AND cnaa.c2 = pr.c2
+         |  LEFT JOIN pos ON pos.c1 = pr.c1 AND pos.c2 = pr.c2
+         |  LEFT JOIN cdeg d1 ON d1.c = pr.c1
+         |  LEFT JOIN cdeg d2 ON d2.c = pr.c2)
+         |SELECT split, COUNT(*) AS n_rows,
+         |  CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  CAST(SUM(cn) AS BIGINT) AS cn_sum,
+         |  round(CAST(SUM(CAST(aa AS DECIMAL(28,15))) AS DOUBLE), 6) AS aa_sum,
+         |  round(CAST(SUM(CAST(deg1 AS DECIMAL(28,15))) AS DOUBLE), 6) AS deg1_sum,
+         |  round(CAST(SUM(CAST(deg2 AS DECIMAL(28,15))) AS DOUBLE), 6) AS deg2_sum,
+         |  round(CAST(SUM(CAST(pref AS DECIMAL(28,15))) AS DOUBLE), 6) AS pref_sum
+         |FROM mat GROUP BY split ORDER BY split""".stripMargin,
+
     "ml_precision_at_k" ->
       s"""WITH $edgesSql,
          |ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),

@@ -178,6 +178,110 @@ class MultimodalSpec extends SparkSpec {
       assert(viaBmp == viaStub && viaBmp.nonEmpty)
     } finally spark.conf.unset(Multimodal.DecoderConfKey)
   }
+
+  // ---- second real codec + the format registry (VERDICT r8 item 7) --
+
+  test("PnmCodec round-trips PGM and PPM exactly, comments and whitespace included") {
+    val gray = Array.tabulate(12)(i => (i * 23 + 7) % 256)
+    val pgm = graft.multimodal.PnmCodec.encodePgm(4, 3, gray)
+    assert(graft.multimodal.PnmCodec.isPnm(pgm))
+    val (c1, w1, h1, g1) = graft.multimodal.PnmCodec.decode(pgm)
+    assert(!c1 && w1 == 4 && h1 == 3 && g1.sameElements(gray))
+    val rgb = Array.tabulate(6)(i => (i * 37 + 11) * 65793 % 0x1000000)
+    val ppm = graft.multimodal.PnmCodec.encodePpm(3, 2, rgb)
+    val (c2, w2, h2, g2) = graft.multimodal.PnmCodec.decode(ppm)
+    assert(c2 && w2 == 3 && h2 == 2 && g2.sameElements(rgb))
+    // Netpbm headers allow comments and arbitrary whitespace runs.
+    val commented = ("P5 # a comment\n# another\n 4\t3 #dims\n255\n")
+      .getBytes("US-ASCII") ++ gray.map(_.toByte)
+    val (c3, w3, h3, g3) = graft.multimodal.PnmCodec.decode(commented)
+    assert(!c3 && w3 == 4 && h3 == 3 && g3.sameElements(gray))
+  }
+
+  test("malformed PNM headers route to the stub, never crash the task") {
+    val gray = Array.fill(6)(128)
+    def pnm(hdr: String, body: Int = 6): Array[Byte] =
+      hdr.getBytes("US-ASCII") ++ Array.fill(body)(128.toByte)
+    val bad = Seq(
+      pnm("P5\n4 3\n255\n"),                // truncated body (needs 12)
+      pnm("P5\n0 3\n255\n"),                // zero width
+      pnm("P5\n-2 3\n255\n"),               // negative width (non-digit)
+      pnm("P5\n3 2\n65535\n", 12),          // multi-byte maxval unsupported
+      pnm("P5\n99999999999 2\n255\n", 12),  // dims overflow / past cap
+      pnm("P7\n3 2\n255\n"),                // unknown magic
+      "not a pnm at all".getBytes("UTF-8"))
+    bad.zipWithIndex.foreach { case (p, i) =>
+      assert(!graft.multimodal.PnmCodec.isPnm(p), s"corrupt header $i accepted")
+      val f = graft.multimodal.PnmMediaDecoder.decode(MediaRow(9L, "image", p))
+      assert(f == graft.multimodal.StubDecoder.decode(MediaRow(9L, "image", p)),
+        s"corrupt payload $i did not fall back to the stub")
+    }
+    assert(graft.multimodal.PnmCodec.isPnm(
+      graft.multimodal.PnmCodec.encodePgm(3, 2, gray)), "control: valid PGM parses")
+  }
+
+  test("PnmMediaDecoder: hand-computed luminance on PGM and PPM") {
+    // PGM: luma is the gray byte itself.
+    val pgm = graft.multimodal.PnmCodec.encodePgm(2, 1, Array(10, 200))
+    val fg = graft.multimodal.PnmMediaDecoder.decode(MediaRow(1L, "image", pgm))
+    assert(fg.byte_sum == 210L && fg.n_frames == 1 && fg.n_sampled == 1)
+    assert(fg.sampled_checksum == (10L * 31 + 200L) % 1000000007L)
+    // PPM: BT.601 — pure red 76, pure white 255 (same as the BMP twin).
+    val ppm = graft.multimodal.PnmCodec.encodePpm(2, 1, Array(0xff0000, 0xffffff))
+    val fp = graft.multimodal.PnmMediaDecoder.decode(MediaRow(2L, "image", ppm))
+    assert(fp.byte_sum == 76L + 255L)
+    assert(fp.sampled_checksum == (76L * 31 + 255L) % 1000000007L)
+  }
+
+  test("registry dispatches a MIXED-format media table row by row") {
+    import spark.implicits._
+    import graft.multimodal.{BmpCodec, PnmCodec, RegistryMediaDecoder}
+    // Same pixel content, three encodings per id-class: BMP and PPM
+    // rows must land on IDENTICAL luminance features (codec-independent
+    // pixel domain), text rows on the stub's byte statistics.
+    val media = (0L until 30L).map { id =>
+      // pixel content keyed by the TRIPLET (id/3), so the BMP, PPM and
+      // text rows of a triplet carry the same image
+      val px = Array.tabulate(8)(i => (((id / 3) * 131 + i * 997) % 0x1000000).toInt)
+      val payload = id % 3 match {
+        case 0 => BmpCodec.encode(4, 2, px)
+        case 1 => PnmCodec.encodePpm(4, 2, px)
+        case _ => s"text payload $id".getBytes("UTF-8")
+      }
+      MediaRow(id, "image", payload)
+    }.toDS().repartition(3)
+    val got = Multimodal.extractFeatures(media, RegistryMediaDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    (0L until 30L by 3).foreach { id =>
+      val bmp = got(id); val ppm = got(id + 1); val txt = got(id + 2)
+      assert((bmp.byte_sum, bmp.mean_byte, bmp.n_frames, bmp.sampled_checksum) ===
+        ((ppm.byte_sum, ppm.mean_byte, ppm.n_frames, ppm.sampled_checksum)),
+        "same pixels through different codecs must yield the same features")
+      assert(txt == graft.multimodal.StubDecoder.decode(
+        MediaRow(id + 2, "image", s"text payload ${id + 2}".getBytes("UTF-8"))))
+    }
+    // formatOf mirrors the dispatch.
+    assert(RegistryMediaDecoder.formatOf(BmpCodec.encode(1, 1, Array(0))) == "bmp")
+    assert(RegistryMediaDecoder.formatOf(PnmCodec.encodePgm(1, 1, Array(0))) == "pnm")
+    assert(RegistryMediaDecoder.formatOf("nope".getBytes("UTF-8")) == "stub")
+  }
+
+  test("registry via conf: unchanged mm_* queries over the registry decoder") {
+    spark.conf.set(Multimodal.DecoderConfKey,
+      graft.multimodal.RegistryMediaDecoder.getClass.getName)
+    try {
+      assert(Multimodal.resolveDecoder(spark) eq
+        graft.multimodal.RegistryMediaDecoder)
+      // The fixture media table is text-backed → every row takes the
+      // stub path through the registry; the query surface is unchanged.
+      val viaReg = graft.ops.MultimodalPack.queries("mm_modality_mix")(spark, sf())
+        .collect().map(_.toSeq).toSet
+      spark.conf.unset(Multimodal.DecoderConfKey)
+      val viaStub = graft.ops.MultimodalPack.queries("mm_modality_mix")(spark, sf())
+        .collect().map(_.toSeq).toSet
+      assert(viaReg == viaStub && viaReg.nonEmpty)
+    } finally spark.conf.unset(Multimodal.DecoderConfKey)
+  }
 }
 
 /** Test decoder: halves the frame count (as if frames were 2x the stub's
