@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AccentFold, BitsetAgg, CosineSim, JaroWinkler, KmvSketch, MinHashSketch}
+import graft.functions.{AccentFold, BitsetAgg, CosineSim, JaroWinkler, KmvSketch, MinHashSketch, WRatio}
 
 /** Session extensions registering graft's native Catalyst functions.
   * Activate with .config("spark.sql.extensions", "graft.ext.GraftExtensions")
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("wratio"),
+      new ExpressionInfo(classOf[WRatio].getName, "wratio"),
+      (children: Seq[Expression]) => WRatio(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
@@ -52,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // geometric length-bucket equi-key (content signatures are unsound
     // for JW — see JaroWinklerJoinRule's analysis).
     ext.injectOptimizerRule(_ => JaroWinklerJoinRule)
+    // Optimizer rule: a thresholded WRatio θ-join above the partial-leg
+    // ceiling (t > 90) gains the same length-scale equi-key — the
+    // dispatch's own damping is what makes it sound (see WRatioJoinRule).
+    ext.injectOptimizerRule(_ => WRatioJoinRule)
   }
 }

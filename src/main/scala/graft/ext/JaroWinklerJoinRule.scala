@@ -60,14 +60,10 @@ import graft.functions.JaroWinkler
   * explode) and the join has no other equi-conjunct. Disable with
   * `spark.graft.jwjoin.enabled=false`.
   *
-  * The third fuzzy leg, WRatio, is a composed Column expression (three
-  * scored legs over levenshtein and substrings), not a single Catalyst
-  * node — no θ-predicate to pattern-match. Its ratio legs DO bound the
-  * indel distance, but only through the per-row max length
-  * (d ≤ (1−r)·(|a|+|b|)), and the signature machinery needs a literal
-  * k: a constant-k trigger exists only under an explicit length-cap
-  * conjunct, which is the documented extension path if a WRatio θ-join
-  * ever becomes a real workload.
+  * The third fuzzy leg, WRatio, has its own rewrite since r9: the
+  * native [[graft.functions.WRatio]] node makes the θ-predicate
+  * matchable, and its dispatch's partial-leg damping makes the same
+  * length-scale bucket sound for t > 90 — see [[WRatioJoinRule]].
   */
 object JaroWinklerJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -101,26 +97,6 @@ object JaroWinklerJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** floor(ln(max(len,1)) / ln(1/α)) as LongType. Long, not Int: for
-    * thresholds within ~5e-10 of 1.0, α → 1 and ln(1/α) → 0⁺, so the
-    * quotient can exceed Int range — a 32-bit cast would wrap (non-ANSI)
-    * or error (ANSI), and wrapped buckets straddling the Int boundary
-    * silently break the |Δbucket| ≤ 2 contract. No realistic
-    * length/threshold pair escapes Long range (Spark's double→long cast
-    * saturates rather than wraps even if one did), and [[MinLogAlpha]]
-    * rejects the degenerate-α regime before it gets here. */
-  private def bucket(s: Expression, alpha: Double): Expression =
-    Cast(Floor(Divide(
-      Log(Cast(Greatest(Seq(Length(s), Literal(1))), DoubleType)),
-      Literal(math.log(1.0 / alpha)))), LongType)
-
-  /** Smallest usable ln(1/α): below this every length lands in one
-    * astronomically-numbered bucket (the whole corpus on one shuffle
-    * key) — fall back to the unrewritten join instead. Corresponds to
-    * thresholds within ~2e-8 of 1.0; t = 0.999 gives ln(1/α) ≈ 5e-3,
-    * three orders above the floor. */
-  private val MinLogAlpha = 1e-6
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
@@ -153,20 +129,10 @@ object JaroWinklerJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case Some((a, b, t, pred)) =>
             val jmin = (t - 0.4) / 0.6
             val alpha = 3.0 * jmin - 2.0
-            if (alpha <= 0.0 || math.log(1.0 / alpha) < MinLogAlpha) j
-            else {
-              val residual = conjuncts.filterNot(_ eq pred)
-              // Explode the left side into its 5 candidate buckets.
-              val bk = AttributeReference("__graft_jwbk", LongType,
-                nullable = false)()
-              val cands = (-2 to 2).map(d =>
-                Add(bucket(a, alpha), Literal(d.toLong)))
-              val leftG = Generate(Explode(CreateArray(cands)),
-                Nil, outer = false, None, Seq(bk), left)
-              val newCond = (Seq(
-                EqualTo(bk, bucket(b, alpha)), pred) ++ residual).reduce(And)
-              Project(j.output, Join(leftG, right, Inner, Some(newCond), JoinHint.NONE))
-            }
+            // Shared exploded-bucket machinery (LongType buckets,
+            // degenerate-α fallback — see LengthScaleRewrite).
+            LengthScaleRewrite.rewrite(j, left, right, a, b, alpha,
+              pred, conjuncts, "__graft_jwbk").getOrElse(j)
         }
     }
   }

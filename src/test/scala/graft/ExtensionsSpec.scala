@@ -209,6 +209,74 @@ class ExtensionsSpec extends SparkSpec {
       "bucket attribute must be LongType")
   }
 
+  test("wratio theta-join above the partial-leg ceiling gains the length-scale equi-key") {
+    // VERDICT r8 item 5 (the once-deferred third fuzzy leg): at t > 90
+    // WRatio's own damping caps the partial legs at 90.0, so every
+    // qualifying pair comes from the full or token-sort legs — both
+    // length-ratio-bounded — and the geometric length-bucket equi-key
+    // is sound WITHOUT a length-cap conjunct (WRatioJoinRule scaladoc
+    // carries the derivation).
+    val people = Seq(
+      (1L, "ann barton"), (2L, "barton ann"),
+      (3L, "the ann barton foundation"),
+      (4L, "a completely different much longer string entirely"),
+      (5L, "ann barton"), (6L, "ab"),
+      (7L, "the ann barton foundatiom"))
+      .toDF("id", "nm")
+    val a = people.select(col("id").as("i"), col("nm").as("na"))
+    val b = people.select(col("id").as("j"), col("nm").as("nb"))
+    def q(t: Double) = a.join(b, col("i") < col("j") &&
+      call_function("wratio", col("na"), col("nb")) >= lit(t))
+      .select("i", "j")
+    val optimized = q(92.0).queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__graft_wrbk"),
+      s"no length-bucket key in:\n$optimized")
+    val phys = q(92.0).queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"still a nested-loop join:\n$phys")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRule = pairs(q(92.0))
+    spark.conf.set("spark.graft.wratiojoin.enabled", "false")
+    val direct = try pairs(q(92.0))
+    finally spark.conf.unset("spark.graft.wratiojoin.enabled")
+    assert(viaRule == direct)
+    assert(viaRule.contains((1L, 5L)), "identical strings score 100")
+    assert(viaRule.contains((1L, 2L)),
+      "token-sorted anagram phrases score 95 through the ts leg")
+    assert(viaRule.contains((3L, 7L)), "one-char edit at len 25 scores 96 (full leg)")
+    assert(!viaRule.contains((1L, 4L)), "cross-length-scale pair pruned AND scored out")
+    assert(!viaRule.contains((1L, 3L)),
+      "short-vs-long containment caps at the damped 90 — below t")
+  }
+
+  test("wratio rewrite declines at and below the 90.0 partial-leg ceiling") {
+    // At t ≤ 90 a 0.9-damped partial window can reach the threshold on
+    // an UNBOUNDED length ratio (short query inside a long name), so no
+    // length bucket is sound — the rule must leave the join alone and
+    // the nested loop must still find the short-in-long pair.
+    // 3 vs 21 chars: lenRatio 7 keeps the 0.9 damping (≥ 8 would drop
+    // to 0.6 and the containment pair would cap at 60, not 90).
+    val a = Seq((1L, "ann")).toDF("i", "na")
+    val b = Seq((2L, "za ann barton of canx")).toDF("j", "nb")
+    def q(t: Double) = a.join(b,
+      call_function("wratio", col("na"), col("nb")) >= lit(t))
+      .select("i", "j")
+    for (t <- Seq(90.0, 85.0)) {
+      val o = q(t).queryExecution.optimizedPlan.toString
+      assert(!o.contains("__graft_wrbk"),
+        s"t=$t must decline the rewrite (partial legs reach 90):\n$o")
+    }
+    // The partial leg really does qualify here: 'ann' sits verbatim in
+    // the long name → partial 100, damped 0.9 → 90.0.
+    assert(q(90.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)))
+    // And above the ceiling the same pair is correctly OUT (its full
+    // and ts legs are far below 91), with the rewrite active.
+    assert(q(91.0).collect().isEmpty)
+  }
+
   test("search_jw_topk recast as a theta-join returns identical rows") {
     // The VERDICT r7 stretch contract: the hand-built top-k query and
     // its natural θ-join spelling (customer × 1-row query frame on

@@ -432,4 +432,36 @@ class InvariantSpec extends SparkSpec {
       assert(kept >= 71 && kept <= 284)
     }
   }
+
+  test("native wratio equals the composed Column WRatio stage for stage") {
+    // The WRatioJoinRule trigger only exists because wratio is ONE
+    // Catalyst node; its scores must be value-identical to the composed
+    // Column form (api/Search.fuzzyScoreWith) every user-facing query
+    // computes - same rounding stages, same NaN arithmetic, same
+    // token-sort/partial dispatch - on random strings spanning every
+    // dispatch branch (lenRatio < 1.5, [1.5, 8), >= 8, empties,
+    // multi-space runs).
+    val alphabet = "abn o  t"
+    def randStr(maxLen: Int): String =
+      Seq.fill(rng.nextInt(maxLen + 1))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val names = Seq.fill(250)(randStr(24)) ++
+      Seq("", " ", "  ", "ann barton", "barton ann", "a", randStr(3) * 12)
+    // No empty query: name="" × query="" is the one input where the
+    // composed form's 0/0 raises under ANSI (the native node defines it
+    // as 0.0); one-side-empty is still covered by the "" name rows.
+    val queries = Seq("ann barton", "no tab", "b", "ann  barton  ")
+    for (q <- queries) {
+      val rows = names.toDF("name")
+        .select(col("name"),
+          graft.api.Search.fuzzyScoreWith(col("name"),
+            graft.api.Search.tokenSort(col("name")), q).as("composed"),
+          call_function("wratio", col("name"), lit(q)).as("native"))
+        .collect()
+      rows.foreach { r =>
+        val (c, n) = (r.getDouble(1), r.getDouble(2))
+        assert(java.lang.Double.compare(c, n) == 0,
+          s"wratio('${r.getString(0)}', '$q'): composed $c vs native $n")
+      }
+    }
+  }
 }
