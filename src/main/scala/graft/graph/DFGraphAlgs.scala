@@ -82,10 +82,78 @@ object DFGraphAlgs {
     * size-based decision itself, from the exact count of the materialized
     * state. ~2M rows ≈ tens of MB serialized: cheap to ship to every
     * executor, and each round then touches the big edge list with zero
-    * exchanges on it. Above the limit the rounds fall back to plain
-    * shuffle joins — the 1B-vertex shape, where per-vertex state must
-    * never be centralized. */
+    * exchanges on it. Above the limit the rounds fall back to shuffle
+    * joins — the 1B-vertex shape, where per-vertex state must never be
+    * centralized — with hub keys SALTED (see [[SaltTargetDegConf]]).
+    * Override with [[StateBroadcastLimitConf]] (cluster tuning; tests
+    * set it to 0 to force the shuffle path). */
   private val StateBroadcastLimit = 2000000L
+
+  /** Conf key overriding [[StateBroadcastLimit]]. */
+  val StateBroadcastLimitConf = "spark.graft.bsp.stateBroadcastLimit"
+
+  private def bcastLimit(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(StateBroadcastLimitConf)
+      .map(_.toLong).getOrElse(StateBroadcastLimit)
+
+  /** Conf key: out-degree budget per (src, salt) sub-key in the BFS/SSSP
+    * relaxation join's SHUFFLE path. A γ≈3.4 power-law hub (the
+    * reference graph's shape) can carry millions of out-edges on one
+    * join key; when rounds shuffle (state too big to broadcast), that
+    * key serializes one task per round. Edges of a hub with out-degree
+    * d split across ceil(d / target) ≤ [[MaxSalt]] salt sub-keys
+    * (deterministic: salt = hash(dst) mod n_salts), and each round the
+    * state rows of salted vertices REPLICATE across their sub-keys —
+    * O(Σ hubs · n_salts) extra state rows, bounded and tiny next to a
+    * round's edge volume — so relaxation work for a hub spreads over
+    * n_salts tasks. Non-hub keys keep n_salts = 1 and are untouched.
+    * Default 500k rows per sub-key; tests set 1 to salt everything. */
+  val SaltTargetDegConf = "spark.graft.bsp.saltTargetDeg"
+
+  /** Salt-fanout cap — 32 sub-keys ≈ 16M relaxations per hub task at
+    * the default target, far past any real round's critical path. */
+  private val MaxSalt = 32
+
+  private def saltTarget(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(SaltTargetDegConf)
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Per-src salt fanout (src, __ns) and the salted edge list
+    * (src, dst, w, __ns, __salt) for the shuffle-path relaxation join.
+    * Returns None when no key exceeds the target (the common case —
+    * rounds then skip the per-round fanout join entirely; one probe
+    * action at build time, driver metadata only). Under plan-only the
+    * probe is skipped and salting activates iff target ≤ 1 (how
+    * PlanSpec asserts the salted shape without running jobs). */
+  private def saltPlan(e: DataFrame): Option[(DataFrame, DataFrame)] = {
+    val target = saltTarget(e)
+    val ns = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .select(col("src"),
+        least(lit(MaxSalt.toLong), greatest(lit(1L),
+          ceil(col("__deg").cast("double") / target).cast("long")))
+          .cast("int").as("__ns"))
+    val active =
+      if (planOnly(e)) target <= 1L
+      else ns.filter(col("__ns") > 1).limit(1).count() > 0
+    if (!active) None
+    else {
+      val eS = mat(e.join(ns, "src")
+        .withColumn("__salt", pmod(hash(col("dst")), col("__ns"))))
+      Some((mat(ns), eS))
+    }
+  }
+
+  /** State fanned out across its vertices' salt sub-keys: each row of
+    * `state` (keyed by `id`) replicates to (__sl = 0..__ns−1); vertices
+    * absent from the fanout frame (no out-edges) keep one row. Costs
+    * one extra shuffle of the (small) state per round — the price of
+    * un-skewing the big edge-side exchange. */
+  private def fanOutState(state: DataFrame, ns: DataFrame): DataFrame =
+    state.join(ns, state("id") === ns("src"), "left")
+      .drop("src")
+      .withColumn("__sl",
+        explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
+      .drop("__ns")
 
   /** Hint `df` broadcast-able when the measured state size is bounded. */
   private def maybeBcast(df: DataFrame, small: Boolean): DataFrame =
@@ -192,7 +260,7 @@ object DFGraphAlgs {
     var rank = mat(seeds.select(col("seed"), col("seed").as("id"),
       lit(1.0).cast("double").as("rank")))
     for (_ <- 1 to rounds(rank, iters)) {
-      val small = !planOnly(rank) && rank.count() <= StateBroadcastLimit
+      val small = !planOnly(rank) && rank.count() <= bcastLimit(rank)
       val msgs = contrib.join(maybeBcast(rank, small),
           contrib("src") === rank("id"))
         .select(col("seed"), col("dst").as("id"),
@@ -219,10 +287,23 @@ object DFGraphAlgs {
       .union(e.select(col("dst").as("id"))).distinct()
     var dist = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
-    val small = !planOnly(dist) && dist.count() <= StateBroadcastLimit
+    val salt = saltPlan(e)
+    val small = !planOnly(dist) && dist.count() <= bcastLimit(dist)
     for (_ <- 1 to rounds(dist, iters)) {
-      val relaxed = e.join(maybeBcast(dist, small), e("src") === dist("id"))
-        .filter(col("dist").isNotNull)
+      val frontier =
+        if (small || salt.isEmpty)
+          e.join(maybeBcast(dist, small), e("src") === dist("id"))
+            .filter(col("dist").isNotNull)
+        else {
+          // Shuffle path with hub salting: reached state fans out over
+          // its vertices' salt sub-keys, edges carry a precomputed
+          // (src, __salt) — the hub's relaxation work spreads across
+          // __ns tasks instead of serializing on one key.
+          val (ns, eS) = salt.get
+          val stS = fanOutState(dist.filter(col("dist").isNotNull), ns)
+          eS.join(stS, eS("src") === stS("id") && eS("__salt") === stS("__sl"))
+        }
+      val relaxed = frontier
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
       dist = mat(dist.join(maybeBcast(relaxed, small), Seq("id"), "left")
         .select(col("id"), least(col("dist"), col("reach")).as("dist")))
@@ -245,11 +326,21 @@ object DFGraphAlgs {
       coalesce(col("w"), lit(1.0)).as("w")))
     var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
+    val salt = saltPlan(e)
     for (_ <- 1 to rounds(dist, iters)) {
       // State grows round over round (up to sources × reached) — re-check
       // the measured size each round before choosing broadcast.
-      val small = !planOnly(dist) && dist.count() <= StateBroadcastLimit
-      val relaxed = e.join(maybeBcast(dist, small), e("src") === dist("id"))
+      val small = !planOnly(dist) && dist.count() <= bcastLimit(dist)
+      val frontier =
+        if (small || salt.isEmpty)
+          e.join(maybeBcast(dist, small), e("src") === dist("id"))
+        else {
+          // Shuffle path with hub salting — see shortestPaths.
+          val (ns, eS) = salt.get
+          val stS = fanOutState(dist, ns)
+          eS.join(stS, eS("src") === stS("id") && eS("__salt") === stS("__sl"))
+        }
+      val relaxed = frontier
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("reach"))
       dist = mat(dist.join(relaxed, Seq("s0", "id"), "full")
@@ -274,7 +365,7 @@ object DFGraphAlgs {
     var st = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
       lit(null).cast("long").as("pred")))
-    val small = !planOnly(st) && st.count() <= StateBroadcastLimit
+    val small = !planOnly(st) && st.count() <= bcastLimit(st)
     for (_ <- 1 to rounds(st, iters)) {
       // Lexicographic min over (nd, pred) as a struct-min hash aggregate:
       // same deterministic tie-break as a (nd, pred) sort-window, but with
@@ -306,7 +397,7 @@ object DFGraphAlgs {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var comp = mat(nodes.select(col("id"), col("id").as("comp")))
-    val small = !planOnly(comp) && comp.count() <= StateBroadcastLimit
+    val small = !planOnly(comp) && comp.count() <= bcastLimit(comp)
     for (_ <- 1 to rounds(comp, iters)) {
       val better = e.join(maybeBcast(comp, small), e("src") === comp("id"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))

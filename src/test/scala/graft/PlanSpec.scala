@@ -312,6 +312,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BSP shuffle rounds carry the hub-salt equi-key when salting is active") {
+    // The salted relaxation join must still be pure equi-join work —
+    // (src, __salt) = (id, __sl) — with the fanout as a Generate, never
+    // a cartesian. Asserted on the six-degrees query's un-truncated
+    // plan (plan-only mode; salt target 1 activates salting without a
+    // degree probe, broadcast limit 0 forces the shuffle path).
+    import graft.graph.DFGraphAlgs
+    spark.conf.set(DFGraphAlgs.PlanOnlyConf, "true")
+    spark.conf.set(DFGraphAlgs.StateBroadcastLimitConf, "0")
+    spark.conf.set(DFGraphAlgs.SaltTargetDegConf, "1")
+    try {
+      val p = planOf(graft.ops.EtlPack.queries("etl_sparql_six_degrees")(spark, sf()))
+      assert(p.contains("__salt"), s"salted rounds missing the salt key:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"salted relaxation must stay an equi-join:\n$p")
+      assert(p.contains("Generate"), "state fanout must be a generator, not a join")
+    } finally {
+      spark.conf.unset(DFGraphAlgs.PlanOnlyConf)
+      spark.conf.unset(DFGraphAlgs.StateBroadcastLimitConf)
+      spark.conf.unset(DFGraphAlgs.SaltTargetDegConf)
+    }
+  }
+
   test("graph_rich_club never force-broadcasts the hub set") {
     // The P90 hub set is ~10% of the projection's vertices — millions of
     // rows at the reference's 4.6 M-node graph. Only the two 1-row
