@@ -365,13 +365,23 @@ object DFGraphAlgs {
     var st = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
       lit(null).cast("long").as("pred")))
+    val salt = saltPlan(e)
     val small = !planOnly(st) && st.count() <= bcastLimit(st)
     for (_ <- 1 to rounds(st, iters)) {
       // Lexicographic min over (nd, pred) as a struct-min hash aggregate:
       // same deterministic tie-break as a (nd, pred) sort-window, but with
       // map-side partial aggregation and no per-partition sort.
-      val cand = e.join(maybeBcast(st, small), e("src") === st("id"))
-        .filter(col("dist").isNotNull)
+      val frontier =
+        if (small || salt.isEmpty)
+          e.join(maybeBcast(st, small), e("src") === st("id"))
+            .filter(col("dist").isNotNull)
+        else {
+          // Shuffle path with hub salting — see shortestPaths.
+          val (ns, eS) = salt.get
+          val stS = fanOutState(st.filter(col("dist").isNotNull), ns)
+          eS.join(stS, eS("src") === stS("id") && eS("__salt") === stS("__sl"))
+        }
+      val cand = frontier
         .select(col("dst").as("id"),
           struct((col("dist") + col("w")).as("nd"),
             col("src").as("cand_pred")).as("c"))
@@ -397,9 +407,19 @@ object DFGraphAlgs {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var comp = mat(nodes.select(col("id"), col("id").as("comp")))
+    val salt = saltPlan(e)
     val small = !planOnly(comp) && comp.count() <= bcastLimit(comp)
     for (_ <- 1 to rounds(comp, iters)) {
-      val better = e.join(maybeBcast(comp, small), e("src") === comp("id"))
+      val frontier =
+        if (small || salt.isEmpty)
+          e.join(maybeBcast(comp, small), e("src") === comp("id"))
+        else {
+          // Shuffle path with hub salting — see shortestPaths.
+          val (ns, eS) = salt.get
+          eS.join(fanOutState(comp, ns),
+            eS("src") === col("id") && eS("__salt") === col("__sl"))
+        }
+      val better = frontier
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
       comp = mat(comp.join(maybeBcast(better, small), Seq("id"), "left")
         .select(col("id"), least(col("comp"), col("ncomp")).as("comp")))
@@ -433,10 +453,20 @@ object DFGraphAlgs {
     val e = mat(edges.select(col("src"), col("dst")))
     val nodes = e.select(col("src").as("id")).distinct()
     var lbl = mat(nodes.select(col("id"), col("id").as("lbl")))
-    for (_ <- 1 to iters) {
+    val salt = saltPlan(e)
+    for (_ <- 1 to rounds(lbl, iters)) {
       // argmax by (count desc, label asc) as a struct-max hash aggregate:
       // map-side combinable, no per-vertex sort window.
-      val best = e.join(lbl, e("src") === lbl("id"))
+      val frontier =
+        if (salt.isEmpty) e.join(lbl, e("src") === lbl("id"))
+        else {
+          // LPA always shuffles (no broadcast leg) — salt hubs the same
+          // way as the BFS relaxation join.
+          val (ns, eS) = salt.get
+          eS.join(fanOutState(lbl, ns),
+            eS("src") === col("id") && eS("__salt") === col("__sl"))
+        }
+      val best = frontier
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("n"))
         .select(col("dst").as("id"),

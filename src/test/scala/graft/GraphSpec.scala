@@ -171,6 +171,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("salting preserves components, predecessors, and LPA labels too") {
+    // The same relaxation-join shape lives in connectedComponents,
+    // shortestPathsWithPred, and labelPropagation — forced full salting
+    // must leave all three bit-identical (incl. the pred forest's
+    // deterministic tie-break and LPA's smallest-label tie-break).
+    val sym = edgeDF.select($"src", $"dst")
+      .union(edgeDF.select($"dst".as("src"), $"src".as("dst")))
+    def all(): (Map[Long, Long], Map[Long, (Option[Double], Option[Long])], Map[Long, Long]) = {
+      val cc = DFGraphAlgs.connectedComponents(sym, 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pred = DFGraphAlgs.shortestPathsWithPred(edgeDF, 1L, 6)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      val lpa = DFGraphAlgs.labelPropagation(sym, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (cc, pred, lpa)
+    }
+    val base = all()
+    spark.conf.set(DFGraphAlgs.StateBroadcastLimitConf, "0")
+    spark.conf.set(DFGraphAlgs.SaltTargetDegConf, "1")
+    try assert(all() === base)
+    finally {
+      spark.conf.unset(DFGraphAlgs.StateBroadcastLimitConf)
+      spark.conf.unset(DFGraphAlgs.SaltTargetDegConf)
+    }
+  }
+
   test("multiSourceShortestPaths agrees with per-source shortestPaths") {
     val sources = Seq(1L, 3L, 5L)
     val multi = DFGraphAlgs.multiSourceShortestPaths(edgeDF, sources, 6)
