@@ -806,7 +806,8 @@ object MLPack {
     // user/item blocks). Like ml_train_eval this is a rows-only check —
     // float normal-equation solves are not bit-reproducible across
     // engines — with the quality pin in MLSpec (recovers planted block
-    // structure on a synthetic matrix).
+    // structure on a synthetic matrix); everything DETERMINISTIC feeding
+    // the solves is hash-checked by the ml_als_matrix companion below.
     "ml_als_recommend" -> ((s, d) => {
       val ratings = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -827,6 +828,37 @@ object MLPack {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("user")).orderBy(col("score").desc, col("item").asc)))
         .orderBy(col("user"), col("rn"))
+    }),
+
+    // The DETERMINISTIC PREFIX of ml_als_recommend, oracle-checked: the
+    // block-partitioned normal-equation solves can never hash-match
+    // across engines, but the ratings matrix they factorize can — this
+    // companion replays the identical implicit-feedback cell build
+    // (per-(customer, supplier) lineitem counts) and summarizes it in 16
+    // user-hash buckets: cell/user/item counts, the user-subset size
+    // feeding recommendForUserSubset, exact rating sums (counts cast
+    // through float exactly below 2^24), and a modular (31·user + item)
+    // cell checksum that pins the cell multiset without overflowing
+    // int64 at any key stride. A green row here pins every input the
+    // solver sees; ml_als_recommend itself stays rows-checked with its
+    // planted-block quality pin in MLSpec.
+    "ml_als_matrix" -> ((s, d) => {
+      val ratings = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_suppkey").cast("int").as("item"))
+        .agg(count(lit(1)).cast("float").as("rating"))
+      ratings
+        .groupBy((col("user") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("user")).as("n_users"),
+          countDistinct(col("item")).as("n_items"),
+          countDistinct(when(col("user") <= 20, col("user"))).as("n_subset_users"),
+          sum(col("rating").cast("long")).as("rating_sum"),
+          max(col("rating").cast("long")).as("rating_max"),
+          sum((col("user").cast("long") * 31 + col("item")) % 1000003)
+            .as("cell_checksum"))
+        .orderBy(col("bucket"))
     }),
 
     // The DETERMINISTIC PREFIX of ml_train_eval, oracle-checked: the
@@ -957,6 +989,25 @@ object MLPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "ml_als_matrix" ->
+      """WITH r AS (
+        |  SELECT CAST(o_custkey AS INTEGER) AS u,
+        |         CAST(l_suppkey AS INTEGER) AS i,
+        |         COUNT(*) AS c
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT u % 16 AS bucket,
+        |  COUNT(*) AS n_cells,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items,
+        |  CAST(COUNT(DISTINCT CASE WHEN u <= 20 THEN u END) AS BIGINT)
+        |    AS n_subset_users,
+        |  CAST(SUM(c) AS BIGINT) AS rating_sum,
+        |  CAST(MAX(c) AS BIGINT) AS rating_max,
+        |  CAST(SUM((CAST(u AS BIGINT) * 31 + i) % 1000003) AS BIGINT)
+        |    AS cell_checksum
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "ml_train_matrix" ->
       s"""WITH $edgesSql, $pairSampleSql,
          |ea AS (SELECT c, p FROM edges WHERE ${h28Sql("concat(c, '_', p)")} % 2 = 0),
