@@ -118,42 +118,53 @@ object DFGraphAlgs {
     df.sparkSession.conf.getOption(SaltTargetDegConf)
       .map(_.toLong).getOrElse(500000L)
 
-  /** Per-src salt fanout (src, __ns) and the salted edge list
-    * (src, dst, w, __ns, __salt) for the shuffle-path relaxation join.
-    * Returns None when no key exceeds the target (the common case —
-    * rounds then skip the per-round fanout join entirely; one probe
-    * action at build time, driver metadata only). Under plan-only the
-    * probe is skipped and salting activates iff target ≤ 1 (how
-    * PlanSpec asserts the salted shape without running jobs). */
-  private def saltPlan(e: DataFrame): Option[(DataFrame, DataFrame)] = {
+  /** Per-key salt fanout (keys…, __ns) and the salted edge list
+    * (keys…, dst, …, __ns, __salt) for a shuffle-path state⋈edges join.
+    * `keys` is the edge-side join key (src for the single-graph loops,
+    * (rel, src) for the composite-key multi-view loops). Returns None
+    * when no key exceeds the target (the common case — rounds then skip
+    * the per-round fanout join entirely; one probe action at build
+    * time, driver metadata only). Under plan-only the probe is skipped
+    * and salting activates iff target ≤ 1 (how PlanSpec asserts the
+    * salted shape without running jobs). */
+  private def saltPlan(e: DataFrame, keys: Seq[String] = Seq("src"))
+      : Option[(DataFrame, DataFrame)] = {
     val target = saltTarget(e)
-    val ns = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .select(col("src"),
+    val kcols = keys.map(col)
+    val ns = e.groupBy(kcols: _*).agg(count(lit(1)).as("__deg"))
+      .select(kcols :+
         least(lit(MaxSalt.toLong), greatest(lit(1L),
           ceil(col("__deg").cast("double") / target).cast("long")))
-          .cast("int").as("__ns"))
+          .cast("int").as("__ns"): _*)
     val active =
       if (planOnly(e)) target <= 1L
       else ns.filter(col("__ns") > 1).limit(1).count() > 0
     if (!active) None
     else {
-      val eS = mat(e.join(ns, "src")
+      val eS = mat(e.join(ns, keys)
         .withColumn("__salt", pmod(hash(col("dst")), col("__ns"))))
       Some((mat(ns), eS))
     }
   }
 
   /** State fanned out across its vertices' salt sub-keys: each row of
-    * `state` (keyed by `id`) replicates to (__sl = 0..__ns−1); vertices
-    * absent from the fanout frame (no out-edges) keep one row. Costs
-    * one extra shuffle of the (small) state per round — the price of
-    * un-skewing the big edge-side exchange. */
-  private def fanOutState(state: DataFrame, ns: DataFrame): DataFrame =
-    state.join(ns, state("id") === ns("src"), "left")
-      .drop("src")
+    * `state` replicates to (__sl = 0..__ns−1); vertices absent from the
+    * fanout frame (no out-edges) keep one row. `keyMap` maps each
+    * state-side key column to its fanout-frame twin (id→src alone for
+    * the single-graph loops, plus rel→rel for the composite-key ones).
+    * Costs one extra shuffle of the (small) state per round — the price
+    * of un-skewing the big edge-side exchange. */
+  private def fanOutState(state: DataFrame, ns: DataFrame,
+      keyMap: Seq[(String, String)] = Seq("id" -> "src")): DataFrame = {
+    val cond = keyMap.map { case (sk, nk) => state(sk) === ns(nk) }
+      .reduce(_ && _)
+    keyMap.foldLeft(state.join(ns, cond, "left")) {
+        case (df, (_, nk)) => df.drop(ns(nk))
+      }
       .withColumn("__sl",
         explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
       .drop("__ns")
+  }
 
   /** Hint `df` broadcast-able when the measured state size is bounded. */
   private def maybeBcast(df: DataFrame, small: Boolean): DataFrame =
@@ -175,15 +186,34 @@ object DFGraphAlgs {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src")).persist()
+    // Hub salting (see [[SaltTargetDegConf]]): the contribution join is
+    // exchange-free by co-partitioning, but a power-law hub still lands
+    // all its out-edges in ONE persisted partition — one task per round.
+    // When a hub exceeds the budget, contrib co-partitions on
+    // (src, __salt) instead and the rank state fans out to match; the
+    // message sum is a decimal aggregate, so results are bit-identical.
+    val salt = saltPlan(e)
+    val contrib = (salt match {
+      case Some((_, eS)) => eS.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("deg"), col("__salt"))
+        .repartition(col("src"), col("__salt"))
+      case None => e.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src"))
+    }).persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).persist()
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      val msgs = contrib.join(rank, contrib("src") === rank("id"))
+      val joined = salt match {
+        case Some((ns, _)) =>
+          val rk = fanOutState(rank, ns)
+          contrib.join(rk,
+            contrib("src") === rk("id") && contrib("__salt") === rk("__sl"))
+        case None => contrib.join(rank, contrib("src") === rank("id"))
+      }
+      val msgs = joined
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("m"))
         .groupBy(col("id")).agg(rsum(col("m")).as("msum"))
       rank = nodes.join(msgs, Seq("id"), "left")
@@ -210,17 +240,32 @@ object DFGraphAlgs {
     // With composite (rel, id) keys the avoided re-shuffles are 2× the
     // whole multi-view edge list per round, which is exactly where the
     // round-2 regression came from.
-    val contrib = e.join(outdeg, Seq("rel", "src"))
-      .select(col("rel"), col("src"), col("dst"), col("deg"))
-      .repartition(col("rel"), col("src")).persist()
+    // Hub salting on the composite (rel, src) key — see pageRank.
+    val salt = saltPlan(e, Seq("rel", "src"))
+    val contrib = (salt match {
+      case Some((_, eS)) => eS.join(outdeg, Seq("rel", "src"))
+        .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
+        .repartition(col("rel"), col("src"), col("__salt"))
+      case None => e.join(outdeg, Seq("rel", "src"))
+        .select(col("rel"), col("src"), col("dst"), col("deg"))
+        .repartition(col("rel"), col("src"))
+    }).persist()
     val nodes = e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct()
       .repartition(col("rel"), col("id")).persist()
     // Linear recurrence — one lazy plan, single job (see pageRank).
     var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      val msgs = contrib.join(rank,
+      val joined = salt match {
+        case Some((ns, _)) =>
+          val rk = fanOutState(rank, ns, Seq("rel" -> "rel", "id" -> "src"))
+          contrib.join(rk,
+            contrib("rel") === rk("rel") && contrib("src") === rk("id") &&
+              contrib("__salt") === rk("__sl"))
+        case None => contrib.join(rank,
           contrib("rel") === rank("rel") && contrib("src") === rank("id"))
+      }
+      val msgs = joined
         .select(contrib("rel").as("rel"), col("dst").as("id"),
           (col("rank") / col("deg")).as("m"))
         .groupBy(col("rel"), col("id")).agg(rsum(col("m")).as("msum"))
@@ -250,9 +295,16 @@ object DFGraphAlgs {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contrib = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src")).persist()
+    // Hub salting for the shuffle path (big seed sets) — see pageRank.
+    val salt = saltPlan(e)
+    val contrib = (salt match {
+      case Some((_, eS)) => eS.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("deg"), col("__salt"))
+        .repartition(col("src"), col("__salt"))
+      case None => e.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src"))
+    }).persist()
     // The restart rows: (seed, seed, 0.15) — tiny, broadcast into every
     // round's re-aggregation via the union (no shuffle contribution).
     val restart = mat(seeds.select(col("seed"), col("seed").as("id"),
@@ -261,8 +313,16 @@ object DFGraphAlgs {
       lit(1.0).cast("double").as("rank")))
     for (_ <- 1 to rounds(rank, iters)) {
       val small = !planOnly(rank) && rank.count() <= bcastLimit(rank)
-      val msgs = contrib.join(maybeBcast(rank, small),
-          contrib("src") === rank("id"))
+      val joined =
+        if (small || salt.isEmpty)
+          contrib.join(maybeBcast(rank, small), contrib("src") === rank("id"))
+        else {
+          val (ns, _) = salt.get
+          val rk = fanOutState(rank, ns)
+          contrib.join(rk,
+            contrib("src") === rk("id") && contrib("__salt") === rk("__sl"))
+        }
+      val msgs = joined
         .select(col("seed"), col("dst").as("id"),
           (col("rank") / col("deg")).as("m"))
         .groupBy(col("seed"), col("id")).agg(rsum(col("m")).as("msum"))

@@ -199,6 +199,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("salting preserves the PageRank family bit-for-bit") {
+    // The contribution join in pageRank / pageRankByRel /
+    // personalizedPageRank carries the same hub exposure as the
+    // relaxation joins; forced full salting must leave all three
+    // identical — the message sum is a decimal aggregate, so even the
+    // double ranks are bit-exact, not merely close.
+    val relEdges = Seq(
+      ("x", 1L, 2L), ("x", 2L, 1L), ("x", 2L, 3L), ("x", 3L, 2L),
+      ("y", 1L, 2L), ("y", 2L, 3L), ("y", 3L, 1L))
+      .toDF("rel", "src", "dst")
+    val seeds = Seq(1L, 4L).toDF("seed")
+    def all(): (Map[Long, Double], Map[(String, Long), Double], Map[(Long, Long), Double]) = {
+      val pr = DFGraphAlgs.pageRank(edgeDF, 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val byRel = DFGraphAlgs.pageRankByRel(relEdges, 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ppr = DFGraphAlgs.personalizedPageRank(edgeDF, seeds, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      (pr, byRel, ppr)
+    }
+    val base = all()
+    spark.conf.set(DFGraphAlgs.StateBroadcastLimitConf, "0")
+    spark.conf.set(DFGraphAlgs.SaltTargetDegConf, "1")
+    try assert(all() === base)
+    finally {
+      spark.conf.unset(DFGraphAlgs.StateBroadcastLimitConf)
+      spark.conf.unset(DFGraphAlgs.SaltTargetDegConf)
+    }
+  }
+
   test("multiSourceShortestPaths agrees with per-source shortestPaths") {
     val sources = Seq(1L, 3L, 5L)
     val multi = DFGraphAlgs.multiSourceShortestPaths(edgeDF, sources, 6)
