@@ -129,13 +129,23 @@ object DFGraphAlgs {
     * salted shape without running jobs). */
   private def saltPlan(e: DataFrame, keys: Seq[String] = Seq("src"))
       : Option[(DataFrame, DataFrame)] = {
+    val kcols = keys.map(col)
+    val deg = e.groupBy(kcols: _*).agg(count(lit(1)).as("__deg"))
+    saltPlanFromDeg(deg, "__deg", keys, e)
+  }
+
+  /** As [[saltPlan]] but reusing an already-built per-key out-degree
+    * frame: the PageRank loops need the same aggregate for their
+    * contribution normalization, so they persist it and the salt probe
+    * costs one cache read instead of a second pass over the edge list. */
+  private def saltPlanFromDeg(deg: DataFrame, degCol: String,
+      keys: Seq[String], e: DataFrame): Option[(DataFrame, DataFrame)] = {
     val target = saltTarget(e)
     val kcols = keys.map(col)
-    val ns = e.groupBy(kcols: _*).agg(count(lit(1)).as("__deg"))
-      .select(kcols :+
-        least(lit(MaxSalt.toLong), greatest(lit(1L),
-          ceil(col("__deg").cast("double") / target).cast("long")))
-          .cast("int").as("__ns"): _*)
+    val ns = deg.select(kcols :+
+      least(lit(MaxSalt.toLong), greatest(lit(1L),
+        ceil(col(degCol).cast("double") / target).cast("long")))
+        .cast("int").as("__ns"): _*)
     val active =
       if (planOnly(e)) target <= 1L
       else ns.filter(col("__ns") > 1).limit(1).count() > 0
@@ -185,14 +195,15 @@ object DFGraphAlgs {
     * inputs at sf0.1, and the shuffle-count argument scales. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // Hub salting (see [[SaltTargetDegConf]]): the contribution join is
     // exchange-free by co-partitioning, but a power-law hub still lands
     // all its out-edges in ONE persisted partition — one task per round.
     // When a hub exceeds the budget, contrib co-partitions on
     // (src, __salt) instead and the rank state fans out to match; the
     // message sum is a decimal aggregate, so results are bit-identical.
-    val salt = saltPlan(e)
+    // The probe reads the persisted degree frame contrib needs anyway.
+    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e)
     val contrib = (salt match {
       case Some((_, eS)) => eS.join(outdeg, "src")
         .select(col("src"), col("dst"), col("deg"), col("__salt"))
@@ -221,7 +232,7 @@ object DFGraphAlgs {
           (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     val out = mat(rank)
-    contrib.unpersist(false); nodes.unpersist(false)
+    contrib.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
     out
   }
 
@@ -235,13 +246,14 @@ object DFGraphAlgs {
     * Input: (rel, src, dst). Returns (rel, id, rank). */
   def pageRankByRel(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("rel"), col("src"), col("dst")))
-    val outdeg = e.groupBy(col("rel"), col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("rel"), col("src"))
+      .agg(count(lit(1)).as("deg")).persist()
     // Co-partitioned persists, one exchange per round — see pageRank.
     // With composite (rel, id) keys the avoided re-shuffles are 2× the
     // whole multi-view edge list per round, which is exactly where the
     // round-2 regression came from.
     // Hub salting on the composite (rel, src) key — see pageRank.
-    val salt = saltPlan(e, Seq("rel", "src"))
+    val salt = saltPlanFromDeg(outdeg, "deg", Seq("rel", "src"), e)
     val contrib = (salt match {
       case Some((_, eS)) => eS.join(outdeg, Seq("rel", "src"))
         .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
@@ -274,7 +286,7 @@ object DFGraphAlgs {
           (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     val out = mat(rank)
-    contrib.unpersist(false); nodes.unpersist(false)
+    contrib.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
     out
   }
 
@@ -294,9 +306,9 @@ object DFGraphAlgs {
     * Input: edges (src, dst), seeds (seed). Returns (seed, id, rank). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // Hub salting for the shuffle path (big seed sets) — see pageRank.
-    val salt = saltPlan(e)
+    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e)
     val contrib = (salt match {
       case Some((_, eS)) => eS.join(outdeg, "src")
         .select(col("src"), col("dst"), col("deg"), col("__salt"))
@@ -331,7 +343,7 @@ object DFGraphAlgs {
         .union(restart)
         .groupBy(col("seed"), col("id")).agg(rsum(col("part")).as("rank")))
     }
-    contrib.unpersist(false)
+    contrib.unpersist(false); outdeg.unpersist(false)
     rank
   }
 
