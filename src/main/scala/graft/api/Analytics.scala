@@ -249,4 +249,28 @@ object Analytics {
         round(abs((col("k_used") - 1) * lit(M) / col("kth_hash")
           - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
   }
+
+  /** Number of zero (never-touched) registers of an HLL register array. */
+  def hllZeros(regs: Column): Column =
+    size(filter(regs, r => r === 0)).cast("long")
+
+  /** Deterministic HLL estimate from a register array (p=8, m=256):
+    * Z = Σ 2^−reg over all registers (zero registers contribute 2^0 = 1),
+    * raw = α·m²/Z with α = 0.7213/(1 + 1.079/m), and the standard
+    * small-range correction raw ≤ 2.5m ∧ zeros > 0 → m·ln(m/zeros)
+    * (Flajolet et al. 2007 §4). Every term 2^−reg is computed as
+    * 1.0 / (1 << reg) — an exact dyadic double (never libm pow, whose
+    * rounding is not contractual) — and the total is < 2^8, so the sum
+    * is EXACT regardless of order; the one estimate division and the
+    * rounded output are then bit-identical across engines. Not rounded
+    * here; callers round. */
+  def hllEstimate(regs: Column): Column = {
+    val m = 256.0
+    val z = aggregate(regs, lit(0.0), (acc, r) =>
+      acc + lit(1.0) / call_function("shiftleft", lit(1L), r).cast("double"))
+    val zeros = hllZeros(regs)
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m)) * lit(m * m) / z
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m) * log(lit(m) / zeros.cast("double"))).otherwise(raw)
+  }
 }

@@ -53,13 +53,31 @@ object Etl {
     "object", "objectLabel", "objectDescription", "objectType",
     "relationshipLabel")
 
+  /** The SPARQL-result landing schema, stated explicitly: every binding
+    * var is a `{type, value, xml:lang}` cell (the W3C SPARQL-JSON cell
+    * shape — extractor.py:150-169's contract). An explicit schema is
+    * the scale discipline, not a convenience: schema INFERENCE is a
+    * whole extra pass over every landing file before the first real
+    * read, and at 100 TB the landing zone is read many times per
+    * pipeline run. Extra keys a cell might carry (`datatype`) are
+    * simply never parsed. */
+  val landingSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val cell = StructType(Seq(
+      StructField("type", StringType), StructField("value", StringType),
+      StructField("xml:lang", StringType)))
+    StructType(Seq(StructField("results", StructType(Seq(
+      StructField("bindings",
+        ArrayType(StructType(Vars.map(v => StructField(v, cell))))))))))
+  }
+
   /** S7 on the real landing shape: whole-document JSON pages →
     * one row per binding, `.value` leaves projected, plus `ord` (global
     * landing position: page*100000 + 1-based offset) and the
     * `xml:lang` tag of the person label (proving the metadata leaves
     * are reachable before the clean chain drops them). */
   def flattenSparql(s: SparkSession, dir: String): DataFrame = {
-    val pages = s.read.option("multiLine", "true").json(dir)
+    val pages = s.read.option("multiLine", "true").schema(landingSchema).json(dir)
       .withColumn("page",
         regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
       .select(col("page"), posexplode(col("results.bindings")).as(Seq("pos", "b")))

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AccentFold, BitsetAgg, CosineSim, JaroWinkler, KmvSketch, MinHashSketch, WRatio}
+import graft.functions.{AccentFold, BitsetAgg, CosineSim, HllSketch, JaroWinkler, KmvSketch, MinHashSketch, WRatio}
 
 /** Session extensions registering graft's native Catalyst functions.
   * Activate with .config("spark.sql.extensions", "graft.ext.GraftExtensions")
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (children: Seq[Expression]) =>
         KmvSketch(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_sketch"),
+      (children: Seq[Expression]) =>
+        HllSketch(children(0), children(1)).toAggregateExpression()))
     // Optimizer rule: thresholded levenshtein comparisons run the
     // bounded O(k·n) form instead of the full O(n²) DP (see
     // BoundedLevenshteinRule).

@@ -27,6 +27,35 @@ object AnalyticsPack {
     * expected error; a production profiler uses 1024+ (still an 8 KB
     * buffer). */
   private val KmvK = 64
+  /** HLL precision of ana_hll_* — p=8 → 256 registers, ~1.04/√256 ≈ 6.5%
+    * expected error in a 256-BYTE mergeable buffer; production profilers
+    * run p=12-14 (4-16 KB). */
+  private val HllP = 8
+
+  /** DuckDB fragment: HLL rank of a 28-bit hash `h` at p=8 — 21 minus
+    * the bitlength of the low 20 bits (bin() drops leading zeros in both
+    * engines; rem = 0 means all 20 bits are zero → rank 21). Matches
+    * graft.functions.HllSketch's numberOfLeadingZeros form. */
+  private def hllRegSql(h: String): String =
+    s"CASE WHEN $h % 1048576 = 0 THEN 21 " +
+      s"ELSE 21 - length(bin($h % 1048576)) END"
+
+  /** DuckDB fragment: Z = Σ 2^−reg over all 256 registers — exact dyadic
+    * 1/(1<<reg) terms (never libm pow) + 1.0 per absent register. */
+  private val hllZSql: String =
+    "SUM(CAST(1.0 AS DOUBLE)/(CAST(1 AS BIGINT) << reg)) + (256 - COUNT(*))"
+
+  /** DuckDB fragment: the HLL estimate from (z, nz) — α·m²/Z with the
+    * small-range correction, the same operation order as
+    * graft.api.Analytics.hllEstimate (CASTs because bare DuckDB numeric
+    * literals are DECIMAL, not DOUBLE). */
+  private def hllEstSql(z: String, nz: String): String = {
+    val raw = "(CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)" +
+      s"+CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))*CAST(65536.0 AS DOUBLE))/($z)"
+    s"CASE WHEN $raw <= CAST(640.0 AS DOUBLE) AND ($nz) > 0 " +
+      s"THEN CAST(256.0 AS DOUBLE)*ln(CAST(256.0 AS DOUBLE)/($nz)) " +
+      s"ELSE $raw END"
+  }
   /** Count-min-sketch geometry of ana_cms_heavy: depth (independent hash
     * rows) × width (counters per row). ε ≈ e/width of the stream length
     * overcount at 1 − (1/e)^depth confidence; production widths are
@@ -187,6 +216,59 @@ object AnalyticsPack {
             .as("est_distinct"),
           col("n_exact"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // A3 scale path #2: HyperLogLog register sketch (hll_sketch
+    // aggregate — a FIXED 2^p-byte register file per task, merged by
+    // elementwise max; Flajolet et al. 2007, the structure behind
+    // Spark's own approx_count_distinct). Where KMV carries exact hash
+    // VALUES, HLL's footprint is constant and its union is free — the
+    // per-column profile a 100 TB warehouse keeps per day. Exact h28
+    // hashes + dyadic 1/(1<<reg) arithmetic make the estimate
+    // bit-reproducible in the DuckDB replay — see
+    // graft.api.Analytics.hllEstimate for the exactness argument.
+    "ana_hll_distinct" -> ((s, d) => {
+      import graft.api.{Analytics => A}
+      Tables.orders(s, d)
+        .agg(call_function("hll_sketch",
+            TextHash.h28(col("o_custkey").cast("string")), lit(HllP)).as("regs"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(
+          (lit(256L) - A.hllZeros(col("regs"))).as("regs_used"),
+          round(A.hllEstimate(col("regs")), 6).as("est_distinct"),
+          col("n_exact"),
+          round(abs(A.hllEstimate(col("regs")) - col("n_exact")) /
+            col("n_exact"), 6).as("rel_err"))
+    }),
+
+    // HLL MERGE LAW — sketch(A ∪ B) = elementwise-max(sketch A, sketch B):
+    // per-period sketches built independently (the per-day profile
+    // shape), merged with zip_with/greatest, and CHECKED against the
+    // sketch of the union built from scratch — a genuine runtime probe
+    // of the aggregate's merge path, replayed relationally by the
+    // oracle. At 100 TB the merge side never rescans history:
+    // yesterday's 256-byte register file plus today's IS the union's.
+    "ana_hll_merge" -> ((s, d) => {
+      import graft.api.{Analytics => A}
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) < 1998).as("pre"),
+        TextHash.h28(col("o_custkey").cast("string")).as("h"))
+      val parts = o.groupBy(col("pre"))
+        .agg(call_function("hll_sketch", col("h"), lit(HllP)).as("regs"))
+      val ab = parts.agg(
+        first(when(col("pre"), col("regs")), ignoreNulls = true).as("ra"),
+        first(when(!col("pre"), col("regs")), ignoreNulls = true).as("rb"))
+      val full = o.agg(
+        call_function("hll_sketch", col("h"), lit(HllP)).as("rf"),
+        countDistinct(col("o_custkey")).as("n_exact_union"))
+      def merged: Column = zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y))
+      ab.crossJoin(broadcast(full))
+        .select(
+          round(A.hllEstimate(col("ra")), 6).as("est_a"),
+          round(A.hllEstimate(col("rb")), 6).as("est_b"),
+          round(A.hllEstimate(merged), 6).as("est_merged"),
+          (merged === col("rf")).cast("int").as("merge_is_lossless"),
+          col("n_exact_union"))
     }),
 
     // A5 — basic stats + mean imputation (ref transformer.py:345
@@ -585,6 +667,47 @@ object AnalyticsPack {
          |  e.n_exact
          |FROM t JOIN e ON t.o_orderpriority = e.o_orderpriority
          |ORDER BY t.o_orderpriority""".stripMargin,
+
+    // Replays the register file exactly: idx = top-8 hash bits, rank =
+    // 21 − bitlength of the low 20 bits (bin() has no leading zeros in
+    // either engine; rem = 0 is the all-zeros special case), Z from
+    // exact dyadic 1/(1<<reg) terms, absent registers contributing 1.
+    "ana_hll_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |rk AS (SELECT h // 1048576 AS idx, MAX(${hllRegSql("h")}) AS reg
+         |  FROM h GROUP BY 1),
+         |a AS (SELECT COUNT(*) AS n_present,
+         |    ${hllZSql} AS z, 256 - COUNT(*) AS nz FROM rk),
+         |e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+         |SELECT a.n_present AS regs_used,
+         |  round(${hllEstSql("a.z", "a.nz")}, 6) AS est_distinct,
+         |  e.n_exact,
+         |  round(abs(${hllEstSql("a.z", "a.nz")} - e.n_exact)
+         |    / e.n_exact, 6) AS rel_err
+         |FROM a, e""".stripMargin,
+
+    "ana_hll_merge" ->
+      s"""WITH b AS (SELECT DISTINCT year(o_orderdate) < 1998 AS pre,
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |rp AS (SELECT pre, h // 1048576 AS idx, MAX(${hllRegSql("h")}) AS reg
+         |  FROM b GROUP BY 1, 2),
+         |za AS (SELECT ${hllZSql} AS z, 256 - COUNT(*) AS nz FROM rp WHERE pre),
+         |zb AS (SELECT ${hllZSql} AS z, 256 - COUNT(*) AS nz FROM rp WHERE NOT pre),
+         |rm AS (SELECT idx, MAX(reg) AS reg FROM rp GROUP BY 1),
+         |zm AS (SELECT ${hllZSql} AS z, 256 - COUNT(*) AS nz FROM rm),
+         |rf AS (SELECT h // 1048576 AS idx, MAX(${hllRegSql("h")}) AS reg
+         |  FROM (SELECT DISTINCT h FROM b) GROUP BY 1),
+         |eq AS (SELECT CAST(COUNT(*) = 0 AS INTEGER) AS merge_is_lossless FROM (
+         |    (SELECT idx, reg FROM rm EXCEPT SELECT idx, reg FROM rf)
+         |    UNION ALL
+         |    (SELECT idx, reg FROM rf EXCEPT SELECT idx, reg FROM rm))),
+         |e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact_union FROM orders)
+         |SELECT round(${hllEstSql("za.z", "za.nz")}, 6) AS est_a,
+         |  round(${hllEstSql("zb.z", "zb.nz")}, 6) AS est_b,
+         |  round(${hllEstSql("zm.z", "zm.nz")}, 6) AS est_merged,
+         |  eq.merge_is_lossless, e.n_exact_union
+         |FROM za, zb, zm, eq, e""".stripMargin,
 
     // Replays the sketch cell-for-cell: same affine cell indexes, same
     // min-over-depths estimate, same sampled candidate set.

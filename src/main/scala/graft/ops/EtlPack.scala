@@ -264,17 +264,30 @@ object EtlPack {
     }
   }
 
+  /** Scales this process has already ensured — regenerating and
+    * byte-comparing the full landing (59 MB of JSON at scale 1000) is
+    * driver-side work every etl_sparql_* query would otherwise repeat;
+    * after one successful ensure the directory is immutable for the
+    * rest of the process (writes are atomic renames, so even a
+    * concurrent first-ensurer in another process is safe). */
+  private val ensuredScales =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Write the landing pages for `scale` replicas (idempotent —
-    * constant bytes per scale; atomic per page). Returns the landing
-    * dir. 2·scale pages: replica r owns pages 2r and 2r+1. */
+    * constant bytes per scale; atomic per page; memoized per process).
+    * Returns the landing dir. 2·scale pages: replica r owns pages 2r
+    * and 2r+1. */
   def ensureFixture(scale: Int = 1): String = {
-    val dir = Paths.get(landingDir(scale))
-    Files.createDirectories(dir)
-    (0 until scale).foreach { r =>
-      pagesFor(r).zipWithIndex.foreach { case (bs, side) =>
-        writePage(dir, s"page_${2 * r + side}.json",
-          pageJson(bs).getBytes(StandardCharsets.UTF_8))
+    if (!ensuredScales.contains(scale)) {
+      val dir = Paths.get(landingDir(scale))
+      Files.createDirectories(dir)
+      (0 until scale).foreach { r =>
+        pagesFor(r).zipWithIndex.foreach { case (bs, side) =>
+          writePage(dir, s"page_${2 * r + side}.json",
+            pageJson(bs).getBytes(StandardCharsets.UTF_8))
+        }
       }
+      ensuredScales.add(scale)
     }
     landingDir(scale)
   }
@@ -412,34 +425,38 @@ object EtlPack {
     // (transformer.py:216-246 print(len(df)) chain), duplicate audits
     // (notebook cells 71-72), and the vcount/ecount checks (cells
     // 122-123): node count == distinct edge endpoints, pyg_id dense.
-    // ONE lazy job: each stage contributes (stage, value) rows to a
-    // union, folded by a single global aggregate — no driver-side
-    // actions, no caches (at 100 TB you'd persist the shared cleaned
-    // frame; at fixture scale recomputation is cheaper than pinning
-    // executor memory from a query constructor).
+    // ONE lazy job, and — Spark has no common-subplan reuse across
+    // union branches, so every counter branch would re-run the whole
+    // landing read + clean chain — exactly ONE scan per distinct stage
+    // frame: the three edge-side counters (count, full-row distinct,
+    // distinct endpoints) fold into a single aggregate over an exploded
+    // endpoint frame, and the node-side pair into one two-level
+    // aggregate. No driver-side actions, no caches; measured at the
+    // scale-1000 fixture this is the difference between 3 and 6 replays
+    // of the chain.
     "etl_sparql_reconcile" -> ((s, dir) => {
       val sc = use(dir)
       val flat = Etl.flattenSparql(s, ensureFixture(sc))
       val cl = Etl.cleanSparql(flat)
       val ed = Etl.edges(cl)
       val no = Etl.nodes(cl, occupations(s, sc))
-      def one(k: Int)(df: DataFrame): DataFrame =
-        df.select(lit(k).as("k"), lit(1L).as("v"))
-      val endpoints = ed.select(col("person").as("id"))
-        .unionAll(ed.select(col("object").as("id"))).distinct()
-      val u = one(0)(flat)
-        .unionAll(one(1)(ed))
-        .unionAll(one(2)(ed.distinct()))
-        .unionAll(one(3)(no))
-        .unionAll(one(4)(endpoints))
-        .unionAll(no.groupBy(col("type"))
-          .agg((max(col("pyg_id")) + 1).as("v"))
-          .select(lit(5).as("k"), col("v")))
-      def tally(k: Int, name: String) =
-        sum(when(col("k") === k, col("v"))).as(name)
-      u.agg(tally(0, "n_bindings"), tally(1, "n_edges"),
-        tally(2, "n_edge_distinct"), tally(3, "n_nodes"),
-        tally(4, "n_endpoint_ids"), tally(5, "n_pyg_dense"))
+      val fc = flat.agg(count(lit(1)).as("n_bindings"))
+      // to_json(struct(*)) as the full-row distinct key: countDistinct
+      // over the COLUMNS would drop rows carrying any null label
+      // (SQL's multi-arg DISTINCT semantics), which is not what
+      // ed.distinct().count() counts.
+      val ec = ed
+        .select(to_json(struct(ed.columns.map(col): _*)).as("e"),
+          explode(array(col("person"), col("object"))).as("id"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+          countDistinct(col("e")).as("n_edge_distinct"),
+          countDistinct(col("id")).as("n_endpoint_ids"))
+      val nc = no.groupBy(col("type"))
+        .agg(count(lit(1)).as("cnt"), (max(col("pyg_id")) + 1).as("mx"))
+        .agg(sum(col("cnt")).as("n_nodes"), sum(col("mx")).as("n_pyg_dense"))
+      fc.crossJoin(broadcast(ec)).crossJoin(broadcast(nc))
+        .select(col("n_bindings"), col("n_edges"), col("n_edge_distinct"),
+          col("n_nodes"), col("n_endpoint_ids"), col("n_pyg_dense"))
     })
   )
 

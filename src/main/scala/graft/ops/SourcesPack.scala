@@ -177,6 +177,79 @@ object SourcesPack {
         .orderBy(col("o_custkey")).limit(1000)
     }),
 
+    // Z-ORDER clustering audit (the §4 layout story, dimension 2): bucket
+    // two query dimensions (customer, price) to 8 bits each, interleave
+    // the bits into a Morton value, and range-split on it into 64 layout
+    // partitions — then read back each partition's ZONE MAP (min/max per
+    // dimension). Under a single-key sort every partition spans the full
+    // range of the OTHER dimension; under Z-order every partition's
+    // bounding box is narrow in BOTH — which is what lets file-level
+    // min/max stats skip data for predicates on either column. The
+    // physical rewrite at 100 TB is `repartitionByRange(n, zValue) →
+    // sortWithinPartitions → parquet`; the audit here is the zone-map
+    // table that layout yields, bit-replayed by the oracle.
+    "etl_zorder_layout" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+      val stats = o.agg(min(col("ck")).as("mn1"), max(col("ck")).as("mx1"),
+        min(col("pc")).as("mn2"), max(col("pc")).as("mx2"))
+      o.crossJoin(broadcast(stats))
+        .select(
+          graft.api.Layout.rangeBucket(col("ck"), col("mn1"), col("mx1"), 256).as("b1"),
+          graft.api.Layout.rangeBucket(col("pc"), col("mn2"), col("mx2"), 256).as("b2"))
+        .select(col("b1"), col("b2"),
+          shiftright(graft.api.Layout.zValue(col("b1"), col("b2")), 10).as("pid"))
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("b1")).as("min_b1"), max(col("b1")).as("max_b1"),
+          min(col("b2")).as("min_b2"), max(col("b2")).as("max_b2"))
+        .orderBy(col("pid"))
+    }),
+
+    // Z-ORDER data-skipping measured against a single-key sort, same
+    // 64-partition budget: a rectangle predicate (1/8 of dim1 × 1/4 of
+    // dim2) is tested against both layouts' zone maps; a partition is
+    // scanned iff its bounding box intersects the rectangle. The output
+    // row is the skipping scoreboard — rows scanned under each layout
+    // vs rows actually matching — the measured form of "Z-order prunes
+    // on every clustered dimension, sort only on the first".
+    "etl_zorder_prune" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+      val stats = o.agg(min(col("ck")).as("mn1"), max(col("ck")).as("mx1"),
+        min(col("pc")).as("mn2"), max(col("pc")).as("mx2"))
+      val b = o.crossJoin(broadcast(stats))
+        .select(
+          graft.api.Layout.rangeBucket(col("ck"), col("mn1"), col("mx1"), 256).as("b1"),
+          graft.api.Layout.rangeBucket(col("pc"), col("mn2"), col("mx2"), 256).as("b2"))
+        .select(col("b1"), col("b2"),
+          shiftright(graft.api.Layout.zValue(col("b1"), col("b2")), 10).as("pid_z"),
+          shiftright(col("b1"), 2).as("pid_s"))
+      def hit(zone: DataFrame): DataFrame = zone
+        .filter(col("max_b1") >= 64 && col("min_b1") <= 95 &&
+          col("max_b2") >= 128 && col("min_b2") <= 191)
+        .agg(count(lit(1)).as("parts_hit"), sum(col("n")).as("rows_scanned"))
+      def zones(pid: String): DataFrame = b.groupBy(col(pid))
+        .agg(count(lit(1)).as("n"),
+          min(col("b1")).as("min_b1"), max(col("b1")).as("max_b1"),
+          min(col("b2")).as("min_b2"), max(col("b2")).as("max_b2"))
+      val hz = hit(zones("pid_z")).withColumnRenamed("parts_hit", "parts_hit_z")
+        .withColumnRenamed("rows_scanned", "rows_scanned_z")
+      val hs = hit(zones("pid_s")).withColumnRenamed("parts_hit", "parts_hit_s")
+        .withColumnRenamed("rows_scanned", "rows_scanned_s")
+      val tot = b.agg(count(lit(1)).as("total_rows"),
+        sum((col("b1").between(64, 95) && col("b2").between(128, 191))
+          .cast("long")).as("rows_matched"))
+      hz.crossJoin(broadcast(hs)).crossJoin(broadcast(tot))
+        .select(col("parts_hit_z"), col("rows_scanned_z"),
+          col("parts_hit_s"), col("rows_scanned_s"),
+          col("rows_matched"), col("total_rows"),
+          round(lit(1.0) - col("rows_scanned_z").cast("double")
+            / col("total_rows"), 6).as("skip_ratio_z"),
+          round(lit(1.0) - col("rows_scanned_s").cast("double")
+            / col("total_rows"), 6).as("skip_ratio_s"))
+    }),
+
     // Hive-style partitioned layout + DYNAMIC partition pruning: the
     // fact table is laid out partitioned by the dimension attribute it
     // is joined on (customer nation), and a REGION filter on the
@@ -306,6 +379,59 @@ object SourcesPack {
       s"""SELECT o_custkey, ${OpsUtil.dsumSql("l_extendedprice")} AS total_spend,
          |  COUNT(*) AS n_items
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000""".stripMargin
+         |GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000""".stripMargin,
+
+    // Replays the Morton interleave bit-for-bit (rangeBucketSql /
+    // zValueSql are the same shift/mask terms the Spark columns compile
+    // to).
+    "etl_zorder_layout" ->
+      s"""WITH o AS (SELECT o_custkey AS ck,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc FROM orders),
+         |st AS (SELECT MIN(ck) AS mn1, MAX(ck) AS mx1,
+         |    MIN(pc) AS mn2, MAX(pc) AS mx2 FROM o),
+         |bk AS (SELECT ${graft.api.Layout.rangeBucketSql("ck", "mn1", "mx1", 256)} AS b1,
+         |    ${graft.api.Layout.rangeBucketSql("pc", "mn2", "mx2", 256)} AS b2
+         |  FROM o, st),
+         |z AS (SELECT b1, b2,
+         |    (${graft.api.Layout.zValueSql("b1", "b2")}) >> 10 AS pid FROM bk)
+         |SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(b1) AS min_b1, MAX(b1) AS max_b1,
+         |  MIN(b2) AS min_b2, MAX(b2) AS max_b2
+         |FROM z GROUP BY pid ORDER BY pid""".stripMargin,
+
+    "etl_zorder_prune" ->
+      s"""WITH o AS (SELECT o_custkey AS ck,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc FROM orders),
+         |st AS (SELECT MIN(ck) AS mn1, MAX(ck) AS mx1,
+         |    MIN(pc) AS mn2, MAX(pc) AS mx2 FROM o),
+         |bk AS (SELECT ${graft.api.Layout.rangeBucketSql("ck", "mn1", "mx1", 256)} AS b1,
+         |    ${graft.api.Layout.rangeBucketSql("pc", "mn2", "mx2", 256)} AS b2
+         |  FROM o, st),
+         |z AS (SELECT b1, b2,
+         |    (${graft.api.Layout.zValueSql("b1", "b2")}) >> 10 AS pid_z,
+         |    b1 >> 2 AS pid_s FROM bk),
+         |zz AS (SELECT pid_z, COUNT(*) AS n,
+         |    MIN(b1) AS mn_b1, MAX(b1) AS mx_b1,
+         |    MIN(b2) AS mn_b2, MAX(b2) AS mx_b2 FROM z GROUP BY 1),
+         |zs AS (SELECT pid_s, COUNT(*) AS n,
+         |    MIN(b1) AS mn_b1, MAX(b1) AS mx_b1,
+         |    MIN(b2) AS mn_b2, MAX(b2) AS mx_b2 FROM z GROUP BY 1),
+         |hz AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts_hit_z,
+         |    CAST(SUM(n) AS BIGINT) AS rows_scanned_z FROM zz
+         |  WHERE mx_b1 >= 64 AND mn_b1 <= 95 AND mx_b2 >= 128 AND mn_b2 <= 191),
+         |hs AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts_hit_s,
+         |    CAST(SUM(n) AS BIGINT) AS rows_scanned_s FROM zs
+         |  WHERE mx_b1 >= 64 AND mn_b1 <= 95 AND mx_b2 >= 128 AND mn_b2 <= 191),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         |    CAST(SUM(CASE WHEN b1 BETWEEN 64 AND 95
+         |      AND b2 BETWEEN 128 AND 191 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS rows_matched FROM z)
+         |SELECT parts_hit_z, rows_scanned_z, parts_hit_s, rows_scanned_s,
+         |  rows_matched, total_rows,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - CAST(rows_scanned_z AS DOUBLE) / total_rows, 6) AS skip_ratio_z,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - CAST(rows_scanned_s AS DOUBLE) / total_rows, 6) AS skip_ratio_s
+         |FROM hz, hs, t""".stripMargin
   )
 }

@@ -677,6 +677,56 @@ class ApiSpec extends SparkSpec {
     assert(ex.getMessage.contains("adjacent funnel steps must differ"))
   }
 
+  test("analytics: HLL sketch obeys the merge law and lands near the truth") {
+    import graft.ops.TextHash
+    val n = 5000
+    val ids = (0 until n).map(i => (i.toLong, i % 2 == 0)).toDF("id", "even")
+      .select(col("even"), TextHash.h28(col("id").cast("string")).as("h"))
+    // Sketch of the union built from scratch…
+    val full = ids.agg(call_function("hll_sketch", col("h"), lit(8)).as("rf"))
+    // …must equal the elementwise max of independently-built halves.
+    val parts = ids.groupBy(col("even"))
+      .agg(call_function("hll_sketch", col("h"), lit(8)).as("regs"))
+      .agg(first(when(col("even"), col("regs")), ignoreNulls = true).as("ra"),
+        first(when(!col("even"), col("regs")), ignoreNulls = true).as("rb"))
+    val row = parts.crossJoin(full).select(
+      (zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y)) === col("rf"))
+        .as("lossless"),
+      graft.api.Analytics.hllEstimate(col("rf")).as("est"),
+      size(col("rf")).as("m")).collect().head
+    assert(row.getBoolean(0), "merge(a, b) must equal sketch(a ∪ b) exactly")
+    assert(row.getInt(2) == 256)
+    val est = row.getDouble(1)
+    // p=8 → σ ≈ 6.5%; 3σ bound with a fixed hash is a deterministic check.
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est too far from $n")
+  }
+
+  test("layout: zValue interleaves bits exactly; rangeBucket stays in range") {
+    import graft.api.Layout
+    // JVM reference interleave vs the Column form on a deterministic grid.
+    def zRef(b1: Long, b2: Long): Long =
+      (0 until 8).map(i => (((b1 >> i) & 1L) << (2 * i + 1)) | (((b2 >> i) & 1L) << (2 * i))).sum
+    val grid = for { a <- 0 until 16; b <- 0 until 16 }
+      yield (a.toLong * 17 % 256, b.toLong * 23 % 256)
+    val got = grid.toDF("b1", "b2")
+      .select(col("b1"), col("b2"), Layout.zValue(col("b1"), col("b2")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (a, b) =>
+      assert(got((a, b)) == zRef(a, b), s"zValue($a, $b)") }
+    // Buckets cover 0..255 and respect the integer-division formula.
+    val vals = (0 until 1000).map(_.toLong * 7919 % 100003).toDF("v")
+    val st = vals.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bks = vals.crossJoin(st)
+      .select(col("v"), col("mn"), col("mx"),
+        Layout.rangeBucket(col("v"), col("mn"), col("mx"), 256).as("b"))
+      .collect()
+    bks.foreach { r =>
+      val (v, mn, mx, b) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(b == (v - mn) * 256 / (mx - mn + 1), s"bucket of $v")
+      assert(b >= 0 && b < 256)
+    }
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
