@@ -131,26 +131,33 @@ object DFGraphAlgs {
       : Option[(DataFrame, DataFrame)] = {
     val kcols = keys.map(col)
     val deg = e.groupBy(kcols: _*).agg(count(lit(1)).as("__deg"))
-    saltPlanFromDeg(deg, "__deg", keys, e)
+    saltPlanFromDeg(deg, "__deg", keys, e,
+      // One bounded probe over the (mat'ed) edge list's degree agg —
+      // ns > 1 ⟺ deg > target, so probe the degree frame directly.
+      target => deg.filter(col("__deg") > target).limit(1).count() > 0)
   }
 
-  /** As [[saltPlan]] but reusing an already-built per-key out-degree
-    * frame: the PageRank loops need the same aggregate for their
-    * contribution normalization, so they persist it and the salt probe
-    * costs one cache read instead of a second pass over the edge list. */
+  /** As [[saltPlan]] but with the hub-existence probe supplied by the
+    * caller: the PageRank loops already persist a contribution frame
+    * carrying each edge's source degree, so `max(deg) > target` over
+    * that CACHE answers the question without a second pass over the
+    * edge list (measured: the default ns-filter probe was re-aggregating
+    * the whole edge list per query — +3-7 s per PageRank-family query at
+    * the sf1 checkpoint, paid even when no hub exists). The probe runs
+    * only outside plan-only mode; `deg` is used to build the fanout
+    * frame when salting does activate. */
   private def saltPlanFromDeg(deg: DataFrame, degCol: String,
-      keys: Seq[String], e: DataFrame): Option[(DataFrame, DataFrame)] = {
+      keys: Seq[String], e: DataFrame,
+      probe: Long => Boolean): Option[(DataFrame, DataFrame)] = {
     val target = saltTarget(e)
-    val kcols = keys.map(col)
-    val ns = deg.select(kcols :+
-      least(lit(MaxSalt.toLong), greatest(lit(1L),
-        ceil(col(degCol).cast("double") / target).cast("long")))
-        .cast("int").as("__ns"): _*)
-    val active =
-      if (planOnly(e)) target <= 1L
-      else ns.filter(col("__ns") > 1).limit(1).count() > 0
+    val active = if (planOnly(e)) target <= 1L else probe(target)
     if (!active) None
     else {
+      val kcols = keys.map(col)
+      val ns = deg.select(kcols :+
+        least(lit(MaxSalt.toLong), greatest(lit(1L),
+          ceil(col(degCol).cast("double") / target).cast("long")))
+          .cast("int").as("__ns"): _*)
       val eS = mat(e.join(ns, keys)
         .withColumn("__salt", pmod(hash(col("dst")), col("__ns"))))
       Some((mat(ns), eS))
@@ -195,23 +202,30 @@ object DFGraphAlgs {
     * inputs at sf0.1, and the shuffle-count argument scales. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Hub salting (see [[SaltTargetDegConf]]): the contribution join is
     // exchange-free by co-partitioning, but a power-law hub still lands
     // all its out-edges in ONE persisted partition — one task per round.
     // When a hub exceeds the budget, contrib co-partitions on
     // (src, __salt) instead and the rank state fans out to match; the
     // message sum is a decimal aggregate, so results are bit-identical.
-    // The probe reads the persisted degree frame contrib needs anyway.
-    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e)
-    val contrib = (salt match {
-      case Some((_, eS)) => eS.join(outdeg, "src")
-        .select(col("src"), col("dst"), col("deg"), col("__salt"))
-        .repartition(col("src"), col("__salt"))
-      case None => e.join(outdeg, "src")
-        .select(col("src"), col("dst"), col("deg"))
-        .repartition(col("src"))
-    }).persist()
+    // The unsalted contrib (which every round needs anyway) persists
+    // FIRST and the hub probe is max(deg) over that cache — the no-hub
+    // common case pays no extra pass; only an actual hub triggers the
+    // salted rebuild.
+    val plain = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).persist()
+    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
+      target => maxDegOf(plain) > target)
+    val contrib = salt match {
+      case Some((_, eS)) =>
+        plain.unpersist(false)
+        eS.join(outdeg, "src")
+          .select(col("src"), col("dst"), col("deg"), col("__salt"))
+          .repartition(col("src"), col("__salt")).persist()
+      case None => plain
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).persist()
@@ -232,9 +246,15 @@ object DFGraphAlgs {
           (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     val out = mat(rank)
-    contrib.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    contrib.unpersist(false); nodes.unpersist(false)
     out
   }
+
+  /** Largest `deg` value of a persisted contribution frame (cache-read
+    * probe; empty edge list → no hub). */
+  private def maxDegOf(contrib: DataFrame): Long =
+    Option(contrib.agg(max(col("deg"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** Per-relation ("multi-view") PageRank in ONE BSP job: vertices are
     * (rel, id) composite keys, so all relation subgraphs iterate together
@@ -247,21 +267,26 @@ object DFGraphAlgs {
   def pageRankByRel(edges: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("rel"), col("src"), col("dst")))
     val outdeg = e.groupBy(col("rel"), col("src"))
-      .agg(count(lit(1)).as("deg")).persist()
+      .agg(count(lit(1)).as("deg"))
     // Co-partitioned persists, one exchange per round — see pageRank.
     // With composite (rel, id) keys the avoided re-shuffles are 2× the
     // whole multi-view edge list per round, which is exactly where the
     // round-2 regression came from.
-    // Hub salting on the composite (rel, src) key — see pageRank.
-    val salt = saltPlanFromDeg(outdeg, "deg", Seq("rel", "src"), e)
-    val contrib = (salt match {
-      case Some((_, eS)) => eS.join(outdeg, Seq("rel", "src"))
-        .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
-        .repartition(col("rel"), col("src"), col("__salt"))
-      case None => e.join(outdeg, Seq("rel", "src"))
-        .select(col("rel"), col("src"), col("dst"), col("deg"))
-        .repartition(col("rel"), col("src"))
-    }).persist()
+    // Hub salting on the composite (rel, src) key; probe over the
+    // persisted unsalted contrib — see pageRank.
+    val plain = e.join(outdeg, Seq("rel", "src"))
+      .select(col("rel"), col("src"), col("dst"), col("deg"))
+      .repartition(col("rel"), col("src")).persist()
+    val salt = saltPlanFromDeg(outdeg, "deg", Seq("rel", "src"), e,
+      target => maxDegOf(plain) > target)
+    val contrib = salt match {
+      case Some((_, eS)) =>
+        plain.unpersist(false)
+        eS.join(outdeg, Seq("rel", "src"))
+          .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
+          .repartition(col("rel"), col("src"), col("__salt")).persist()
+      case None => plain
+    }
     val nodes = e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct()
       .repartition(col("rel"), col("id")).persist()
@@ -286,7 +311,7 @@ object DFGraphAlgs {
           (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     val out = mat(rank)
-    contrib.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    contrib.unpersist(false); nodes.unpersist(false)
     out
   }
 
@@ -306,17 +331,22 @@ object DFGraphAlgs {
     * Input: edges (src, dst), seeds (seed). Returns (seed, id, rank). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    // Hub salting for the shuffle path (big seed sets) — see pageRank.
-    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e)
-    val contrib = (salt match {
-      case Some((_, eS)) => eS.join(outdeg, "src")
-        .select(col("src"), col("dst"), col("deg"), col("__salt"))
-        .repartition(col("src"), col("__salt"))
-      case None => e.join(outdeg, "src")
-        .select(col("src"), col("dst"), col("deg"))
-        .repartition(col("src"))
-    }).persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Hub salting for the shuffle path (big seed sets); probe over the
+    // persisted unsalted contrib — see pageRank.
+    val plain = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).persist()
+    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
+      target => maxDegOf(plain) > target)
+    val contrib = salt match {
+      case Some((_, eS)) =>
+        plain.unpersist(false)
+        eS.join(outdeg, "src")
+          .select(col("src"), col("dst"), col("deg"), col("__salt"))
+          .repartition(col("src"), col("__salt")).persist()
+      case None => plain
+    }
     // The restart rows: (seed, seed, 0.15) — tiny, broadcast into every
     // round's re-aggregation via the union (no shuffle contribution).
     val restart = mat(seeds.select(col("seed"), col("seed").as("id"),
@@ -343,7 +373,7 @@ object DFGraphAlgs {
         .union(restart)
         .groupBy(col("seed"), col("id")).agg(rsum(col("part")).as("rank")))
     }
-    contrib.unpersist(false); outdeg.unpersist(false)
+    contrib.unpersist(false)
     rank
   }
 

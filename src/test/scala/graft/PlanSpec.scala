@@ -227,6 +227,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("hll_sketch partial-aggregates map-side; z-order audit is one scan + broadcasts") {
+    // The HLL register file must reduce BEFORE the exchange — one
+    // 256-byte buffer per task crosses the shuffle, never raw hashes
+    // (ObjectHashAggregate partial/final pair for a
+    // TypedImperativeAggregate, same discipline as bitset/kmv).
+    val p = planOf(AnalyticsPack.queries("ana_hll_distinct")(spark, sf()))
+    assert(p.contains("partial_hll_sketch"),
+      s"hll_sketch must partial-aggregate map-side:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      "typed-imperative sketch must run as an object hash aggregate")
+    // Z-order zone-map audit: the stats frame joins back by broadcast
+    // (1-row), the bucket/interleave work is pure projection — no
+    // all-pairs product anywhere, exactly one orders scan per side.
+    val pz = planOf(graft.ops.SourcesPack.queries("etl_zorder_layout")(spark, sf()))
+    assert(!pz.contains("CartesianProduct"),
+      s"zone-map audit must not build a product:\n$pz")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findFirstIn(pz).isDefined,
+      "the min/max stats row must broadcast")
+    assert("FileScan parquet".r.findAllIn(pz).size == 2,
+      "layout audit reads orders once per side (stats + buckets)")
+  }
+
   test("ana_correlation computes all nine moments in one scan") {
     val p = planOf(AnalyticsPack.queries("ana_correlation")(spark, sf()))
     assert(!p.contains("Join"), s"the moment sums must not join:\n$p")
