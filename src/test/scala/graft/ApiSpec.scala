@@ -727,6 +727,39 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("layout: a z-clustered write prunes second-dim predicates a sort cannot") {
+    import graft.api.Layout
+    // The physical rewrite the zone-map audit stands for: repartition by
+    // range on the Morton value, write, read back per-FILE zone maps.
+    // A b2-only predicate must skip files under the z-order layout and
+    // hit every file under a b1-sorted layout of the same budget.
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select(col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+    val st = o.agg(min(col("ck")).as("mn1"), max(col("ck")).as("mx1"),
+      min(col("pc")).as("mn2"), max(col("pc")).as("mx2"))
+    val b = o.crossJoin(broadcast(st)).select(
+      Layout.rangeBucket(col("ck"), col("mn1"), col("mx1"), 256).as("b1"),
+      Layout.rangeBucket(col("pc"), col("mn2"), col("mx2"), 256).as("b2"))
+      .select(col("b1"), col("b2"), Layout.zValue(col("b1"), col("b2")).as("z"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    def fileHits(df: org.apache.spark.sql.DataFrame, sortKey: String): (Long, Long) = {
+      val out = s"$root/$sortKey"
+      df.repartitionByRange(8, col(sortKey)).sortWithinPartitions(col(sortKey))
+        .write.mode("overwrite").parquet(out)
+      val zones = spark.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("b2")).as("mn"), max(col("b2")).as("mx"))
+      (zones.count(), zones.filter(col("mn") <= 63).count())
+    }
+    val (zTotal, zHit) = fileHits(b, "z")
+    val (sTotal, sHit) = fileHits(b, "b1")
+    assert(zTotal == 8 && sTotal == 8)
+    assert(sHit == sTotal, "every b1-sorted file spans the full b2 range")
+    assert(zHit < zTotal,
+      s"z-order files must let a b2-only predicate skip files ($zHit/$zTotal hit)")
+  }
+
   test("graph: pageRank and shortestPaths run on a user edge list") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
       .toDF("src", "dst")
