@@ -111,6 +111,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hll sketch: registers match an independent reference; split-merge; serde") {
+    import graft.functions.HllSketch
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    // Independent register computation: pure-Scala bit arithmetic on the
+    // 28-bit hash, no shared code with the aggregate's update path.
+    def refRegs(hs: Seq[Long], p: Int): Seq[Int] = {
+      val m = 1 << p; val rb = 28 - p
+      val regs = Array.fill(m)(0)
+      hs.foreach { h =>
+        val idx = (h >>> rb).toInt
+        val rem = h & ((1L << rb) - 1)
+        val rank = if (rem == 0) rb + 1
+          else rb + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        if (rank > regs(idx)) regs(idx) = rank
+      }
+      regs.toSeq
+    }
+    for (p <- Seq(4, 8, 12); size <- Seq(0, 1, 100, 3000); split <- Seq(0, size / 3)) {
+      val agg = HllSketch(BoundReference(0, LongType, nullable = true), Literal(p))
+      val hs = samples(size, seed = p * 7919 + size)
+        .map(v => math.floorMod(v, 1L << 28))
+      val whole = hs.foldLeft(agg.createAggregationBuffer()) { (b, h) =>
+        agg.update(b, InternalRow(h))
+      }
+      val (l, r) = hs.splitAt(split)
+      val bl = l.foldLeft(agg.createAggregationBuffer()) { (b, h) => agg.update(b, InternalRow(h)) }
+      val br = r.foldLeft(agg.createAggregationBuffer()) { (b, h) => agg.update(b, InternalRow(h)) }
+      val merged = agg.merge(bl, br)
+      val expect = refRegs(hs, p)
+      assert(whole.map(_.toInt).toSeq == expect, s"p=$p size=$size")
+      assert(merged.map(_.toInt).toSeq == expect, s"p=$p size=$size split=$split")
+      val rt = agg.deserialize(agg.serialize(merged))
+      assert(rt.toSeq == merged.toSeq)
+      // Every register rank stays within the 28-bit contract.
+      assert(expect.forall(r2 => r2 >= 0 && r2 <= 28 - p + 1))
+    }
+  }
+
   test("bitset agg: split-merge equals one-shot union; serde round-trips; bounds ignored") {
     import graft.functions.BitsetAgg
     import org.apache.spark.sql.catalyst.InternalRow
