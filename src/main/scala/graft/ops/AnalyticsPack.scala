@@ -31,6 +31,9 @@ object AnalyticsPack {
     * expected error in a 256-BYTE mergeable buffer; production profilers
     * run p=12-14 (4-16 KB). */
   private val HllP = 8
+  /** Target sample size of ana_sampled_quantiles — ~2000 kept rows at
+    * any corpus size gives ~1/√2000 ≈ 2.2% quantile-rank error. */
+  private val SqCap = 2000
 
   /** DuckDB fragment: HLL rank of a 28-bit hash `h` at p=8 — 21 minus
     * the bitlength of the low 20 bits (bin() drops leading zeros in both
@@ -216,6 +219,38 @@ object AnalyticsPack {
             .as("est_distinct"),
           col("n_exact"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // A6 SCALE PATH — quantiles from a deterministic hash-gate sample,
+    // completing the bounded-memory profile family (distincts →
+    // KMV/HLL, heavy hitters → CMS, quantiles → gated sample): exact
+    // percentile pushes every value through one ranked pass; the
+    // congruential gate on the ROW KEY keeps ~SqCap rows at ANY corpus
+    // size (divisor D = greatest(1, n div SqCap), the same self-sizing
+    // integer rule as the six-degrees pair sample), and because the
+    // gate is a pure hash predicate the sample of a union IS the union
+    // of samples — mergeable across days/partitions with no resample.
+    // Both engines replay the identical sample, so the approximate
+    // quantiles hash-match; the exact median rides along as the audit
+    // with its absolute error. Key contract: products stay in int64 for
+    // keys ≲ 3.4e9 (shared with every other congruential gate here).
+    "ana_sampled_quantiles" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val audit = o.agg(count(lit(1)).as("n_total"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50_exact"))
+      o.crossJoin(broadcast(audit))
+        .filter(pmod(pmod(col("o_orderkey") * 2654435761L, lit(1000003L)),
+          greatest(lit(1L), expr("n_total div " + SqCap))) === 0)
+        .groupBy(col("n_total"), col("q50_exact"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("q25_sample"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50_sample"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("q75_sample"))
+        .select(col("n_total"), col("n_sampled"),
+          col("q25_sample"), col("q50_sample"), col("q75_sample"),
+          col("q50_exact"),
+          round(abs(col("q50_sample") - col("q50_exact")), 6)
+            .as("q50_abs_err"))
     }),
 
     // A3 scale path #2: HyperLogLog register sketch (hll_sketch
@@ -667,6 +702,25 @@ object AnalyticsPack {
          |  e.n_exact
          |FROM t JOIN e ON t.o_orderpriority = e.o_orderpriority
          |ORDER BY t.o_orderpriority""".stripMargin,
+
+    // Replays the gate, the self-sizing divisor, and the interpolated
+    // quantiles over the identical kept set.
+    "ana_sampled_quantiles" ->
+      s"""WITH s0 AS (SELECT COUNT(*) AS n_total,
+         |    round(quantile_cont(o_totalprice, 0.5), 6) AS q50_exact
+         |  FROM orders),
+         |k AS (SELECT o.o_totalprice, s0.n_total, s0.q50_exact
+         |  FROM orders o, s0
+         |  WHERE ((o.o_orderkey * 2654435761) % 1000003)
+         |    % greatest(1, n_total // $SqCap) = 0),
+         |a AS (SELECT n_total, q50_exact, COUNT(*) AS n_sampled,
+         |    round(quantile_cont(o_totalprice, 0.25), 6) AS q25_sample,
+         |    round(quantile_cont(o_totalprice, 0.5), 6) AS q50_sample,
+         |    round(quantile_cont(o_totalprice, 0.75), 6) AS q75_sample
+         |  FROM k GROUP BY 1, 2)
+         |SELECT n_total, n_sampled, q25_sample, q50_sample, q75_sample,
+         |  q50_exact, round(abs(q50_sample - q50_exact), 6) AS q50_abs_err
+         |FROM a""".stripMargin,
 
     // Replays the register file exactly: idx = top-8 hash bits, rank =
     // 21 − bitlength of the low 20 bits (bin() has no leading zeros in
