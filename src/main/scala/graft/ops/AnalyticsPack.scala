@@ -276,6 +276,26 @@ object AnalyticsPack {
             col("n_exact"), 6).as("rel_err"))
     }),
 
+    // GROUPED HLL cardinality profile — one 2^p-BYTE register file per
+    // (task, segment) merging map-side through the exchange (the
+    // grouped twin of ana_hll_distinct, same shape as ana_kmv_by_group
+    // but with a constant-size buffer per group regardless of segment
+    // cardinality): the per-column × per-segment distinct profile a
+    // 100 TB warehouse refreshes per day, mergeable day-over-day.
+    "ana_hll_by_group" -> ((s, d) => {
+      import graft.api.{Analytics => A}
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(call_function("hll_sketch",
+            TextHash.h28(col("o_custkey").cast("string")), lit(HllP)).as("regs"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(col("o_orderpriority"),
+          (lit(256L) - A.hllZeros(col("regs"))).as("regs_used"),
+          round(A.hllEstimate(col("regs")), 6).as("est_distinct"),
+          col("n_exact"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // HLL MERGE LAW — sketch(A ∪ B) = elementwise-max(sketch A, sketch B):
     // per-period sketches built independently (the per-day profile
     // shape), merged with zip_with/greatest, and CHECKED against the
@@ -740,6 +760,20 @@ object AnalyticsPack {
          |  round(abs(${hllEstSql("a.z", "a.nz")} - e.n_exact)
          |    / e.n_exact, 6) AS rel_err
          |FROM a, e""".stripMargin,
+
+    "ana_hll_by_group" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority,
+         |    ${TextHash.h28Sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |rk AS (SELECT o_orderpriority, h // 1048576 AS idx,
+         |    MAX(${hllRegSql("h")}) AS reg FROM h GROUP BY 1, 2),
+         |a AS (SELECT o_orderpriority, COUNT(*) AS n_present,
+         |    ${hllZSql} AS z, 256 - COUNT(*) AS nz FROM rk GROUP BY 1),
+         |e AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+         |  FROM orders GROUP BY 1)
+         |SELECT a.o_orderpriority, a.n_present AS regs_used,
+         |  round(${hllEstSql("a.z", "a.nz")}, 6) AS est_distinct, e.n_exact
+         |FROM a JOIN e ON a.o_orderpriority = e.o_orderpriority
+         |ORDER BY a.o_orderpriority""".stripMargin,
 
     "ana_hll_merge" ->
       s"""WITH b AS (SELECT DISTINCT year(o_orderdate) < 1998 AS pre,
