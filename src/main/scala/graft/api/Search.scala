@@ -159,7 +159,10 @@ object Search {
     val sp = dn.as("a").join(dn.as("b"),
         col("a.blk") === col("b.blk") && col("a.nm") < col("b.nm"))
       .select(col("a.nm").as("nma"), col("b.nm").as("nmb"),
-        levenshtein(col("a.nm"), col("b.nm"), maxDist).cast("long").as("dist"))
+        // native lev_within: value-identical to levenshtein(a, b, k) but
+        // ~20× cheaper per pair on ASCII keys (EditDistanceWithin)
+        call_function("lev_within", col("a.nm"), col("b.nm"), lit(maxDist))
+          .cast("long").as("dist"))
       .filter(col("dist") >= 0)
     val ids = names.select(col("nm"), col("id"))
     val cross = sp

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AccentFold, BitsetAgg, CosineSim, HllSketch, JaroWinkler, KmvSketch, MinHashSketch, WRatio}
+import graft.functions.{AccentFold, BitsetAgg, CosineSim, EditDistanceWithin, HllSketch, JaroWinkler, KmvSketch, MinHashSketch, WRatio}
 
 /** Session extensions registering graft's native Catalyst functions.
   * Activate with .config("spark.sql.extensions", "graft.ext.GraftExtensions")
@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[EditDistanceWithin].getName, "lev_within"),
+      (children: Seq[Expression]) =>
+        EditDistanceWithin(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("wratio"),
       new ExpressionInfo(classOf[WRatio].getName, "wratio"),

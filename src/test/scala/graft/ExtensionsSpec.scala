@@ -17,8 +17,47 @@ class ExtensionsSpec extends SparkSpec {
     val q = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
       .filter(levenshtein(col("a.nm"), col("b.nm")) <= 1)
     val optimized = q.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("Some(1)) >= 0"),
-      s"rule did not rewrite:\n$optimized")
+    assert(optimized.contains("lev_within(") && optimized.contains(" >= 0"),
+      s"rule did not rewrite to the native bounded form:\n$optimized")
+  }
+
+  test("lev_within is value-identical to the 3-arg levenshtein builtin") {
+    // Independent pin of EditDistanceWithin's fast paths (ASCII strip,
+    // two-pointer k<=1, banded DP, non-ASCII delegation) against Spark's
+    // own bounded implementation, over adversarial random pairs.
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abc#0123456789", "aé∆b")
+    val rows = (1 to 2000).map { i =>
+      val al = alphabets(i % alphabets.length)
+      def mk(n: Int) = (0 until n).map(_ => al(rnd.nextInt(al.length))).mkString
+      val s = mk(rnd.nextInt(14))
+      // half the pairs are near-edits of s, half independent
+      val t = if (i % 2 == 0) {
+        val sb = new StringBuilder(s)
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          if (sb.nonEmpty && rnd.nextBoolean()) sb.deleteCharAt(rnd.nextInt(sb.length))
+          else sb.insert(rnd.nextInt(sb.length + 1), al(rnd.nextInt(al.length)))
+        }
+        sb.toString
+      } else mk(rnd.nextInt(14))
+      (s, t, i % 4) // k in 0..3
+    }
+    val df = rows.toDF("s", "t", "k")
+    val diff = df.selectExpr("s", "t", "k",
+        "lev_within(s, t, k) AS mine", "levenshtein(s, t, k) AS builtin")
+      .filter(col("mine") =!= col("builtin"))
+    assert(diff.isEmpty, s"divergent pairs:\n${diff.collect().mkString("\n")}")
+    // the bare-levenshtein swap (EditDistanceExact) against the builtin
+    // evaluated directly on the driver — the optimizer rewrite never
+    // touches this reference path
+    import org.apache.spark.unsafe.types.UTF8String
+    val got = df.selectExpr("s", "t", "levenshtein(s, t) AS d").collect()
+    got.foreach { r =>
+      val expect = UTF8String.fromString(r.getString(0))
+        .levenshteinDistance(UTF8String.fromString(r.getString(1)))
+      assert(r.getInt(2) == expect,
+        s"lev_exact(${r.getString(0)}, ${r.getString(1)}) = ${r.getInt(2)}, builtin $expect")
+    }
   }
 
   test("rewritten predicate keeps exactly the unbounded results") {
