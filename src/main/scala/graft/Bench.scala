@@ -44,6 +44,9 @@ object Bench {
       // only when the session clock is UTC.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture-sized scan splits — see Tables.scanSplitBytes
+      .config("spark.sql.files.maxPartitionBytes",
+        graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

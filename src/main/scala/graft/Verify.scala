@@ -17,6 +17,9 @@ object Verify {
       // fixtures store naive TIMESTAMP(MICROS) (timestamp_ntz), which
       // OpsUtil.tsMicros converts under the UTC session pin above.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture-sized scan splits — see Tables.scanSplitBytes
+      .config("spark.sql.files.maxPartitionBytes",
+        graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,24 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixture-sized scan split: `spark.sql.files.maxPartitionBytes` such
+    * that the LARGEST table in `dir` splits across all `cpus` cores
+    * (clamped to [1 MB, 128 MB]). The 128 MB default assumes a lake of
+    * many files; a local fixture is one file per table, so without this
+    * a 77 MB lineitem scans — and partial-aggregates — on one core with
+    * 31 idle. Splitting only helps when the file's row groups are
+    * smaller than the split (tools/ScaleUp writes 4 MB row groups for
+    * exactly this reason); against single-row-group files the setting is
+    * harmless. On a real cluster the default is right — this knob is
+    * local-bench sizing, same discipline as shuffle.partitions = cpus.
+    */
+  def scanSplitBytes(dir: String, cpus: Int): Long = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val largest = files.filter(_.getName.endsWith(".parquet")).map(_.length())
+      .foldLeft(0L)(math.max)
+    math.min(128L << 20, math.max(1L << 20, largest / math.max(1, cpus)))
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

@@ -74,7 +74,18 @@ object ScaleUp {
 
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/__tmp_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // Bounded row groups (4 MB uncompressed): a parquet file can only
+      // split at row-group boundaries, and the driver fixtures' single
+      // giant row group serializes every scan stage — ana_correlation's
+      // 6 M-row moment aggregation measured 19.9 s on ONE core at sf1
+      // with 31 idle. Real lake tables are many-row-group by
+      // construction; the checkpoint should test the splittable-scan
+      // path the engine would actually run on a cluster (sessions pair
+      // this with a fixture-sized spark.sql.files.maxPartitionBytes —
+      // see Bench.scanSplitBytes).
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       val target = new java.io.File(s"$dst/$name.parquet")
