@@ -464,4 +464,29 @@ class InvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("scanSplitBytes sizes splits from the largest fixture file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssb").toFile
+    try {
+      def mk(name: String, bytes: Int): Unit = {
+        val f = new java.io.File(dir, name)
+        val out = new java.io.FileOutputStream(f)
+        out.write(new Array[Byte](bytes)); out.close()
+      }
+      // empty dir → lower clamp
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 32) == (1L << 20))
+      mk("small.parquet", 1000)
+      mk("big.parquet", 64 << 20)
+      mk("ignored.json", 128 << 20) // non-parquet files don't count
+      // 64 MB / 32 cores = 2 MB
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 32) == (2L << 20))
+      // tiny corpus clamps at 1 MB; huge-per-core clamps at 128 MB
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 1024) == (1L << 20))
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 1) == (64L << 20))
+      // missing dir → lower clamp, no throw
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath + "/nope", 8) == (1L << 20))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
