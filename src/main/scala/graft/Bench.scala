@@ -44,9 +44,16 @@ object Bench {
       // only when the session clock is UTC.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // fixture-sized scan splits — see Tables.scanSplitBytes
+      // fixture-sized scan splits — see Tables.scanSplitBytes. The open
+      // cost must drop with the split size: its default (4 MB) models an
+      // HDFS open, and any file whose padded cost reaches the split size
+      // gets a partition of its own — which turned the 2000-file ETL
+      // landing scan into 2000 tasks (etl_sparql_* 3× slower) the moment
+      // splits shrank below 4 MB. 64 KB keeps small files packing ~40 to
+      // a split on a local FS where open is cheap.
       .config("spark.sql.files.maxPartitionBytes",
         graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
+      .config("spark.sql.files.openCostInBytes", 64L * 1024)
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,9 +17,12 @@ object Verify {
       // fixtures store naive TIMESTAMP(MICROS) (timestamp_ntz), which
       // OpsUtil.tsMicros converts under the UTC session pin above.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // fixture-sized scan splits — see Tables.scanSplitBytes
+      // fixture-sized scan splits — see Tables.scanSplitBytes; open cost
+      // lowered with it so many-small-file scans (the ETL landing) still
+      // pack files into shared splits (rationale in Bench)
       .config("spark.sql.files.maxPartitionBytes",
         graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
+      .config("spark.sql.files.openCostInBytes", 64L * 1024)
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
