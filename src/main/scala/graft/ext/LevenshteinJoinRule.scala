@@ -244,8 +244,15 @@ object LevenshteinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Or(Or(EqualTo(lpos, rpos),
           Or(EqualTo(lpos, Literal(-1)), EqualTo(rpos, Literal(-1)))), pred)
       else pred
+    // Leading 64-bit hash equi-key: implied by sig equality (so the
+    // candidate set and multiplicity argument are untouched — this is
+    // NOT hash-only joining), but it puts a long first in the join key,
+    // so the exchange partitions and the sort-merge compares resolve on
+    // 8 bytes instead of walking two ~len-byte strings that share the
+    // corpus's literal prefix.
+    val sigHash = EqualTo(XxHash64(Seq(lsig), 42L), XxHash64(Seq(rsig), 42L))
     val newCond =
-      (Seq(EqualTo(lsig, rsig), verify, eqPin) ++ residual).reduce(And)
+      (Seq(sigHash, EqualTo(lsig, rsig), verify, eqPin) ++ residual).reduce(And)
     Project(j.output, Join(leftD, rightD, Inner, Some(newCond), JoinHint.NONE))
   }
 
