@@ -84,10 +84,22 @@ object SimilarityPack {
   private val PsumCast = "DECIMAL(28,15)"
 
   /** (vec_id, pos, v) exploded embedding components, as double
-    * (session-cached: every exact-cosine query re-reads this). */
+    * (session-cached: every exact-cosine query re-reads this).
+    *
+    * Clustered by vec_id at cache build: one shuffle here means every
+    * downstream per-vector aggregate/window (norms, nearest-cell d2
+    * sums, PQ/SQ code assignment) reuses the cached partitioning
+    * exchange-free, and the cache is spread across all cores even when
+    * the embeddings file is a single row group that byte-range
+    * splitting cannot parallelize (one non-empty scan task otherwise —
+    * the cluster analog is a single small dimension file read by one
+    * executor then fanned out). Values are partition-order independent
+    * (all consumers use exact decimal sums), so the repartition cannot
+    * change any oracle-checked result. */
   private[ops] def comps(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.comps:$d") {
       graft.api.Similarity.components(Tables.embeddings(s, d), "vec_id", "embedding")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     }
 
   private val compsSql =
@@ -177,6 +189,12 @@ object SimilarityPack {
         cent = c.join(a, "vec_id")
           .groupBy(col("cid"), col("pos"))
           .agg((psum(col("v")) / count(lit(1))).as("cv"))
+          // Materialize each Lloyd round (k·dim rows — tiny): without
+          // this the unrolled lineage recomputes round i inside round
+          // i+1, doubling the work per extra iteration. Same BSP-round
+          // persist discipline as DFGraphAlgs.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cent.count()
       }
       cent
     }
@@ -227,6 +245,10 @@ object SimilarityPack {
         cent = c.join(a, Seq("vec_id", "sub"))
           .groupBy(col("cid"), col("sub"), col("pos"))
           .agg((psum(col("nv")) / count(lit(1))).as("cv"))
+          // Per-round persist — same recompute-truncation rationale as
+          // kmeansCentroids above.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cent.count()
       }
       cent
     }
