@@ -170,7 +170,8 @@ object PnmMediaDecoder extends MediaDecoder {
 /** The decoder REGISTRY: one [[MediaDecoder]] that dispatches each
   * payload to the first format whose validated sniff accepts it —
   * BMP → [[BmpMediaDecoder]], binary PGM/PPM → [[PnmMediaDecoder]],
-  * anything else → [[StubDecoder]]. Set
+  * 16-bit PCM WAV → [[WavMediaDecoder]] (a genuinely different
+  * MODALITY, not just container), anything else → [[StubDecoder]]. Set
   * `spark.graft.multimodal.decoder` to this object's class name and a
   * MIXED-format media table decodes through the unchanged `mm_*`
   * queries, each row by its own codec — the shape a production media
@@ -184,7 +185,8 @@ object RegistryMediaDecoder extends MediaDecoder {
     * wins. Sniffs are full-header validations, so order is cosmetic. */
   val entries: Seq[(String, Array[Byte] => Boolean, MediaDecoder)] = Seq(
     ("bmp", BmpCodec.isBmp _, BmpMediaDecoder),
-    ("pnm", PnmCodec.isPnm _, PnmMediaDecoder))
+    ("pnm", PnmCodec.isPnm _, PnmMediaDecoder),
+    ("wav", WavCodec.isWav _, WavMediaDecoder))
 
   /** Registry name of the codec that would decode this payload. */
   def formatOf(payload: Array[Byte]): String =

@@ -233,6 +233,81 @@ class MultimodalSpec extends SparkSpec {
     assert(fp.sampled_checksum == (76L * 31 + 255L) % 1000000007L)
   }
 
+  // ---- third real codec: a different MODALITY (16-bit PCM WAV) ------
+
+  test("WavCodec round-trips 16-bit PCM exactly, chunk walk included") {
+    import graft.multimodal.WavCodec
+    // Mono and stereo, full signed range including Short.MinValue.
+    val mono = Array[Short](0, 256, -512, 32767, -32768, 1000)
+    val wm = WavCodec.encode(16000, 1, mono)
+    assert(WavCodec.isWav(wm))
+    val (c1, r1, s1) = WavCodec.decode(wm)
+    assert(c1 == 1 && r1 == 16000 && s1.sameElements(mono))
+    val stereo = Array[Short](5, -5, 300, -300)
+    val ws = WavCodec.encode(44100, 2, stereo)
+    val (c2, r2, s2) = WavCodec.decode(ws)
+    assert(c2 == 2 && r2 == 44100 && s2.sameElements(stereo))
+    // Real encoders emit extra chunks (LIST/INFO, fact) between fmt and
+    // data — the chunk walk must skip them.
+    val withList = wm.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII") ++ wm.drop(36)
+    val (c3, r3, s3) = WavCodec.decode(withList)
+    assert(c3 == 1 && r3 == 16000 && s3.sameElements(mono))
+    // Text payloads must NOT parse as WAV (the fallback trigger).
+    assert(!WavCodec.isWav("RIFFnot a wav at all".getBytes("UTF-8")))
+  }
+
+  test("malformed WAV headers route to the stub, never crash the task") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.multimodal.{WavCodec, WavMediaDecoder}
+    val good = WavCodec.encode(8000, 1, Array[Short](1, 2, 3, 4))
+    def corrupt(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    def put16(b: Array[Byte], at: Int, v: Int): Unit =
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putShort(at, v.toShort)
+    def put32(b: Array[Byte], at: Int, v: Int): Unit =
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(at, v)
+    val bad = Seq(
+      corrupt(put16(_, 20, 3)),            // float format, not PCM
+      corrupt(put16(_, 34, 8)),            // 8-bit samples unsupported
+      corrupt(put16(_, 22, 3)),            // 3 channels (also breaks align)
+      corrupt(put16(_, 32, 4)),            // block align != channels*2
+      corrupt(put32(_, 24, 0)),            // zero sample rate
+      corrupt(put32(_, 40, 7)),            // data size not sample-aligned
+      corrupt(put32(_, 40, 1 << 30)),      // data size past payload end
+      good.take(30),                       // truncated mid-header
+      "not audio".getBytes("UTF-8"))
+    bad.zipWithIndex.foreach { case (p, i) =>
+      assert(!WavCodec.isWav(p), s"corrupt header $i accepted")
+      val f = WavMediaDecoder.decode(MediaRow(9L, "audio", p))
+      assert(f == graft.multimodal.StubDecoder.decode(MediaRow(9L, "audio", p)),
+        s"corrupt payload $i did not fall back to the stub")
+    }
+    assert(WavCodec.isWav(good), "control: the valid clip parses")
+  }
+
+  test("WavMediaDecoder: hand-computed amplitude features on a real clip") {
+    import graft.multimodal.{WavCodec, WavMediaDecoder}
+    // Amplitudes |s|/256: 256 -> 1, -512 -> 2. One 160-frame block.
+    val bytes = WavCodec.encode(16000, 1, Array[Short](256, -512))
+    val f = WavMediaDecoder.decode(MediaRow(5L, "audio", bytes))
+    assert(f.doc_id == 5L && f.n_bytes == bytes.length.toLong)
+    assert(f.byte_sum == 3L)
+    assert(f.mean_byte == 1.5)
+    assert(f.n_frames == 1 && f.n_sampled == 1)
+    assert(f.sampled_checksum == (1L * 31 + 2L) % 1000000007L)
+    // Block accounting: 161 mono frames -> 2 blocks, blocks 0 sampled.
+    val long = WavCodec.encode(16000, 1, Array.fill[Short](161)(256))
+    val fl = WavMediaDecoder.decode(MediaRow(6L, "audio", long))
+    assert(fl.n_frames == 2 && fl.n_sampled == 1 && fl.byte_sum == 161L)
+    // Stereo: 2 channels share a block; all 4 samples sum.
+    val st = WavCodec.encode(44100, 2, Array[Short](256, 256, -512, -512))
+    val fs = WavMediaDecoder.decode(MediaRow(7L, "audio", st))
+    assert(fs.n_frames == 1 && fs.byte_sum == 6L && fs.mean_byte == 1.5)
+  }
+
   test("registry dispatches a MIXED-format media table row by row") {
     import spark.implicits._
     import graft.multimodal.{BmpCodec, PnmCodec, RegistryMediaDecoder}
@@ -260,10 +335,33 @@ class MultimodalSpec extends SparkSpec {
       assert(txt == graft.multimodal.StubDecoder.decode(
         MediaRow(id + 2, "image", s"text payload ${id + 2}".getBytes("UTF-8"))))
     }
-    // formatOf mirrors the dispatch.
+    // formatOf mirrors the dispatch — across modalities.
     assert(RegistryMediaDecoder.formatOf(BmpCodec.encode(1, 1, Array(0))) == "bmp")
     assert(RegistryMediaDecoder.formatOf(PnmCodec.encodePgm(1, 1, Array(0))) == "pnm")
+    assert(RegistryMediaDecoder.formatOf(
+      graft.multimodal.WavCodec.encode(8000, 1, Array[Short](1))) == "wav")
     assert(RegistryMediaDecoder.formatOf("nope".getBytes("UTF-8")) == "stub")
+  }
+
+  test("registry routes audio rows to the WAV decoder next to image rows") {
+    import spark.implicits._
+    import graft.multimodal.{RegistryMediaDecoder, WavCodec, WavMediaDecoder}
+    val media = (0L until 12L).map { id =>
+      val samples = Array.tabulate(200)(i => ((id * 997 + i * 131) % 65536 - 32768).toShort)
+      MediaRow(id, "audio", WavCodec.encode(16000, 1, samples))
+    }.toDS().repartition(3)
+    val viaRegistry = Multimodal.extractFeatures(media, RegistryMediaDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    val direct = Multimodal.extractFeatures(media, WavMediaDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(viaRegistry == direct && viaRegistry.size == 12)
+    // 200 mono frames -> 2 blocks of 160; real sample features, not
+    // the stub's byte statistics.
+    viaRegistry.values.foreach { f =>
+      assert(f.n_frames == 2)
+      assert(f != graft.multimodal.StubDecoder.decode(
+        MediaRow(f.doc_id, "audio", media.filter(_.doc_id == f.doc_id).head().payload)))
+    }
   }
 
   test("registry via conf: unchanged mm_* queries over the registry decoder") {
