@@ -73,6 +73,39 @@ object MultimodalPack {
         .orderBy(col("media_type"), col("lang"))
     }),
 
+    // Format census through the REGISTRY: every document synthesized
+    // into a REAL encoded payload (doc_id mod 4 → BMP / PGM / WAV /
+    // raw text, dims and content derived from the text), then counted
+    // by what the registry's validated sniffs say the bytes are. The
+    // query never looks at doc_id when classifying — a green oracle row
+    // means no genuine payload was misrouted and no raw-text payload
+    // false-positived into a codec. Per-row bounded work on the typed
+    // Dataset path (the same mapPartitions boundary as
+    // extractFeatures), so it distributes with the scan.
+    "mm_format_census" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{BmpCodec, PnmCodec, WavCodec, RegistryMediaDecoder}
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val t = if (text == null) "" else text
+          val w = (t.length % 7) + 2
+          val payload = (id % 4) match {
+            case 0 => BmpCodec.encode(w, 2,
+              Array.tabulate(w * 2)(i => (t.length * 131 + i * 997) % 0x1000000))
+            case 1 => PnmCodec.encodePgm(w, 2,
+              Array.tabulate(w * 2)(i => (t.length + i) % 256))
+            case 2 => WavCodec.encode(16000, 1,
+              Array.tabulate(w * 2)(i => ((t.length * 31 + i * 7) % 65536 - 32768).toShort))
+            case _ => t.getBytes("UTF-8")
+          }
+          RegistryMediaDecoder.formatOf(payload)
+        }
+        .toDF("format")
+        .groupBy(col("format")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("format"))
+    }),
+
     // Frame sampling through the QUERY layer: every SampleEvery-th
     // FrameBytes-sized slice of the payload as its own row, with offset,
     // length, and content digest — the listing a downstream captioning /
@@ -153,6 +186,14 @@ object MultimodalPack {
         |SELECT media_type, lang, n_docs, bytes,
         |  round(CAST(bytes AS DOUBLE) / tb, 6) AS byte_share
         |FROM a, t ORDER BY media_type, lang""".stripMargin,
+
+    // The oracle replays the CONSTRUCTION rule; the Spark side derives
+    // the same labels by sniffing the actual encoded bytes.
+    "mm_format_census" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pnm'
+        |    WHEN 2 THEN 'wav' ELSE 'stub' END AS format,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, text,

@@ -96,7 +96,7 @@ object SimilarityPack {
     * executor then fanned out). Values are partition-order independent
     * (all consumers use exact decimal sums), so the repartition cannot
     * change any oracle-checked result. */
-  private[ops] def comps(s: SparkSession, d: String): DataFrame =
+  private[graft] def comps(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.comps:$d") {
       graft.api.Similarity.components(Tables.embeddings(s, d), "vec_id", "embedding")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))

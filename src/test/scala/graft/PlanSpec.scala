@@ -121,6 +121,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("exploded-components cache is clustered by vec_id and reused exchange-free") {
+    // The comps cache repartitions by vec_id at build: every partition
+    // carries data (a single-row-group embeddings file otherwise lands
+    // whole in ONE scan task) and every downstream per-vector aggregate
+    // or window reuses the persisted partitioning without a shuffle.
+    val c = graft.ops.SimilarityPack.comps(spark, sf())
+    assert(c.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "cache must spread across all cores regardless of file geometry")
+    val p = planOf(c.groupBy(org.apache.spark.sql.functions.col("vec_id")).count())
+    // The one legitimate vec_id exchange is the cache BUILD inside the
+    // InMemoryRelation; the consumer side above it must not add another.
+    val consumer = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!consumer.contains("Exchange hashpartitioning(vec_id"),
+      "per-vector agg must reuse the cached partitioning, not re-shuffle")
+  }
+
   test("sim_centroid_by_group aggregates with a map-side partial combine") {
     // The shuffle must carry |labels|·dim partial sums, not the exploded
     // component rows: a partial_ aggregate before the exchange is what
