@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
 
 /** Session-scoped cache for derived frames shared ACROSS queries — the
@@ -23,12 +22,28 @@ object DFCache {
   private val caches =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]()
 
+  /** Lazy localCheckpoint rather than persist(): persist keeps the full
+    * logical lineage inside the InMemoryRelation, and several shared
+    * intermediates here carry big unrolled plans (the walk corpora
+    * embed per-step joins into the whole neighbor index) — every
+    * consumer then re-runs Catalyst over that tree per action, and a
+    * self-join doubles it (measured at the sf1 checkpoint: a cached
+    * 2 000-row corpus count spent 80 ms executing and ~1.9 s PLANNING;
+    * the skip-gram self-join ~5 s). localCheckpoint truncates the
+    * consumer-visible plan to the materialized RDD, so downstream
+    * planning cost is bounded by the CONSUMER query's own shape — the
+    * same truncation discipline as DFGraphAlgs.mat between BSP rounds.
+    * Lazy (eager=false) keeps build cost on first use, like persist.
+    * On a cluster the executor-local blocks trade recompute-on-loss for
+    * plan size, exactly as Spark documents for localCheckpoint; a
+    * reliable checkpoint dir is the production knob (DFGraphAlgs
+    * ReliableCheckpointConf precedent). */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val m = synchronized {
       var c = caches.get(s)
       if (c == null) { c = TrieMap.empty[String, DataFrame]; caches.put(s, c) }
       c
     }
-    m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+    m.getOrElseUpdate(key, build.localCheckpoint(false))
   }
 }

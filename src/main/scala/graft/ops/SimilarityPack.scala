@@ -86,20 +86,25 @@ object SimilarityPack {
   /** (vec_id, pos, v) exploded embedding components, as double
     * (session-cached: every exact-cosine query re-reads this).
     *
-    * Clustered by vec_id at cache build: one shuffle here means every
-    * downstream per-vector aggregate/window (norms, nearest-cell d2
-    * sums, PQ/SQ code assignment) reuses the cached partitioning
-    * exchange-free, and the cache is spread across all cores even when
-    * the embeddings file is a single row group that byte-range
-    * splitting cannot parallelize (one non-empty scan task otherwise —
-    * the cluster analog is a single small dimension file read by one
-    * executor then fanned out). Values are partition-order independent
-    * (all consumers use exact decimal sums), so the repartition cannot
-    * change any oracle-checked result. */
+    * Spread round-robin across all cores at cache build: the embeddings
+    * file is a single row group that byte-range splitting cannot
+    * parallelize, so without this the whole cache lands in ONE scan
+    * task and every aggregate over it runs on one core (the IVF k-means
+    * warm build measured 40 s at the sf1 checkpoint; the cluster analog
+    * is a small dimension file read by one executor then fanned out).
+    * Deliberately NOT hash-clustered by vec_id: a persisted key
+    * partitioning makes the planner elide consumer-side exchanges and
+    * pick exchange-free sort-merge joins whose per-query SORTS of the
+    * full cache cost more than the shuffles they save — and without
+    * shuffle stages AQE can no longer see sizes to convert small sides
+    * to broadcasts (measured: the sim_* query family 2-3x slower under
+    * vec_id clustering). Values are partition-order independent (all
+    * consumers use exact decimal sums), so the spread cannot change any
+    * oracle-checked result. */
   private[graft] def comps(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.comps:$d") {
       graft.api.Similarity.components(Tables.embeddings(s, d), "vec_id", "embedding")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .repartition(s.sparkContext.defaultParallelism)
     }
 
   private val compsSql =
@@ -192,7 +197,11 @@ object SimilarityPack {
           // Materialize each Lloyd round (k·dim rows — tiny): without
           // this the unrolled lineage recomputes round i inside round
           // i+1, doubling the work per extra iteration. Same BSP-round
-          // persist discipline as DFGraphAlgs.
+          // persist discipline as DFGraphAlgs. repartition(1) so the
+          // persisted centroid frame is one real partition instead of
+          // shuffle.partitions mostly-empty ones (consumers pay a task
+          // per cached partition).
+          .repartition(1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cent.count()
       }
@@ -245,8 +254,9 @@ object SimilarityPack {
         cent = c.join(a, Seq("vec_id", "sub"))
           .groupBy(col("cid"), col("sub"), col("pos"))
           .agg((psum(col("nv")) / count(lit(1))).as("cv"))
-          // Per-round persist — same recompute-truncation rationale as
-          // kmeansCentroids above.
+          // Per-round persist — same recompute-truncation and
+          // single-partition rationale as kmeansCentroids above.
+          .repartition(1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cent.count()
       }

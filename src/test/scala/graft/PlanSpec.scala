@@ -121,20 +121,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("exploded-components cache is clustered by vec_id and reused exchange-free") {
-    // The comps cache repartitions by vec_id at build: every partition
-    // carries data (a single-row-group embeddings file otherwise lands
-    // whole in ONE scan task) and every downstream per-vector aggregate
-    // or window reuses the persisted partitioning without a shuffle.
+  test("exploded-components cache is spread across cores, not one scan task") {
+    // The comps cache repartitions round-robin at build: a single-row-
+    // group embeddings file cannot be byte-range split, so without the
+    // spread the whole cache lands in ONE task and every aggregate over
+    // it runs on one core. Round-robin (not key-clustered) on purpose:
+    // a persisted key partitioning would let the planner elide
+    // consumer-side exchanges into per-query full-cache sorts and blind
+    // AQE's broadcast conversion — see the comps scaladoc.
     val c = graft.ops.SimilarityPack.comps(spark, sf())
     assert(c.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
       "cache must spread across all cores regardless of file geometry")
-    val p = planOf(c.groupBy(org.apache.spark.sql.functions.col("vec_id")).count())
-    // The one legitimate vec_id exchange is the cache BUILD inside the
-    // InMemoryRelation; the consumer side above it must not add another.
-    val consumer = p.substring(0, p.indexOf("InMemoryRelation"))
-    assert(!consumer.contains("Exchange hashpartitioning(vec_id"),
-      "per-vector agg must reuse the cached partitioning, not re-shuffle")
+    val counts = c.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(counts.count(_ > 0) == counts.length,
+      s"every cached partition must carry rows: ${counts.mkString(",")}")
+    assert(counts.max <= 2 * (counts.sum / counts.length).max(1),
+      s"cache must be balanced, got ${counts.mkString(",")}")
   }
 
   test("sim_centroid_by_group aggregates with a map-side partial combine") {
@@ -230,15 +232,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bloom gate: bitset builds with a map-side partial, 1-row filter broadcasts") {
-    val p = planOf(graft.ops.DedupPack.queries("dedup_bloom_gate")(spark, sf()))
+    // The bitset BUILD plan is checked on the uncached builder (the
+    // query consumes it through a lineage-truncated shared cache, so
+    // the build shape is no longer visible in the consumer plan).
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(conv(substring(md5(col("text").cast("binary")), 1, 7), 16, 10)
+        .cast("long").as("h"))
+    val build = planOf(graft.api.Dedup.bloomBitset(corpus, col("h"), 5, 262144))
     // Two-phase aggregate: partial bitset buffers OR-merge before the
     // exchange (ObjectHashAggregate for a TypedImperativeAggregate).
-    assert("(?s)ObjectHashAggregate.*partial_bitset_agg".r.findFirstIn(p).isDefined
-      || p.contains("partial_bitset_agg"),
+    assert("(?s)ObjectHashAggregate.*partial_bitset_agg".r.findFirstIn(build).isDefined
+      || build.contains("partial_bitset_agg"),
       "bitset_agg must partial-aggregate map-side")
     // The 1-row bitset reaches the batch by broadcast (constant-key
     // equi-join → BroadcastHashJoin; the key keeps the same probe valid
     // on a streaming frame, where crossJoin is unsupported).
+    val p = planOf(graft.ops.DedupPack.queries("dedup_bloom_gate")(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), "bloom bitset must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
