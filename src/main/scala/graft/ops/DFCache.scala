@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
 
 /** Session-scoped cache for derived frames shared ACROSS queries — the
@@ -22,28 +23,38 @@ object DFCache {
   private val caches =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]()
 
-  /** Lazy localCheckpoint rather than persist(): persist keeps the full
-    * logical lineage inside the InMemoryRelation, and several shared
-    * intermediates here carry big unrolled plans (the walk corpora
-    * embed per-step joins into the whole neighbor index) — every
-    * consumer then re-runs Catalyst over that tree per action, and a
-    * self-join doubles it (measured at the sf1 checkpoint: a cached
-    * 2 000-row corpus count spent 80 ms executing and ~1.9 s PLANNING;
-    * the skip-gram self-join ~5 s). localCheckpoint truncates the
-    * consumer-visible plan to the materialized RDD, so downstream
-    * planning cost is bounded by the CONSUMER query's own shape — the
-    * same truncation discipline as DFGraphAlgs.mat between BSP rounds.
-    * Lazy (eager=false) keeps build cost on first use, like persist.
-    * On a cluster the executor-local blocks trade recompute-on-loss for
-    * plan size, exactly as Spark documents for localCheckpoint; a
-    * reliable checkpoint dir is the production knob (DFGraphAlgs
-    * ReliableCheckpointConf precedent). */
+  /** Default: persist(). The InMemoryRelation carries ACCURATE size
+    * stats, which is what lets the static planner broadcast the small
+    * cached frames (centroids, norms, buckets) under the pairwise
+    * heavies — swapping every cache to a lineage-truncating
+    * localCheckpoint was measured 6× WORSE on sim_dedup_sweep /
+    * dedup_semantic at the sf1 checkpoint, because LogicalRDD reports
+    * the default (huge) size and the exact-cosine joins lose their
+    * broadcasts. Keep persist wherever consumers JOIN the cache. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val m = synchronized {
+    val m = cacheMap(s)
+    m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Lineage-truncating variant (lazy localCheckpoint) for caches whose
+    * LOGICAL PLAN is enormous relative to their data — the walk corpora
+    * embed per-step joins into the whole neighbor index, and every
+    * consumer re-ran Catalyst over that tree per action (measured at
+    * sf1: a cached 2 000-row corpus count spent 80 ms executing and
+    * ~1.9 s PLANNING; the skip-gram self-join, which embeds the tree
+    * twice, ~5 s → 0.5 s truncated). The lost size stats don't matter
+    * here: the frames are tiny and their consumers re-shuffle anyway.
+    * Same truncation discipline as DFGraphAlgs.mat between BSP rounds;
+    * a reliable checkpoint dir is the production durability knob. */
+  def cachedTruncated(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = cacheMap(s)
+    m.getOrElseUpdate(key, build.localCheckpoint(false))
+  }
+
+  private def cacheMap(s: SparkSession): TrieMap[String, DataFrame] =
+    synchronized {
       var c = caches.get(s)
       if (c == null) { c = TrieMap.empty[String, DataFrame]; caches.put(s, c) }
       c
     }
-    m.getOrElseUpdate(key, build.localCheckpoint(false))
-  }
 }
