@@ -182,6 +182,49 @@ class PropertySpec extends AnyFunSuite {
       assert(got.toSet == expect.map(_.toInt), s"size=$size split=$split")
     }
   }
+
+  test("codec sniffs never throw on arbitrary bytes; accepted payloads decode") {
+    // The registry sniffs run on EVERY row of a binary media column —
+    // at 100 TB a payload that makes a sniff throw kills the task (and
+    // with it the stage, and with retries the job). Property: for any
+    // byte string, isBmp/isPnm/isWav return a Boolean without throwing,
+    // and whenever a sniff accepts, decode completes without throwing.
+    import graft.multimodal.{BmpCodec, PnmCodec, WavCodec}
+    val rnd = samples(4000).iterator
+    def bytes(n: Int): Array[Byte] = Array.fill(n)((rnd.next() & 0xff).toByte)
+    def check(p: Array[Byte]): Unit = {
+      if (BmpCodec.isBmp(p)) BmpCodec.decode(p)
+      if (PnmCodec.isPnm(p)) PnmCodec.decode(p)
+      if (WavCodec.isWav(p)) WavCodec.decode(p)
+    }
+    // Pure noise, including the magic prefixes followed by garbage.
+    for (n <- Seq(0, 1, 2, 13, 44, 61, 200)) check(bytes(n))
+    for (magic <- Seq("BM", "P5", "P6", "RIFF", "RIFFxxxxWAVE"))
+      check(magic.getBytes("US-ASCII") ++ bytes(80))
+    // Mutations of VALID payloads: every single-byte corruption and
+    // truncation of a real header region must keep the contract.
+    val valid = Seq(
+      BmpCodec.encode(3, 2, Array.fill(6)(0x336699)),
+      PnmCodec.encodePpm(3, 2, Array.fill(6)(0x336699)),
+      WavCodec.encode(8000, 2, Array[Short](1, -1, 300, -300)))
+    for (v <- valid) {
+      for (i <- v.indices.take(60); b <- Seq(0x00, 0xff, 0x80)) {
+        val m = v.clone(); m(i) = b.toByte; check(m)
+      }
+      for (cut <- 0 until math.min(v.length, 60)) check(v.take(cut))
+    }
+    // Randomized round-trips (identity, not just no-throw).
+    for (trial <- 1 to 20) {
+      val w = 1 + (rnd.next() & 0x7).toInt; val h = 1 + (rnd.next() & 0x7).toInt
+      val px = Array.fill(w * h)((rnd.next() & 0xffffff).toInt)
+      assert(BmpCodec.decode(BmpCodec.encode(w, h, px))._3.sameElements(px))
+      assert(PnmCodec.decode(PnmCodec.encodePpm(w, h, px))._4.sameElements(px))
+      val ch = 1 + (trial % 2)
+      val pcm = Array.fill((4 + (rnd.next() & 0x1f).toInt) * ch)(rnd.next().toShort)
+      val (dc, dr, ds) = WavCodec.decode(WavCodec.encode(16000, ch, pcm))
+      assert(dc == ch && dr == 16000 && ds.sameElements(pcm))
+    }
+  }
 }
 
 /** The ml_auc_exact / ml_lift_curve bounded-window contract, measured:
@@ -207,4 +250,5 @@ class AaScoreDomainSpec extends SparkSpec {
     assert(dBig < 3 * dSmall,
       s"distinct scores grew super-linearly: $dSmall -> $dBig for 10x pairs")
   }
+
 }
