@@ -46,7 +46,8 @@ object DedupPack {
     * LSH, signature, and Jaccard queries all start here). */
   private[ops] def shingleRows(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.shingles:$d") {
-      graft.api.Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+      // Spread before shingling: ~50 shingle rows out per doc row in.
+      graft.api.Dedup.shingleRows(Tables.spread(Tables.documents(s, d)), "doc_id", "text", 3)
     }
 
   private val shingleRowsSql =
@@ -75,7 +76,7 @@ object DedupPack {
     * doubles never touch the bit pipeline). */
   private[ops] def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"dedup.simhash:$d") {
-      graft.api.Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+      graft.api.Dedup.simhashFingerprints(Tables.spread(Tables.documents(s, d)), "doc_id", "text")
     }
 
   val queries: Map[String, Q] = Map(

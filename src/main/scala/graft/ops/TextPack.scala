@@ -138,7 +138,9 @@ object TextPack {
     // partitioned window, never a global sort.
     "text_tfidf_topterms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, d)
+      // Spread: the token explode is ~n_tokens rows out per row in
+      // (Tables.spread contract).
+      val tf = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -194,7 +196,7 @@ object TextPack {
     // exact decimals (order-independent) — the same one-corpus-pass
     // discipline as the rest of the pack.
     "text_bigram_lm_score" -> ((s, d) => {
-      graft.api.Text.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+      graft.api.Text.bigramLmScores(Tables.spread(Tables.documents(s, d)), "doc_id", "text")
         .orderBy(col("lm_score").asc, col("doc_id").asc)
         .limit(20)
     }),
@@ -309,7 +311,7 @@ object TextPack {
       // Thresholds sit inside the fixture's signal distributions
       // (n_tokens 10-99, entropy 1.6-3.35, dup-bigram 0-0.13) so every
       // gate of the funnel demonstrably fires.
-      graft.api.Text.filterFunnel(Tables.documents(s, d), "doc_id", "text",
+      graft.api.Text.filterFunnel(Tables.spread(Tables.documents(s, d)), "doc_id", "text",
           Stopwords, minStopRatio = 0.02, minTokens = 20L, maxTokens = 1000L,
           maxDupBigramFrac = 0.06, minEntropy = 2.7)
         .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
@@ -336,7 +338,7 @@ object TextPack {
     // data-selection score of Xie et al. 2023. Probe stats broadcast
     // (eval-set shape); corpus stats one bounded agg.
     "text_dsir_weights" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.spread(Tables.documents(s, d))
       graft.api.Text.dsirWeights(docs, "doc_id", "text",
           docs.filter(col("source") === "src0"), "text", buckets = DsirBuckets)
         .orderBy(col("doc_id"))
@@ -347,7 +349,7 @@ object TextPack {
     // shingles that also occur in another document. One shingle pass +
     // one gram groupBy; the dup mark joins back on the same gram key.
     "text_dup_spans" -> ((s, d) => {
-      graft.api.Text.dupSpanStats(Tables.documents(s, d), "doc_id", "text",
+      graft.api.Text.dupSpanStats(Tables.spread(Tables.documents(s, d)), "doc_id", "text",
           n = DupSpanN)
         .orderBy(col("doc_id"))
     }),

@@ -34,6 +34,21 @@ object Tables {
     math.min(128L << 20, math.max(1L << 20, largest / math.max(1, cpus)))
   }
 
+  /** Spread a scan before HEAVY per-row work (shingling, tokenizing,
+    * regex gates): one round-robin pass of the raw rows buys full-width
+    * parallelism for a downstream stage that is a large multiple of the
+    * input (a 3-shingle explode alone is ~50 rows out per row in).
+    * Use ONLY where that multiple holds — then the shuffle is bounded
+    * by a fraction of the work it parallelizes at any scale, and it
+    * recovers the idle-core loss whenever the scan is under-split
+    * (a local single-file fixture splits only at row-group boundaries,
+    * so fused tokenize stages otherwise run on 1-2 of 32 cores; the
+    * cluster analogs are a small-file source or a skewed split). For
+    * cheap projections/aggregations, never spread — the scan-fused
+    * form is strictly better. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
