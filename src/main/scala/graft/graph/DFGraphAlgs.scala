@@ -413,6 +413,71 @@ object DFGraphAlgs {
     dist
   }
 
+  /** Sampled-source Brandes betweenness dependencies (Brandes 2001;
+    * Brandes-Pich 2007 pivot sampling — the estimator scales by source
+    * COUNT, not graph size, exactly like the landmark harmonic
+    * centrality next to it). One composite-key (s0, id) BSP job for all
+    * sources:
+    *
+    *  - FORWARD, level-synchronous unweighted BFS accumulating σ(s, v)
+    *    (shortest-path counts): level-k vertices are first reached at
+    *    round k, σ = Σ of predecessor σ over same-round discoveries —
+    *    an equi-join + sum per round, new vertices found by anti-join
+    *    (each vertex enters the state exactly once, so state is
+    *    monotone and O(sources × reached) like the six-degrees runs).
+    *    σ is exact DECIMAL(38,0): path counts multiply through hubs
+    *    and overflow int64 within a few levels at power-law degrees.
+    *  - BACKWARD, the dependency recurrence δ(s,v) = Σ_{v→w, d(w)=d(v)+1}
+    *    (σv/σw)·(1+δw) processed one level per round from the deepest:
+    *    in an unweighted BFS DAG every shortest-path edge spans exactly
+    *    one level, so each level's δ closes in a single join against the
+    *    level above. Per-term DECIMAL(28,15) casts make every δ sum
+    *    order-independent (the engines replay identical doubles).
+    *
+    * Returns the per-source dependency frame (s0, id, dist, delta) —
+    * betweenness is the caller's Σ_s δ(s, v) over v ≠ s. Rounds clamp
+    * under [[PlanOnlyConf]] like every loop here. */
+  def betweennessDeltas(edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = mat(edges.select(col("src"), col("dst")))
+    var st = mat(sources.toDF("s0").select(col("s0"), col("s0").as("id"),
+      lit(0).as("dist"), lit(1L).cast("decimal(38,0)").as("sigma")))
+    val n = rounds(st, iters)
+    for (k <- 1 to n) {
+      val prev = st.filter(col("dist") === k - 1)
+        .select(col("s0"), col("id").as("pid"), col("sigma").as("psig"))
+      val cand = e.join(prev, e("src") === prev("pid"))
+        .groupBy(col("s0"), col("dst").as("id"))
+        .agg(sum(col("psig")).cast("decimal(38,0)").as("sigma"))
+        .withColumn("dist", lit(k))
+      val fresh = cand.join(st.select(col("s0"), col("id")), Seq("s0", "id"), "left_anti")
+      st = mat(st.unionByName(fresh.select(col("s0"), col("id"), col("dist"), col("sigma"))))
+    }
+    // Backward sweep: del holds the CURRENT level's closed (σ, δ) rows.
+    var del = mat(st.filter(col("dist") === n)
+      .select(col("s0"), col("id"), col("sigma"), lit(0.0).as("delta")))
+    var acc = del.withColumn("dist", lit(n))
+    for (k <- (n - 1) to 0 by -1) {
+      val wside = del.select(col("s0").as("ws0"), col("id").as("wid"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val vside = st.filter(col("dist") === k)
+        .select(col("s0").as("vs0"), col("id").as("vid"), col("sigma").as("sv"))
+      val terms = e.join(wside, e("dst") === wside("wid"))
+        .join(vside, e("src") === col("vid") && col("vs0") === col("ws0"))
+        .groupBy(col("vs0").as("s0"), col("vid").as("id"))
+        .agg(sum(((col("sv").cast("double") / col("sw").cast("double")) *
+            (lit(1.0) + col("dw"))).cast("decimal(28,15)"))
+          .cast("double").as("dsum"))
+      del = mat(st.filter(col("dist") === k).select(col("s0"), col("id"), col("sigma"))
+        .join(terms, Seq("s0", "id"), "left")
+        .select(col("s0"), col("id"), col("sigma"),
+          coalesce(col("dsum"), lit(0.0)).as("delta")))
+      acc = acc.unionByName(del.withColumn("dist", lit(k)))
+    }
+    acc.select(col("s0"), col("id"), col("dist"), col("delta"))
+  }
+
   /** One-to-many batch shortest paths from MULTIPLE sources in one BSP
     * run — the reference's 100k-pair six-degrees experiment shape
     * (ref bfs.py:119-147, analysis_service.py:223-263: group pairs by

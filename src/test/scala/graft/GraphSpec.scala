@@ -291,6 +291,29 @@ class GraphSpec extends SparkSpec {
     assert(gx == df)
   }
 
+  test("betweennessDeltas: hand-computed Brandes on a path and a diamond") {
+    import spark.implicits._
+    def bc(edges: Seq[(Long, Long)], sources: Seq[Long]): Map[Long, Double] = {
+      val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+      DFGraphAlgs.betweennessDeltas(sym, sources, 6)
+        .filter($"id" =!= $"s0")
+        .groupBy($"id").agg(org.apache.spark.sql.functions.sum($"delta").as("b"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // Path 1-2-3-4-5, all sources: delta sums count ordered (s, t) pairs
+    // whose shortest path passes v as an intermediate.
+    val path = bc(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L), 1L to 5L)
+    assert(path(2L) == 6.0 && path(3L) == 8.0 && path(4L) == 6.0)
+    assert(path(1L) == 0.0 && path(5L) == 0.0)
+    // Diamond 1-2-4, 1-3-4: every vertex sits on exactly half of the
+    // two shortest paths of its opposite pair (sigma splits 0.5/0.5 for
+    // 1~4 through {2,3} AND for 2~3 through {1,4}), so all-sources
+    // betweenness is 1.0 everywhere — the sigma-ratio discipline, not
+    // just path counting.
+    val dia = bc(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L), Seq(1L, 2L, 3L, 4L))
+    assert(dia(1L) == 1.0 && dia(2L) == 1.0 && dia(3L) == 1.0 && dia(4L) == 1.0)
+  }
+
   test("connectedComponents labels the two micro components by min id") {
     val comps = DFGraphAlgs.connectedComponents(edgeDF, 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
