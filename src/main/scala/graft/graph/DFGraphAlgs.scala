@@ -441,27 +441,34 @@ object DFGraphAlgs {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = mat(edges.select(col("src"), col("dst")))
-    var st = mat(sources.toDF("s0").select(col("s0"), col("s0").as("id"),
-      lit(0).as("dist"), lit(1L).cast("decimal(38,0)").as("sigma")))
-    val n = rounds(st, iters)
+    // Per-LEVEL frames, each (s0, id, sigma) mat'ed once — a vertex
+    // enters exactly one level, so the full state is a flat union of
+    // the level frames and no round ever re-checkpoints earlier levels
+    // (the growing-state loops above rewrite O(rounds × state); here
+    // checkpoint volume is O(state) total).
+    var levs = Vector(mat(sources.toDF("s0").select(col("s0"),
+      col("s0").as("id"), lit(1L).cast("decimal(38,0)").as("sigma"))))
+    val n = rounds(levs.head, iters)
     for (k <- 1 to n) {
-      val prev = st.filter(col("dist") === k - 1)
+      val prev = levs(k - 1)
         .select(col("s0"), col("id").as("pid"), col("sigma").as("psig"))
       val cand = e.join(prev, e("src") === prev("pid"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(sum(col("psig")).cast("decimal(38,0)").as("sigma"))
-        .withColumn("dist", lit(k))
-      val fresh = cand.join(st.select(col("s0"), col("id")), Seq("s0", "id"), "left_anti")
-      st = mat(st.unionByName(fresh.select(col("s0"), col("id"), col("dist"), col("sigma"))))
+      val seen = levs.map(_.select(col("s0"), col("id"))).reduce(_ unionByName _)
+      levs = levs :+ mat(cand.join(seen, Seq("s0", "id"), "left_anti"))
     }
-    // Backward sweep: del holds the CURRENT level's closed (σ, δ) rows.
-    var del = mat(st.filter(col("dist") === n)
-      .select(col("s0"), col("id"), col("sigma"), lit(0.0).as("delta")))
+    // Backward sweep, one level per step from the deepest. Each level
+    // frame references the one above it exactly ONCE, so the plan depth
+    // is linear — lazy persist (not checkpoint) is enough: the final
+    // action computes every level once and reuses the cached blocks.
+    var del = levs(n).select(col("s0"), col("id"), col("sigma"),
+      lit(0.0).as("delta")).persist()
     var acc = del.withColumn("dist", lit(n))
     for (k <- (n - 1) to 0 by -1) {
       val wside = del.select(col("s0").as("ws0"), col("id").as("wid"),
         col("sigma").as("sw"), col("delta").as("dw"))
-      val vside = st.filter(col("dist") === k)
+      val vside = levs(k)
         .select(col("s0").as("vs0"), col("id").as("vid"), col("sigma").as("sv"))
       val terms = e.join(wside, e("dst") === wside("wid"))
         .join(vside, e("src") === col("vid") && col("vs0") === col("ws0"))
@@ -469,10 +476,11 @@ object DFGraphAlgs {
         .agg(sum(((col("sv").cast("double") / col("sw").cast("double")) *
             (lit(1.0) + col("dw"))).cast("decimal(28,15)"))
           .cast("double").as("dsum"))
-      del = mat(st.filter(col("dist") === k).select(col("s0"), col("id"), col("sigma"))
+      del = levs(k).select(col("s0"), col("id"), col("sigma"))
         .join(terms, Seq("s0", "id"), "left")
         .select(col("s0"), col("id"), col("sigma"),
-          coalesce(col("dsum"), lit(0.0)).as("delta")))
+          coalesce(col("dsum"), lit(0.0)).as("delta"))
+        .persist()
       acc = acc.unionByName(del.withColumn("dist", lit(k)))
     }
     acc.select(col("s0"), col("id"), col("dist"), col("delta"))
