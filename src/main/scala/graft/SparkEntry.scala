@@ -30,4 +30,11 @@ object SparkEntry {
       SearchPack.oracle ++ MLPack.oracle ++ EventsPack.oracle ++
       StreamingPack.oracle ++ MultimodalPack.oracle ++ SourcesPack.oracle ++
       EtlPack.oracle
+
+  /** [[oracleSql]] with the sf-scaled EtlPack entries keyed EXPLICITLY on
+    * `dir`'s scale — the form Verify dumps, so the emitted landing-volume
+    * SQL always describes the dir the queries just ran against, never the
+    * last-writer-wins scale of some interleaved invocation. */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    oracleSql ++ EtlPack.oracleFor(EtlPack.scaleFor(dir))
 }

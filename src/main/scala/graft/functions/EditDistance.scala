@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded edit distance as a native codegen'd expression:
@@ -26,8 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * ExtensionsSpec, including the k = 0 and negative-threshold edges.
   */
 case class EditDistanceWithin(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = IntegerType
+  // Registered SQL surface: declare types so a mistyped call (long
+  // threshold, non-string args) is a clean analysis error / implicit
+  // cast instead of a ClassCastException inside an executor task.
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, IntegerType)
 
   override protected def nullSafeEval(a: Any, b: Any, k: Any): Any =
     EditDistanceImpl.within(a.asInstanceOf[UTF8String],
@@ -56,8 +61,10 @@ case class EditDistanceWithin(first: Expression, second: Expression, third: Expr
   * is pure constant-factor waste.
   */
 case class EditDistanceExact(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     EditDistanceImpl.full(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])

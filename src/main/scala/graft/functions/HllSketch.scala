@@ -58,10 +58,17 @@ case class HllSketch(
   /** Registers as bytes — max rank is 28−p+1 ≤ 25, fits comfortably. */
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  private val h28Mask = (1L << 28) - 1L
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // The contract is a hash uniform on [0, 2^28); this is a registered
+      // SQL function, so a caller CAN feed anything. Mask to the low 28
+      // bits: in-contract inputs are unchanged, out-of-range inputs land
+      // on a valid register instead of corrupting memory or throwing in
+      // an executor (estimates are then merely as good as the hash fed in).
+      val h = v.asInstanceOf[Long] & h28Mask
       val idx = (h >>> remBits).toInt
       val rem = h & remMask
       // rank = 1 + number of leading zero bits of the remBits-wide

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** RapidFuzz-style WRatio (fuzz.WRatio, ref fuzzy_search.py:57) as a
@@ -30,8 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * window sweep) — the same work the Column form compiles to.
   */
 case class WRatio(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+  // Registered SQL surface: clean analysis error on non-string args
+  // instead of an executor-side ClassCastException.
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     WRatioImpl.score(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])

@@ -449,21 +449,37 @@ object DFGraphAlgs {
     var levs = Vector(mat(sources.toDF("s0").select(col("s0"),
       col("s0").as("id"), lit(1L).cast("decimal(38,0)").as("sigma"))))
     val n = rounds(levs.head, iters)
+    // Running discovered-vertex union, replaced (not re-derived) each
+    // round: the anti-join probe at round k reads ONE cached frame of
+    // |seen_k| rows instead of a k-way union over every level frame —
+    // O(state) probe input per round and a constant number of stage
+    // inputs, where the re-union form's plan width grew with k.
+    // Superseded unions are released once the next one is materialized
+    // by the level checkpoint that consumes it.
+    val released = scala.collection.mutable.Buffer.empty[DataFrame]
+    var seen = levs.head.select(col("s0"), col("id")).persist()
     for (k <- 1 to n) {
       val prev = levs(k - 1)
         .select(col("s0"), col("id").as("pid"), col("sigma").as("psig"))
       val cand = e.join(prev, e("src") === prev("pid"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(sum(col("psig")).cast("decimal(38,0)").as("sigma"))
-      val seen = levs.map(_.select(col("s0"), col("id"))).reduce(_ unionByName _)
-      levs = levs :+ mat(cand.join(seen, Seq("s0", "id"), "left_anti"))
+      val lev = mat(cand.join(seen, Seq("s0", "id"), "left_anti"))
+      levs = levs :+ lev
+      if (k < n) {
+        val grown = seen.unionByName(lev.select(col("s0"), col("id"))).persist()
+        released += seen
+        seen = grown
+      }
     }
+    released += seen
     // Backward sweep, one level per step from the deepest. Each level
     // frame references the one above it exactly ONCE, so the plan depth
     // is linear — lazy persist (not checkpoint) is enough: the final
     // action computes every level once and reuses the cached blocks.
     var del = levs(n).select(col("s0"), col("id"), col("sigma"),
       lit(0.0).as("delta")).persist()
+    released += del
     var acc = del.withColumn("dist", lit(n))
     for (k <- (n - 1) to 0 by -1) {
       val wside = del.select(col("s0").as("ws0"), col("id").as("wid"),
@@ -481,9 +497,17 @@ object DFGraphAlgs {
         .select(col("s0"), col("id"), col("sigma"),
           coalesce(col("dsum"), lit(0.0)).as("delta"))
         .persist()
+      released += del
       acc = acc.unionByName(del.withColumn("dist", lit(k)))
     }
-    acc.select(col("s0"), col("id"), col("dist"), col("delta"))
+    // Materialize the result, then release every persisted per-level /
+    // per-step frame — repeated invocations in one session otherwise
+    // accumulate cached blocks with no release path (the mat'ed level
+    // frames are localCheckpoint blocks, freed by the ContextCleaner
+    // when their RDDs go out of scope, same as every BSP loop here).
+    val out = mat(acc.select(col("s0"), col("id"), col("dist"), col("delta")))
+    released.foreach(_.unpersist(false))
+    out
   }
 
   /** One-to-many batch shortest paths from MULTIPLE sources in one BSP

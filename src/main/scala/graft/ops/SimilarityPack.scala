@@ -191,7 +191,7 @@ object SimilarityPack {
         .select(col("vec_id").as("cid"), col("pos"), col("v").as("cv"))
       for (_ <- 1 to KmIters) {
         val a = nearestCell(c, cent)
-        cent = c.join(a, "vec_id")
+        val next = c.join(a, "vec_id")
           .groupBy(col("cid"), col("pos"))
           .agg((psum(col("v")) / count(lit(1))).as("cv"))
           // Materialize each Lloyd round (k·dim rows — tiny): without
@@ -203,7 +203,12 @@ object SimilarityPack {
           // per cached partition).
           .repartition(1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cent.count()
+        next.count()
+        // Release the superseded round (the seed frame is unpersisted —
+        // unpersist there is a no-op); only the fitted centroids stay
+        // cached across repeated builds in one session.
+        cent.unpersist(false)
+        cent = next
       }
       cent
     }
@@ -251,14 +256,16 @@ object SimilarityPack {
         .select(col("vec_id").as("cid"), col("sub"), col("pos"), col("nv").as("cv"))
       for (_ <- 1 to KmIters) {
         val a = pqNearest(c, cent)
-        cent = c.join(a, Seq("vec_id", "sub"))
+        val next = c.join(a, Seq("vec_id", "sub"))
           .groupBy(col("cid"), col("sub"), col("pos"))
           .agg((psum(col("nv")) / count(lit(1))).as("cv"))
           // Per-round persist — same recompute-truncation and
           // single-partition rationale as kmeansCentroids above.
           .repartition(1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cent.count()
+        next.count()
+        cent.unpersist(false) // release the superseded round
+        cent = next
       }
       cent
     }

@@ -29,8 +29,13 @@ object Tables {
     */
   def scanSplitBytes(dir: String, cpus: Int): Long = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    val largest = files.filter(_.getName.endsWith(".parquet")).map(_.length())
-      .foldLeft(0L)(math.max)
+    val parquet = files.filter(_.getName.endsWith(".parquet"))
+    // No parquet found (unreadable dir, non-local path, misconfigured
+    // sfDir): keep Spark's 128 MB default rather than falling through to
+    // the pathological 1 MB floor — this knob only exists to SHRINK the
+    // split for a known local fixture.
+    if (parquet.isEmpty) return 128L << 20
+    val largest = parquet.map(_.length()).foldLeft(0L)(math.max)
     math.min(128L << 20, math.max(1L << 20, largest / math.max(1, cpus)))
   }
 

@@ -473,8 +473,10 @@ class InvariantSpec extends SparkSpec {
         val out = new java.io.FileOutputStream(f)
         out.write(new Array[Byte](bytes)); out.close()
       }
-      // empty dir → lower clamp
-      assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 32) == (1L << 20))
+      // empty dir → Spark's 128 MB default (the knob only SHRINKS splits
+      // for a known local fixture; a misconfigured dir must not pin the
+      // pathological 1 MB floor)
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 32) == (128L << 20))
       mk("small.parquet", 1000)
       mk("big.parquet", 64 << 20)
       mk("ignored.json", 128 << 20) // non-parquet files don't count
@@ -483,8 +485,8 @@ class InvariantSpec extends SparkSpec {
       // tiny corpus clamps at 1 MB; huge-per-core clamps at 128 MB
       assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 1024) == (1L << 20))
       assert(graft.tables.Tables.scanSplitBytes(dir.getPath, 1) == (64L << 20))
-      // missing dir → lower clamp, no throw
-      assert(graft.tables.Tables.scanSplitBytes(dir.getPath + "/nope", 8) == (1L << 20))
+      // missing dir → 128 MB default, no throw
+      assert(graft.tables.Tables.scanSplitBytes(dir.getPath + "/nope", 8) == (128L << 20))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
