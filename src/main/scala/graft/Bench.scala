@@ -121,10 +121,57 @@ object Bench {
       }.toMap
     }
     val loadAfter = loadAvg()
-    // Per-query: min over SUCCESSFUL passes; a query with no successful
-    // pass keeps a negative time and lands in `failed`.
+    // SKEW ENFORCEMENT (not just recording): a query whose two BEST
+    // successful times disagree by >3x has only one trustworthy sample —
+    // min-of-2 still reports the good pass, but the artifact can't prove
+    // it wasn't the fluke. When more than SPARK_GRAFT_SKEW_MAX queries
+    // are in that state, the host was noisy during the run; re-gate on
+    // load and give JUST those queries bounded repair passes. A repair
+    // sample near the existing min confirms it (two agreeing samples →
+    // resolved); if the budget runs out with the count still over the
+    // bound, the artifact is marked valid:false instead of shipping a
+    // number that needs a footnote (r9 lesson: BENCH_r09 recorded skew
+    // 49 and misread as a 22% regression the clean sf1 artifact
+    // disproved).
+    var samples: Map[String, Vector[Double]] =
+      selected.map { case (n, _) => n -> runs.map(_(n)).toVector }.toMap
+    def twoBestSkewed(ts: Vector[Double]): Boolean = {
+      val good = ts.filter(_ >= 0.0).sorted
+      good.size >= 2 && good(0) > 0.0 && good(1) / good(0) > 3.0
+    }
+    def unresolved(): Seq[String] =
+      selected.collect { case (n, _) if twoBestSkewed(samples(n)) => n }
+    val skewMax = sys.env.getOrElse("SPARK_GRAFT_SKEW_MAX", "8").toInt
+    val skewRetries = sys.env.getOrElse("SPARK_GRAFT_SKEW_RETRIES", "2").toInt
+    val fnOf = selected.toMap
+    var repairPasses = 0
+    while (passes >= 2 && unresolved().size > skewMax && repairPasses < skewRetries) {
+      repairPasses += 1
+      var waited = 0
+      while (loadGate > 0 && load1() > loadGate && waited < loadWaitMax) {
+        System.err.println(f"[bench] repair $repairPasses: load ${load1()}%.2f > " +
+          f"gate $loadGate%.1f — waiting (${waited}s/${loadWaitMax}s)")
+        Thread.sleep(15000); waited += 15
+      }
+      val todo = unresolved()
+      System.err.println(s"[bench] repair pass $repairPasses: " +
+        s"${todo.size} skewed queries (bound $skewMax)")
+      todo.foreach { name =>
+        val sec = timeOne(name, fnOf(name))
+        System.err.println(f"[bench] (r$repairPasses) $name%-28s $sec%8.2f s")
+        samples = samples.updated(name, samples(name) :+ sec)
+      }
+    }
+    val skewUnresolved = unresolved().size
+    val benchValid = passes < 2 || skewUnresolved <= skewMax
+    if (!benchValid)
+      System.err.println(s"[bench] INVALID: $skewUnresolved queries still " +
+        s"skewed after $repairPasses repair passes (bound $skewMax)")
+    // Per-query: min over SUCCESSFUL samples (initial passes + repairs);
+    // a query with no successful pass keeps a negative time and lands in
+    // `failed`.
     val results = selected.map { case (name, _) =>
-      val rs = runs.map(_(name))
+      val rs = samples(name)
       val good = rs.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else rs.max)
     }.toMap
@@ -158,6 +205,8 @@ object Bench {
     val scalar =
       s""""metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
         s""""passes":$passes,"failed":$failedJson,"max_over_min_gt3":$skewed,""" +
+        s""""skew_unresolved":$skewUnresolved,"skew_max":$skewMax,""" +
+        s""""repair_passes":$repairPasses,"valid":$benchValid,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
         s""""load_gate":$loadGate,"load_gate_waited_sec":$gateWaited,""" +
         s""""load_avg_at_gate":$loadAtGate,""" +
@@ -169,7 +218,12 @@ object Bench {
     // detail (map, per-pass runs, warmup entries) lives solely in the
     // SPARK_GRAFT_BENCH_OUT file artifact.
     println(s"{$scalar}")
-    val line = s"""{$scalar,"queries":$qs,"shared_warmup_entries":$warmJson,"queries_runs":$runsJson}"""
+    // Full per-query sample vectors (initial passes + repair passes, in
+    // order) so the repair history is auditable alongside the pass runs.
+    val samplesJson = samples.toSeq.sortBy(_._1).map { case (k, vs) =>
+      "\"" + k + "\":" + vs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val line = s"""{$scalar,"queries":$qs,"shared_warmup_entries":$warmJson,"queries_runs":$runsJson,"queries_samples":$samplesJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
