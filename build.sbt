@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is driver-as-executor: one JVM holds every persisted
+  // shared intermediate (edge lists, walk corpora, LSH/PQ indexes) plus
+  // all 32 task threads' execution memory. 8g forced the sf1 caches to
+  // spill MEMORY_AND_DISK blocks to disk and every cached-graph query
+  // paid the re-read; the host has 128 GiB for exactly this process.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -127,25 +127,31 @@ object DFGraphAlgs {
     * time, driver metadata only). Under plan-only the probe is skipped
     * and salting activates iff target ≤ 1 (how PlanSpec asserts the
     * salted shape without running jobs). */
-  private def saltPlan(e: DataFrame, keys: Seq[String] = Seq("src"))
-      : Option[(DataFrame, DataFrame)] = {
+  private def saltPlan(e: DataFrame, keys: Seq[String] = Seq("src"),
+      knownMaxDeg: Option[Long] = None): Option[(DataFrame, DataFrame)] = {
     val kcols = keys.map(col)
     val deg = e.groupBy(kcols: _*).agg(count(lit(1)).as("__deg"))
     saltPlanFromDeg(deg, "__deg", keys, e,
-      // One bounded probe over the (mat'ed) edge list's degree agg —
-      // ns > 1 ⟺ deg > target, so probe the degree frame directly.
-      target => deg.filter(col("__deg") > target).limit(1).count() > 0)
+      // A caller-supplied max degree (or any UPPER BOUND — a subgraph
+      // may pass its parent graph's) turns the probe into driver-side
+      // arithmetic; the fallback is one bounded probe over the
+      // (mat'ed) edge list's degree agg (ns > 1 ⟺ deg > target).
+      target => knownMaxDeg.map(_ > target).getOrElse(
+        deg.filter(col("__deg") > target).limit(1).count() > 0))
   }
 
   /** As [[saltPlan]] but with the hub-existence probe supplied by the
-    * caller: the PageRank loops already persist a contribution frame
-    * carrying each edge's source degree, so `max(deg) > target` over
-    * that CACHE answers the question without a second pass over the
-    * edge list (measured: the default ns-filter probe was re-aggregating
-    * the whole edge list per query — +3-7 s per PageRank-family query at
-    * the sf1 checkpoint, paid even when no hub exists). The probe runs
-    * only outside plan-only mode; `deg` is used to build the fanout
-    * frame when salting does activate. */
+    * caller. The right probe is caller knowledge: the query layer memoizes
+    * max out-degree once per session over its shared edge cache (an
+    * upper bound covers every subgraph and per-relation view), so the
+    * per-query probe is driver-side arithmetic — measured alternatives
+    * all paid a per-query job (the ns-filter probe re-aggregated the
+    * edge list, +3-7 s at sf1; the r9 probe over the persisted
+    * contribution frame re-read the whole edge cache, ~2 s; persisting
+    * the out-degree frame for the probe made the contribution join
+    * WORSE, +2-4 s, because the now-stats-known |V|-row cache planned
+    * as a broadcast). The probe runs only outside plan-only mode; `deg`
+    * is used to build the fanout frame when salting does activate. */
   private def saltPlanFromDeg(deg: DataFrame, degCol: String,
       keys: Seq[String], e: DataFrame,
       probe: Long => Boolean): Option[(DataFrame, DataFrame)] = {
@@ -200,32 +206,34 @@ object DFGraphAlgs {
     * a LINEAR recurrence (each round reads the previous rank once), so
     * the loop remains ONE lazy plan; measured ~2× over the checkpointed
     * inputs at sf0.1, and the shuffle-count argument scales. */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Hub salting (see [[SaltTargetDegConf]]): the contribution join is
     // exchange-free by co-partitioning, but a power-law hub still lands
     // all its out-edges in ONE persisted partition — one task per round.
     // When a hub exceeds the budget, contrib co-partitions on
     // (src, __salt) instead and the rank state fans out to match; the
     // message sum is a decimal aggregate, so results are bit-identical.
-    // The unsalted contrib (which every round needs anyway) persists
-    // FIRST and the hub probe is max(deg) over that cache — the no-hub
-    // common case pays no extra pass; only an actual hub triggers the
-    // salted rebuild.
-    val plain = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src")).persist()
+    // The probe is max(deg) over the persisted OUT-DEGREE frame — one
+    // distinct-source row per vertex, not the edge volume (the r9 probe
+    // over the persisted contribution frame re-read the whole edge
+    // cache per query: ~2 s at the sf1 checkpoint). Both branches then
+    // reuse the cached aggregate in their contribution join, so the
+    // probe's fill is work the main job no longer repeats.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
-      target => maxDegOf(plain) > target)
-    val contrib = salt match {
+      target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+    val contrib = (salt match {
       case Some((_, eS)) =>
-        plain.unpersist(false)
         eS.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"), col("__salt"))
-          .repartition(col("src"), col("__salt")).persist()
-      case None => plain
-    }
+          .repartition(col("src"), col("__salt"))
+      case None =>
+        e.join(outdeg, "src")
+          .select(col("src"), col("dst"), col("deg"))
+          .repartition(col("src"))
+    }).persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .repartition(col("id")).persist()
@@ -250,10 +258,10 @@ object DFGraphAlgs {
     out
   }
 
-  /** Largest `deg` value of a persisted contribution frame (cache-read
-    * probe; empty edge list → no hub). */
-  private def maxDegOf(contrib: DataFrame): Long =
-    Option(contrib.agg(max(col("deg"))).head().get(0))
+  /** Largest `deg` value of a persisted degree frame (cache-read probe;
+    * empty edge list → no hub). */
+  private def maxDegOf(deg: DataFrame): Long =
+    Option(deg.agg(max(col("deg"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** Per-relation ("multi-view") PageRank in ONE BSP job: vertices are
@@ -264,7 +272,8 @@ object DFGraphAlgs {
     * keys do it once, and skew across relations is absorbed by the
     * normal shuffle partitioning of (rel, id).
     * Input: (rel, src, dst). Returns (rel, id, rank). */
-  def pageRankByRel(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankByRel(edges: DataFrame, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("rel"), col("src"), col("dst")))
     val outdeg = e.groupBy(col("rel"), col("src"))
       .agg(count(lit(1)).as("deg"))
@@ -273,20 +282,19 @@ object DFGraphAlgs {
     // whole multi-view edge list per round, which is exactly where the
     // round-2 regression came from.
     // Hub salting on the composite (rel, src) key; probe over the
-    // persisted unsalted contrib — see pageRank.
-    val plain = e.join(outdeg, Seq("rel", "src"))
-      .select(col("rel"), col("src"), col("dst"), col("deg"))
-      .repartition(col("rel"), col("src")).persist()
+    // persisted out-degree frame — see pageRank.
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("rel", "src"), e,
-      target => maxDegOf(plain) > target)
-    val contrib = salt match {
+      target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+    val contrib = (salt match {
       case Some((_, eS)) =>
-        plain.unpersist(false)
         eS.join(outdeg, Seq("rel", "src"))
           .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
-          .repartition(col("rel"), col("src"), col("__salt")).persist()
-      case None => plain
-    }
+          .repartition(col("rel"), col("src"), col("__salt"))
+      case None =>
+        e.join(outdeg, Seq("rel", "src"))
+          .select(col("rel"), col("src"), col("dst"), col("deg"))
+          .repartition(col("rel"), col("src"))
+    }).persist()
     val nodes = e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct()
       .repartition(col("rel"), col("id")).persist()
@@ -329,24 +337,24 @@ object DFGraphAlgs {
     * one job, state proportional to touched mass only, one exchange per
     * round on (seed, id).
     * Input: edges (src, dst), seeds (seed). Returns (seed, id, rank). */
-  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Hub salting for the shuffle path (big seed sets); probe over the
-    // persisted unsalted contrib — see pageRank.
-    val plain = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src")).persist()
+    // persisted out-degree frame — see pageRank.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
-      target => maxDegOf(plain) > target)
-    val contrib = salt match {
+      target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+    val contrib = (salt match {
       case Some((_, eS)) =>
-        plain.unpersist(false)
         eS.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"), col("__salt"))
-          .repartition(col("src"), col("__salt")).persist()
-      case None => plain
-    }
+          .repartition(col("src"), col("__salt"))
+      case None =>
+        e.join(outdeg, "src")
+          .select(col("src"), col("dst"), col("deg"))
+          .repartition(col("src"))
+    }).persist()
     // The restart rows: (seed, seed, 0.15) — tiny, broadcast into every
     // round's re-aggregation via the union (no shuffle contribution).
     val restart = mat(seeds.select(col("seed"), col("seed").as("id"),
@@ -382,14 +390,15 @@ object DFGraphAlgs {
     * With w ≡ 1 this is BFS hop count. Ref bfs.py:91-147.
     * `dist` is read twice per round (relaxation + least-merge), so each
     * round's state is cached — see the iteration-discipline note above. */
-  def shortestPaths(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+  def shortestPaths(edges: DataFrame, source: Long, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst"),
       coalesce(col("w"), lit(1.0)).as("w")))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var dist = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
-    val salt = saltPlan(e)
+    val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     val small = !planOnly(dist) && dist.count() <= bcastLimit(dist)
     for (_ <- 1 to rounds(dist, iters)) {
       val frontier =
@@ -518,14 +527,15 @@ object DFGraphAlgs {
     * early rounds and never nodes×sources — and all sources advance in
     * the same synchronous rounds: one job, no driver loop, no pool.
     * Input: weighted edges (src, dst, w). Returns (s0, id, dist). */
-  def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
+  def multiSourceShortestPaths(edges: DataFrame, sources: Seq[Long], iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = mat(edges.select(col("src"), col("dst"),
       coalesce(col("w"), lit(1.0)).as("w")))
     var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
-    val salt = saltPlan(e)
+    val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     for (_ <- 1 to rounds(dist, iters)) {
       // State grows round over round (up to sources × reached) — re-check
       // the measured size each round before choosing broadcast.
@@ -556,7 +566,8 @@ object DFGraphAlgs {
     * equal-distance rediscovery never replaces the incumbent (strict <),
     * so both engines converge to the identical predecessor forest.
     * Returns (id, dist, pred); pred is null for the source/unreached. */
-  def shortestPathsWithPred(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+  def shortestPathsWithPred(edges: DataFrame, source: Long, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst"),
       coalesce(col("w"), lit(1.0)).as("w")))
     val nodes = e.select(col("src").as("id"))
@@ -564,7 +575,7 @@ object DFGraphAlgs {
     var st = mat(nodes.select(col("id"),
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
       lit(null).cast("long").as("pred")))
-    val salt = saltPlan(e)
+    val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     val small = !planOnly(st) && st.count() <= bcastLimit(st)
     for (_ <- 1 to rounds(st, iters)) {
       // Lexicographic min over (nd, pred) as a struct-min hash aggregate:
@@ -601,12 +612,13 @@ object DFGraphAlgs {
     * `iters` rounds labels are exact for components of diameter <= iters
     * (fixed-round semantics, same discipline as the BFS family — the
     * oracle unrolls the identical recurrence). Returns (id, comp). */
-  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+  def connectedComponents(edges: DataFrame, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var comp = mat(nodes.select(col("id"), col("id").as("comp")))
-    val salt = saltPlan(e)
+    val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     val small = !planOnly(comp) && comp.count() <= bcastLimit(comp)
     for (_ <- 1 to rounds(comp, iters)) {
       val frontier =
@@ -648,11 +660,12 @@ object DFGraphAlgs {
     * it non-reproducible). Isolated-in-round vertices keep their label.
     * Fixed rounds, same BSP discipline as the rest of the family; the
     * oracle unrolls the identical recurrence. Returns (id, lbl). */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+      knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("src"), col("dst")))
     val nodes = e.select(col("src").as("id")).distinct()
     var lbl = mat(nodes.select(col("id"), col("id").as("lbl")))
-    val salt = saltPlan(e)
+    val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     for (_ <- 1 to rounds(lbl, iters)) {
       // argmax by (count desc, label asc) as a struct-max hash aggregate:
       // map-side combinable, no per-vertex sort window.

@@ -50,5 +50,13 @@ object Warm {
       val t0 = System.nanoTime()
       build().count()
       name -> (System.nanoTime() - t0) / 1e9
+    } :+ {
+      // Scalar memo, not a frame: the co-purchase graph's max out-degree
+      // (the BSP hub-probe bound every graph query passes in). Warmed
+      // here so the one aggregate that fills it is charged to shared
+      // warmup, not to whichever graph query runs first.
+      val t0 = System.nanoTime()
+      GraphPack.maxCoDeg(s, d)
+      "graph.maxdeg" -> (System.nanoTime() - t0) / 1e9
     }
 }
