@@ -30,10 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] is driver-as-executor: one JVM holds every persisted
-  // shared intermediate (edge lists, walk corpora, LSH/PQ indexes) plus
-  // all 32 task threads' execution memory. 8g forced the sf1 caches to
-  // spill MEMORY_AND_DISK blocks to disk and every cached-graph query
-  // paid the re-read; the host has 128 GiB for exactly this process.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Measured at the sf1 checkpoint: 8g beats 48g by ~35% on the full
+  // 217-query sweep. The big heap lets MEMORY_AND_DISK caches and BSP
+  // localCheckpoint blocks accumulate un-collected (the ContextCleaner
+  // is GC-driven), so the graph loops hit multi-second old-gen pauses
+  // (graph_pagerank 11.6 → 35.0 s); the small heap keeps GC frequent,
+  // the cleaner live, and overflow on disk where re-reads are cheap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

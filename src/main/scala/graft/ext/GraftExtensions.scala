@@ -70,5 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ceiling (t > 90) gains the same length-scale equi-key — the
     // dispatch's own damping is what makes it sound (see WRatioJoinRule).
     ext.injectOptimizerRule(_ => WRatioJoinRule)
+    // Optimizer rule: thresholded WRatio θ-joins AT OR BELOW the 90
+    // ceiling — the reference's cutoff-60 regime — become an exact
+    // bucket-join ∪ PassJoin-segment-join union when the condition also
+    // carries literal length caps on both operands (see
+    // WRatioCapJoinRule's soundness derivation).
+    ext.injectOptimizerRule(_ => WRatioCapJoinRule)
   }
 }

@@ -340,6 +340,76 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq == topk.toSeq, "theta-join results diverged from the top-k query")
   }
 
+  test("wratio theta-join at t<=90 with length caps becomes the exact two-branch union") {
+    // VERDICT r9 item 3 — the reference's ACTUAL operating regime
+    // (cutoff ≤ 90, fuzzy_search.py:57): with literal length caps on
+    // both operands, WRatioCapJoinRule decomposes the θ-join into the
+    // bucket-near branch ∪ the PassJoin-segment branch (disjoint by the
+    // |Δbucket| > 2 conjunct, deduped by the first-match-rank
+    // predicate) — exact results, no nested loop.
+    val people = Seq(
+      (1L, "ann barton"), (2L, "barton ann"), (3L, "ann barton"),
+      (4L, "golden lace"),
+      (5L, "golden lace chocolate cream spring rose almond"),
+      (6L, "golden lace golden lace chocolate spring almond"),
+      (7L, "wholly unrelated zebra quux"))
+      .toDF("id", "nm")
+    val a = people.select(col("id").as("i"), col("nm").as("na"))
+    val b = people.select(col("id").as("j"), col("nm").as("nb"))
+    def q(t: Double, caps: Boolean) = {
+      // Caps as input filters — the realistic shape: a cap written in
+      // the join condition is single-side, so PushDownPredicates moves
+      // it into the child anyway; the rule harvests it from the child's
+      // Filter node. (ConvertToLocalRelation would fold the filters
+      // into the test fixture before the rule runs — excluded in this
+      // test only; parquet-backed plans keep their Filter nodes.)
+      val (af, bf) =
+        if (caps) (a.filter(length(col("na")) <= lit(64)),
+          b.filter(length(col("nb")) <= lit(64)))
+        else (a, b)
+      af.join(bf, col("i") < col("j") &&
+        call_function("wratio", col("na"), col("nb")) >= lit(t)).select("i", "j")
+    }
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+    val optimized = q(80.0, caps = true).queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__graft_wrbk") && optimized.contains("__graft_wrseg"),
+      s"expected bucket + segment branches in:\n$optimized")
+    val phys = q(80.0, caps = true).queryExecution.sparkPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      s"still a nested-loop join:\n$phys")
+    // Exact multiset agreement with the un-rewritten nested loop — the
+    // first-match dedup must keep each qualifying pair EXACTLY once
+    // (row 6 contains the probe twice and several segments match).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val viaRule = rows(q(80.0, caps = true))
+    spark.conf.set("spark.graft.wratiocapjoin.enabled", "false")
+    val direct = try rows(q(80.0, caps = true))
+    finally spark.conf.unset("spark.graft.wratiocapjoin.enabled")
+    assert(viaRule == direct, s"rewrite changed results:\n$viaRule\nvs\n$direct")
+    assert(viaRule.distinct == viaRule, "duplicate pairs leaked through the dedup")
+    assert(viaRule.contains((1L, 3L)), "identical strings (bucket branch)")
+    assert(viaRule.contains((1L, 2L)), "token-sort anagram scores 95 (bucket branch)")
+    assert(viaRule.contains((4L, 5L)),
+      "short probe inside long name: partial 100 · 0.9 = 90 ≥ 80 (segment branch)")
+    assert(viaRule.contains((4L, 6L)), "double containment still exactly one row")
+    assert(!viaRule.contains((4L, 7L)), "unrelated pair scored out")
+    // Without caps the partial windows are unbounded — the rule must
+    // decline (no branches, plain nested loop) yet results agree.
+    val noCaps = q(80.0, caps = false).queryExecution.optimizedPlan.toString
+    assert(!noCaps.contains("__graft_wrseg") && !noCaps.contains("__graft_wrbk"),
+      s"capless join must not be rewritten at t ≤ 90:\n$noCaps")
+    assert(rows(q(80.0, caps = false)) == viaRule)
+    // Below the firing floor (t ≤ 45) the segments degenerate — decline.
+    val low = q(42.0, caps = true).queryExecution.optimizedPlan.toString
+    assert(!low.contains("__graft_wrseg"),
+      s"t below the floor must decline:\n$low")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("strict < and = comparisons rewrite without changing results") {
     val base = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
