@@ -186,6 +186,36 @@ object SearchPack {
     // names across replicas differ by one digit). The 12x sf0.1->sf1
     // wall-clock ratio in BENCH_SF1 is that candidate growth, not a
     // super-linear plan.
+    // The t ≤ 90 WRatio θ-join — the reference's ACTUAL fuzzy regime
+    // (fuzzy_search.py:57 at cutoff 60 ≤ 90, where partial windows lift
+    // a SHORT query over the threshold against a longer text). The
+    // query spells the natural θ-join of interior 12-grams (probes)
+    // against the short-document corpus; the length bounds on both
+    // sides are what let graft.ext.WRatioCapJoinRule decompose it into
+    // the exact bucket-join ∪ PassJoin-segment-join union instead of a
+    // nested loop. Every hit rides a partial leg (probe 12 chars vs
+    // texts ≥ 19 — bucket-far), so the segment branch does the work:
+    // with a fixed probe length the static substring-length set
+    // collapses to ONE length, and the lo-side fanout is ~2·(len−5)
+    // tagged 6-grams per row — linear in corpus size, candidates only
+    // where a 6-gram of a probe half (raw or token-sorted) occurs
+    // verbatim. The ≥ 19 floor prunes the reverse direction at rule
+    // time (19 > 2·12/3).
+    "search_wratio_autojoin" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 19 && length(col("text")) <= 64)
+      val probes = docs
+        .select(col("doc_id").as("pid"), substring(col("text"), 8, 12).as("q"))
+        .filter(length(col("q")) >= 12 && length(col("q")) <= 12)
+      probes.join(docs,
+          call_function("wratio", col("q"), col("text")) >= lit(85.0))
+        .select(col("pid"), col("doc_id"),
+          round(call_function("wratio", col("q"), col("text")), 6).as("score"))
+        .orderBy(col("pid"), col("doc_id"))
+        .limit(5000)
+    }),
+
     "search_lev_autojoin" -> ((s, d) => {
       val names = Tables.customer(s, d)
         .select(col("c_custkey"), norm(col("c_name")).as("nm"))
@@ -264,6 +294,49 @@ object SearchPack {
     // complete candidate set and the bounded-DP filter makes it exact.
     // Proven identical to the all-pairs θ-join at sf0.01; unlike it,
     // feasible at sf1 (35 s vs ~1.1e10 levenshtein calls).
+    // The twin replays the rule's candidate DECOMPOSITION, not its
+    // exact plumbing: near-length band (covers the full/token-sort
+    // legs, factor 1.2 ⊇ the sound 100/85) ∪ segment equi-join (the
+    // PassJoin pigeonhole: a partial-leg hit shares a 6-gram of one of
+    // the probe's two even halves, raw or token-sorted), then the
+    // EXACT wratio verify on the distinct candidates. Engines may
+    // generate different candidate supersets — the verify makes any
+    // sound superset produce the same rows. p = least(floor(12·c)+2,
+    // 12) = 2 with c = max(1−85/90, 1−85/85.5), so the probe's
+    // segments are exactly substr(q,1,6) and substr(q,7,6).
+    "search_wratio_autojoin" -> {
+      val ts = (e: String) => tokenSortSql(e)
+      s"""WITH dts AS (SELECT doc_id, text FROM documents
+         |  WHERE length(text) BETWEEN 19 AND 64),
+         |prf AS (SELECT doc_id AS pid, substr(text, 8, 12) AS q
+         |  FROM dts WHERE length(substr(text, 8, 12)) = 12),
+         |prt AS (SELECT pid, q, ${ts("q")} AS qts FROM prf),
+         |dtt AS (SELECT doc_id, text, ${ts("text")} AS txts FROM dts),
+         |pseg AS (
+         |  SELECT pid, seg FROM (
+         |    SELECT pid, substr(q, 1, 6) AS seg FROM prt
+         |    UNION ALL SELECT pid, substr(q, 7, 6) FROM prt
+         |    UNION ALL SELECT pid, substr(qts, 1, 6) FROM prt
+         |    UNION ALL SELECT pid, substr(qts, 7, 6) FROM prt)),
+         |psub AS (
+         |  SELECT doc_id, substr(s, CAST(i AS INT), 6) AS seg
+         |  FROM (SELECT doc_id, text AS s FROM dtt
+         |        UNION ALL SELECT doc_id, txts FROM dtt) w,
+         |       LATERAL unnest(range(1, greatest(length(s) - 5, 0) + 1)) AS t(i)),
+         |cseg AS (SELECT DISTINCT pid, doc_id FROM pseg JOIN psub USING (seg)),
+         |cband AS (
+         |  SELECT pid, doc_id FROM prf, dts
+         |  WHERE length(text) * 10 <= length(q) * 12
+         |    AND length(q) * 10 <= length(text) * 12),
+         |cand AS (SELECT pid, doc_id FROM cseg
+         |         UNION SELECT pid, doc_id FROM cband)
+         |SELECT c.pid, c.doc_id, round(${wratioSql("f.q", "p.text")}, 6) AS score
+         |FROM cand c JOIN prf f ON c.pid = f.pid
+         |  JOIN dts p ON c.doc_id = p.doc_id
+         |WHERE ${wratioSql("f.q", "p.text")} >= 85.0
+         |ORDER BY c.pid, c.doc_id LIMIT 5000""".stripMargin
+    },
+
     "search_lev_autojoin" ->
       s"""WITH names AS (SELECT c_custkey AS id, ${normSql("c_name")} AS nm
          |  FROM customer),

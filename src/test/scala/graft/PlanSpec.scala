@@ -184,6 +184,16 @@ class PlanSpec extends SparkSpec {
     val p4 = planOf(graft.ops.SearchPack.queries("search_lev_autojoin")(spark, sf()))
     assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
       "the edit-distance theta-join must be rewritten to an equi-join")
+    // The capped WRatio theta-join at t ≤ 90: WRatioCapJoinRule's
+    // two-branch union (bucket key + tagged segment key), no nested
+    // loop anywhere in the plan.
+    val q5 = graft.ops.SearchPack.queries("search_wratio_autojoin")(spark, sf())
+    val o5 = q5.queryExecution.optimizedPlan.toString
+    assert(o5.contains("__graft_wrbk") && o5.contains("__graft_wrseg"),
+      s"capped wratio theta-join must take the two-branch rewrite:\n$o5")
+    val p5 = planOf(q5)
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"),
+      "the capped wratio theta-join must be rewritten to equi-joins")
   }
 
   test("clustering coefficient and merge-upsert plan equi-joins only") {
