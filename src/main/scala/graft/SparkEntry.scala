@@ -31,10 +31,12 @@ object SparkEntry {
       StreamingPack.oracle ++ MultimodalPack.oracle ++ SourcesPack.oracle ++
       EtlPack.oracle
 
-  /** [[oracleSql]] with the sf-scaled EtlPack entries keyed EXPLICITLY on
-    * `dir`'s scale — the form Verify dumps, so the emitted landing-volume
-    * SQL always describes the dir the queries just ran against, never the
-    * last-writer-wins scale of some interleaved invocation. */
+  /** [[oracleSql]] with the dir-keyed entries made EXPLICIT — the form
+    * Verify dumps, so the emitted SQL always describes the dir the
+    * queries just ran against (EtlPack: the sf-scaled landing volume;
+    * SourcesPack: the scratch files the layout queries wrote), never
+    * the last-writer-wins scale of some interleaved invocation. */
   def oracleSqlFor(dir: String): Map[String, String] =
-    oracleSql ++ EtlPack.oracleFor(EtlPack.scaleFor(dir))
+    oracleSql ++ EtlPack.oracleFor(EtlPack.scaleFor(dir)) ++
+      SourcesPack.oracleFor(dir)
 }

@@ -33,6 +33,38 @@ object SourcesPack {
   private def scratch(d: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_sources/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
+  /** Per-row-group (file, rg, rows, min/max of ck and pc) read from the
+    * REAL parquet footers of `dir` — the statistics a reader's
+    * row-group pruning actually consults. Bounded driver-side metadata
+    * pass (64 layout files here); at 100 TB these stats come from the
+    * table-format manifest or a distributed listing, never a data scan. */
+  private def footerZones(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val rows = files.flatMap { f =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (blk, i) =>
+          def mm(name: String): (Long, Long) = {
+            val st = blk.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue())
+          }
+          val (n1, x1) = mm("ck"); val (n2, x2) = mm("pc")
+          (f.getName, i, blk.getRowCount, n1, x1, n2, x2)
+        }
+      } finally rd.close()
+    }
+    import s.implicits._
+    rows.toSeq.toDF("file", "rg", "n", "min_ck", "max_ck", "min_pc", "max_pc")
+  }
+
   val queries: Map[String, Q] = Map(
     // S6+S7 — JSON sink then scan+flatten: nation rows nested into the
     // SPARQL-binding shape, written as JSON lines, schema-inferred back,
@@ -250,6 +282,66 @@ object SourcesPack {
             / col("total_rows"), 6).as("skip_ratio_s"))
     }),
 
+    // Z-ORDER on REAL parquet footers (the physical form of the two
+    // zone-map audits above): write orders twice under the same
+    // 64-partition budget — z-clustered (repartitionByRange on the
+    // Morton value → sortWithinPartitions → parquet) and single-key
+    // sorted — then score a rectangle predicate against the ACTUAL
+    // row-group min/max statistics read from the files' footers. A row
+    // group is scanned iff its stats box intersects the rectangle —
+    // exactly the decision a parquet reader (or a lakehouse manifest
+    // pruner) makes; the simulated zone-map table above is now
+    // cross-checked by the physical layout. The footer read is a
+    // bounded DRIVER-side metadata pass over 64 files (at 100 TB the
+    // same min/max live in the table-format manifest, or are collected
+    // by a distributed listing — never by scanning data). The oracle
+    // reads the SAME files through DuckDB's parquet_metadata() — an
+    // independent parquet-footer implementation — so a hash match
+    // means both engines agree on what the physical layout can skip.
+    "src_zorder_footer" -> ((s, d) => {
+      val base = scratch(d, "zorder_phys")
+      val o = Tables.orders(s, d).select(col("o_custkey").cast("long").as("ck"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+      val st = o.agg(min(col("ck")).as("mn1"), max(col("ck")).as("mx1"),
+        min(col("pc")).as("mn2"), max(col("pc")).as("mx2"))
+      val b = o.crossJoin(broadcast(st))
+        .select(col("ck"), col("pc"),
+          graft.api.Layout.rangeBucket(col("ck"), col("mn1"), col("mx1"), 256).as("b1"),
+          graft.api.Layout.rangeBucket(col("pc"), col("mn2"), col("mx2"), 256).as("b2"))
+      b.select(col("ck"), col("pc"),
+          graft.api.Layout.zValue(col("b1"), col("b2")).as("zv"))
+        .repartitionByRange(64, col("zv")).sortWithinPartitions(col("zv"))
+        .select(col("ck"), col("pc"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/z")
+      b.select(col("ck"), col("pc"))
+        .repartitionByRange(64, col("ck")).sortWithinPartitions(col("ck"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/s")
+      // The query rectangle: middle quarter of ck × middle quarter of pc,
+      // integer-derived from the global min/max (oracle replays it from
+      // the base table).
+      val sr = st.head()
+      val (mn1, mx1, mn2, mx2) = (sr.getLong(0), sr.getLong(1), sr.getLong(2), sr.getLong(3))
+      val (lo1, hi1) = (mn1 + (mx1 - mn1) / 4, mn1 + (mx1 - mn1) / 2)
+      val (lo2, hi2) = (mn2 + (mx2 - mn2) / 4, mn2 + (mx2 - mn2) / 2)
+      def hit(zones: DataFrame, tag: String): DataFrame = zones
+        .filter(col("max_ck") >= lo1 && col("min_ck") <= hi1 &&
+          col("max_pc") >= lo2 && col("min_pc") <= hi2)
+        .agg(count(lit(1)).as(s"rg_hit_$tag"), sum(col("n")).as(s"rows_scanned_$tag"))
+      val hz = hit(footerZones(s, s"$base/z"), "z")
+      val hs = hit(footerZones(s, s"$base/s"), "s")
+      val tot = o.agg(count(lit(1)).as("total_rows"),
+        sum((col("ck").between(lo1, hi1) && col("pc").between(lo2, hi2))
+          .cast("long")).as("rows_matched"))
+      hz.crossJoin(broadcast(hs)).crossJoin(broadcast(tot))
+        .select(col("rg_hit_z"), col("rows_scanned_z"),
+          col("rg_hit_s"), col("rows_scanned_s"),
+          col("rows_matched"), col("total_rows"),
+          round(lit(1.0) - col("rows_scanned_z").cast("double")
+            / col("total_rows"), 6).as("skip_ratio_z"),
+          round(lit(1.0) - col("rows_scanned_s").cast("double")
+            / col("total_rows"), 6).as("skip_ratio_s"))
+    }),
+
     // Hive-style partitioned layout + DYNAMIC partition pruning: the
     // fact table is laid out partitioned by the dimension attribute it
     // is joined on (customer nation), and a REGION filter on the
@@ -434,4 +526,57 @@ object SourcesPack {
          |    - CAST(rows_scanned_s AS DOUBLE) / total_rows, 6) AS skip_ratio_s
          |FROM hz, hs, t""".stripMargin
   )
+
+  /** Oracles that must name the run's SCRATCH files — a pure function
+    * of the data dir (no mutable scale global; Verify dumps
+    * oracleSqlFor(dir) so the SQL always points at the files the
+    * queries just wrote). src_zorder_footer's twin reads the SAME
+    * physical parquet through DuckDB's parquet_metadata() — an
+    * independent footer implementation — and replays the rectangle
+    * from the base table's min/max with integer arithmetic. */
+  def oracleFor(d: String): Map[String, String] = {
+    val base = scratch(d, "zorder_phys")
+    def zones(sub: String, a: String) =
+      s"""$a AS (SELECT file_name, row_group_id,
+         |    MAX(row_group_num_rows) AS n,
+         |    MAX(CASE WHEN path_in_schema = 'ck'
+         |      THEN CAST(stats_min_value AS BIGINT) END) AS min_ck,
+         |    MAX(CASE WHEN path_in_schema = 'ck'
+         |      THEN CAST(stats_max_value AS BIGINT) END) AS max_ck,
+         |    MAX(CASE WHEN path_in_schema = 'pc'
+         |      THEN CAST(stats_min_value AS BIGINT) END) AS min_pc,
+         |    MAX(CASE WHEN path_in_schema = 'pc'
+         |      THEN CAST(stats_max_value AS BIGINT) END) AS max_pc
+         |  FROM parquet_metadata('$base/$sub/*.parquet') GROUP BY 1, 2)""".stripMargin
+    Map("src_zorder_footer" ->
+      s"""WITH ${zones("z", "zm")},
+         |${zones("s", "sm")},
+         |o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc FROM orders),
+         |st AS (SELECT MIN(ck) AS mn1, MAX(ck) AS mx1,
+         |    MIN(pc) AS mn2, MAX(pc) AS mx2 FROM o),
+         |rect AS (SELECT mn1 + (mx1 - mn1) // 4 AS lo1,
+         |    mn1 + (mx1 - mn1) // 2 AS hi1,
+         |    mn2 + (mx2 - mn2) // 4 AS lo2,
+         |    mn2 + (mx2 - mn2) // 2 AS hi2 FROM st),
+         |hz AS (SELECT CAST(COUNT(*) AS BIGINT) AS rg_hit_z,
+         |    CAST(SUM(n) AS BIGINT) AS rows_scanned_z FROM zm, rect
+         |  WHERE max_ck >= lo1 AND min_ck <= hi1
+         |    AND max_pc >= lo2 AND min_pc <= hi2),
+         |hs AS (SELECT CAST(COUNT(*) AS BIGINT) AS rg_hit_s,
+         |    CAST(SUM(n) AS BIGINT) AS rows_scanned_s FROM sm, rect
+         |  WHERE max_ck >= lo1 AND min_ck <= hi1
+         |    AND max_pc >= lo2 AND min_pc <= hi2),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         |    CAST(SUM(CASE WHEN ck BETWEEN lo1 AND hi1
+         |      AND pc BETWEEN lo2 AND hi2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS rows_matched FROM o, rect)
+         |SELECT rg_hit_z, rows_scanned_z, rg_hit_s, rows_scanned_s,
+         |  rows_matched, total_rows,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - CAST(rows_scanned_z AS DOUBLE) / total_rows, 6) AS skip_ratio_z,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - CAST(rows_scanned_s AS DOUBLE) / total_rows, 6) AS skip_ratio_s
+         |FROM hz, hs, t""".stripMargin)
+  }
 }
