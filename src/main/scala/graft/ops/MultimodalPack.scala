@@ -106,6 +106,39 @@ object MultimodalPack {
         .orderBy(col("format"))
     }),
 
+    // AUDIO SPECTRAL features through the REAL codec (r9 verdict
+    // stretch #8 — a feature family the image path doesn't share):
+    // each document synthesizes a deterministic mono PCM clip
+    // (s_i = (L·31 + i·7) mod 65536 − 32768, L = text length, one
+    // sample per char capped at 400), round-trips it through
+    // WavCodec.encode → decode, and computes zero-crossing count +
+    // per-10ms-block energy (max and total) from the DECODED samples —
+    // integer arithmetic end to end. The oracle replays the sample
+    // GENERATOR in SQL, so a green row proves the codec round-trip is
+    // bit-exact AND the spectral arithmetic agrees across engines.
+    // Per-row bounded work on the typed path; distributes with the scan.
+    "mm_audio_spectral" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.{WavCodec, WavMediaDecoder}
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .filter(r => r._2 != null && r._2.length >= 2)
+        .map { case (id, text) =>
+          val L = text.length
+          val n = math.min(L, 400)
+          val wav = WavCodec.encode(16000, 1,
+            Array.tabulate(n)(i => ((L * 31 + i * 7) % 65536 - 32768).toShort))
+          val (_, _, samples) = WavCodec.decode(wav)
+          val (zc, maxBlk, tot) = WavMediaDecoder.spectral(samples, 1)
+          (id, samples.length, zc, tot, maxBlk)
+        }
+        .toDF("doc_id", "n_samples", "zero_crossings", "total_energy",
+          "max_block_energy")
+        .withColumn("mean_energy",
+          round(col("total_energy").cast("double") / col("n_samples"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling through the QUERY layer: every SampleEvery-th
     // FrameBytes-sized slice of the payload as its own row, with offset,
     // length, and content digest — the listing a downstream captioning /
@@ -194,6 +227,31 @@ object MultimodalPack {
         |    WHEN 2 THEN 'wav' ELSE 'stub' END AS format,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
+
+    // Replays the sample GENERATOR (the Spark side recomputes the same
+    // numbers from codec-decoded bytes — the round-trip is the check).
+    "mm_audio_spectral" ->
+      """WITH m AS (SELECT doc_id, length(text) AS L,
+        |    CAST(least(length(text), 400) AS INT) AS n
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 2),
+        |sm AS (SELECT doc_id, n,
+        |    list_transform(range(0, n), i -> (L * 31 + i * 7) % 65536 - 32768) AS s
+        |  FROM m),
+        |f AS (SELECT doc_id, n,
+        |    CAST(list_sum(list_transform(range(1, n), i ->
+        |      CASE WHEN (s[i] < 0) != (s[i + 1] < 0) THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS zero_crossings,
+        |    CAST(list_sum(list_transform(s, v -> CAST(v AS BIGINT) * v))
+        |      AS BIGINT) AS total_energy,
+        |    CAST(list_max(list_transform(range(0, (n + 159) // 160), b ->
+        |      list_sum(list_transform(list_slice(s, b * 160 + 1,
+        |        least((b + 1) * 160, n)), v -> CAST(v AS BIGINT) * v))))
+        |      AS BIGINT) AS max_block_energy
+        |  FROM sm)
+        |SELECT doc_id, n AS n_samples, zero_crossings, total_energy,
+        |  max_block_energy,
+        |  round(CAST(total_energy AS DOUBLE) / n, 6) AS mean_energy
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, text,
