@@ -809,22 +809,39 @@ object MLPack {
     // structure on a synthetic matrix); everything DETERMINISTIC feeding
     // the solves is hash-checked by the ml_als_matrix companion below.
     "ml_als_recommend" -> ((s, d) => {
-      val ratings = Tables.orders(s, d)
+      val cells = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").cast("int").as("user"),
-          col("l_suppkey").cast("int").as("item"))
+        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .agg(count(lit(1)).cast("float").as("rating"))
+      // MLlib ALS block-partitions on INT ids — entity keys at fixture
+      // scale-ups (replica stride 10^8) overflow Int (caught LIVE by
+      // the sf10 checkpoint: CAST_OVERFLOW at key 2.2e9). Remap both
+      // sides through the two-phase dense index (Sampling.denseIndex —
+      // per-bucket row_number + broadcast offsets, no global sort task
+      // at any key scale; the same J5 dictionary shape the reference's
+      // id→index join uses), fit on the dense ids, and map the
+      // recommendations back to the original keys.
+      val ud = graft.api.Sampling.denseIndex(
+        cells.select(col("cust").as("k")), "k")
+        .select(col("k").as("cust"), col("__bidx").cast("int").as("user"))
+      val id = graft.api.Sampling.denseIndex(
+        cells.select(col("supp").as("k")), "k")
+        .select(col("k").as("supp"), col("__bidx").cast("int").as("item"))
+      val ratings = cells.join(ud, "cust").join(id, "supp")
+        .select(col("user"), col("item"), col("rating"))
       val model = new ALS()
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
         .setRank(8).setMaxIter(5).setRegParam(0.1)
         .setImplicitPrefs(true).setSeed(42L)
         .setColdStartStrategy("drop")
         .fit(ratings)
-      val users = ratings.select(col("user")).filter(col("user") <= 20).distinct()
+      val users = ud.filter(col("cust") <= 20).select(col("user")).distinct()
       model.recommendForUserSubset(users, 5)
         .select(col("user"), explode(col("recommendations")).as("rec"))
         .select(col("user"), col("rec.item").as("item"),
           round(col("rec.rating"), 4).as("score"))
+        .join(ud, "user").join(id, "item")
+        .select(col("cust").as("user"), col("supp").as("item"), col("score"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("user")).orderBy(col("score").desc, col("item").asc)))
         .orderBy(col("user"), col("rn"))
@@ -843,10 +860,13 @@ object MLPack {
     // solver sees; ml_als_recommend itself stays rows-checked with its
     // planted-block quality pin in MLSpec.
     "ml_als_matrix" -> ((s, d) => {
+      // LONG keys: the matrix summary never feeds MLlib, so it keeps
+      // the raw key space (the solver-facing query dense-indexes; int
+      // casts here overflowed at the sf10 checkpoint's key stride).
       val ratings = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").cast("int").as("user"),
-          col("l_suppkey").cast("int").as("item"))
+        .groupBy(col("o_custkey").cast("long").as("user"),
+          col("l_suppkey").cast("long").as("item"))
         .agg(count(lit(1)).cast("float").as("rating"))
       ratings
         .groupBy((col("user") % 16).as("bucket"))
@@ -991,8 +1011,8 @@ object MLPack {
   val oracle: Map[String, String] = Map(
     "ml_als_matrix" ->
       """WITH r AS (
-        |  SELECT CAST(o_custkey AS INTEGER) AS u,
-        |         CAST(l_suppkey AS INTEGER) AS i,
+        |  SELECT CAST(o_custkey AS BIGINT) AS u,
+        |         CAST(l_suppkey AS BIGINT) AS i,
         |         COUNT(*) AS c
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2)

@@ -14,13 +14,17 @@ import graft.tables.Tables
   *   key), so joins/graphs gain 10× rows without cross-replica edges.
   * - `region`/`nation` are fixed-size dimensions in TPC-H and stay as-is
   *   (replica customers reference the same nations — FKs hold).
-  * - `documents.text` passes through a PER-REPLICA character bijection
-  *   (translate over a 10-letter alphabet rotated by the replica id;
-  *   replica 0 is identity). Within a replica the bijection preserves
-  *   every duplicate/near-duplicate relationship exactly; across
-  *   replicas it rewrites most shingles, so the dedup workload scales
-  *   ~linearly instead of creating 10²× phantom cross-replica dup pairs
-  *   no real corpus would have.
+  * - `documents.text` passes through a PER-REPLICA character bijection:
+  *   an AFFINE permutation of a-z (letter l → a·l + b mod 26, a coprime
+  *   to 26, (a, b) indexed by the replica id; replica 0 is the
+  *   identity). Within a replica the bijection preserves every
+  *   duplicate/near-duplicate relationship exactly; across replicas it
+  *   rewrites most shingles, so the dedup workload scales ~linearly
+  *   instead of creating quadratic phantom cross-replica dup pairs no
+  *   real corpus would have. Affine over 26 letters gives 312 DISTINCT
+  *   maps — the round-10 sf10 checkpoint caught the old 10-letter
+  *   ROTATION colliding at replica 10 (every doc had ~10 exact twins:
+  *   dup pairs ×990 for ×10 data, dedup_cluster_canonical 23.6×).
   * - `customer.c_name`/`supplier.s_name` are REGENERATED from the offset
   *   key (`Customer#%09d` of the new key) so names stay bijective with
   *   keys, as in the source fixture. Leaving them verbatim would give
@@ -29,10 +33,14 @@ import graft.tables.Tables
   *   that benchmarks the fixture artifact, not the plan); with the
   *   rewrite, cross-replica names differ in the leading replica digit —
   *   a constant 45 extra distance-1 pairs per base key, linear in n.
-  * - `embeddings.embedding` is cyclically shifted by `replica × 7`
-  *   positions: a coordinate permutation preserves all within-replica
-  *   cosines (ANN index structure scales honestly) while cross-replica
-  *   cosines decorrelate, so near-dup pair counts stay ~linear.
+  * - `embeddings.embedding` passes through a SIGNED cyclic shift
+  *   (coordinates rotated by replica × 7, then sign-flipped per
+  *   (replica, coordinate) hash bit; replica 0 is the identity): a
+  *   signed permutation is orthogonal, so all within-replica cosines
+  *   are preserved (ANN index structure scales honestly) while
+  *   cross-replica cosines decorrelate. The sign layer exists because
+  *   a bare shift mod dim=64 collides at replica 64 (same fixture-
+  *   artifact class as the text-rotation collision).
   * - `events.ts` passes through in the source fixture's own encoding
   *   (currently naive TIMESTAMP(MICROS); consumers adapt via
   *   OpsUtil.tsMicros) — the 10× user population over the same time
@@ -63,13 +71,22 @@ object ScaleUp {
     def off(c: String): org.apache.spark.sql.Column =
       (col(c) + col("__r") * Stride).as(c)
 
-    // Per-replica text bijection: rotate a 10-letter alphabet by __r.
-    val alpha = "aeiousrtln"
-    val rotations = (0 until replicas)
-      .map(r => alpha.drop(r % alpha.length) + alpha.take(r % alpha.length))
-    def rotated = rotations.zipWithIndex.foldLeft(lit(null: String)) {
-      case (acc, (rot, r)) => when(col("__r") === r,
-        translate(col("text"), alpha, rot)).otherwise(acc)
+    // Per-replica text bijection: affine permutation of a-z
+    // (l -> a*l + b mod 26), (a, b) indexed by replica — 12 coprime
+    // multipliers x 26 offsets = 312 distinct maps; replica 0 = (1, 0)
+    // = identity. A plain rotation has only |alphabet| distinct maps
+    // and collides at replica 10 (measured: dup pairs x990 for x10).
+    val alpha = ('a' to 'z').mkString
+    val copr = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(replicas <= copr.length * 26,
+      s"affine text bijection supports up to ${copr.length * 26} replicas")
+    val perms = (0 until replicas).map { r =>
+      val a = copr((r / 26) % copr.length); val b = r % 26
+      (0 until 26).map(l => ('a' + (a * l + b) % 26).toChar).mkString
+    }
+    def rotated = perms.zipWithIndex.foldLeft(lit(null: String)) {
+      case (acc, (pm, r)) => when(col("__r") === r,
+        translate(col("text"), alpha, pm)).otherwise(acc)
     }
 
     def write(name: String, df: DataFrame): Unit = {
@@ -127,12 +144,22 @@ object ScaleUp {
       col("n_chars")))
     write("embeddings", rep(Tables.embeddings(spark, src))
       .withColumn("__shift", pmod(col("__r") * 7, size(col("embedding"))))
+      .withColumn("__rot", concat(
+        slice(col("embedding"), col("__shift") + 1,
+          size(col("embedding")) - col("__shift")),
+        slice(col("embedding"), lit(1), col("__shift"))))
       .select(
         off("vec_id"),
-        concat(
-          slice(col("embedding"), col("__shift") + 1,
-            size(col("embedding")) - col("__shift")),
-          slice(col("embedding"), lit(1), col("__shift"))).as("embedding"),
+        // Signed permutation (orthogonal => cosine-preserving): flip
+        // coordinate j's sign by a (replica, j) hash bit; replica 0
+        // stays the identity. Without signs the shift collides mod
+        // dim=64 and replicas r and r+64 become exact twins.
+        when(col("__r") === 0, col("__rot")).otherwise(
+          zip_with(col("__rot"),
+            transform(sequence(lit(0), size(col("__rot")) - 1),
+              j => lit(1.0f) - lit(2.0f) * pmod(hash(col("__r"), j), lit(2))
+                .cast("float")),
+            (v, sg) => v * sg)).as("embedding"),
         col("label")))
     spark.stop()
   }

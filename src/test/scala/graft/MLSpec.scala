@@ -54,7 +54,9 @@ class MLSpec extends SparkSpec {
   test("ml_als_recommend: fixture query returns ranked per-user recs") {
     val rows = MLPack.queries("ml_als_recommend")(spark, sf()).collect()
     assert(rows.nonEmpty)
-    val byUser = rows.groupBy(_.getInt(0))
+    // user/item are the ORIGINAL long keys since the dense-index remap
+    // (ALS fits on int indices internally; output maps back).
+    val byUser = rows.groupBy(_.getLong(0))
     byUser.foreach { case (_, rs) =>
       val ranks = rs.map(_.getAs[Int]("rn")).sorted.toSeq
       assert(ranks == (1 to rs.length), "per-user ranks must be dense 1..k")

@@ -31,7 +31,7 @@ object Probe {
     val pairs = time("relpairs") {
       orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
         .select(col("l_returnflag").as("rel"), col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000000L).as("p"))
+          (col("l_suppkey") + (1L << 40)).as("p"))
         .distinct().localCheckpoint(true)
     }
     System.err.println(s"[probe] relpairs rows=${pairs.count()} parts=${pairs.rdd.getNumPartitions}")

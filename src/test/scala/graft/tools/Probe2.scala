@@ -29,7 +29,7 @@ object Probe2 {
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val cs = time("pairs") {
       orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + (1L << 40)).as("p"))
         .distinct().localCheckpoint(true)
     }
     val edges = time("edges") {

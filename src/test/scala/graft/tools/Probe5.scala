@@ -35,7 +35,7 @@ object Probe5 {
     def relEdges(): DataFrame = {
       val cs = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
         .select(col("l_returnflag").as("rel"), col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000000L).as("p"))
+          (col("l_suppkey") + (1L << 40)).as("p"))
         .distinct()
       cs.select(col("rel"), col("c").as("src"), col("p").as("dst"))
         .union(cs.select(col("rel"), col("p").as("src"), col("c").as("dst")))
