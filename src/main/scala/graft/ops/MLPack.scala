@@ -815,20 +815,32 @@ object MLPack {
         .agg(count(lit(1)).cast("float").as("rating"))
       // MLlib ALS block-partitions on INT ids — entity keys at fixture
       // scale-ups (replica stride 10^8) overflow Int (caught LIVE by
-      // the sf10 checkpoint: CAST_OVERFLOW at key 2.2e9). Remap both
-      // sides through the two-phase dense index (Sampling.denseIndex —
-      // per-bucket row_number + broadcast offsets, no global sort task
-      // at any key scale; the same J5 dictionary shape the reference's
-      // id→index join uses), fit on the dense ids, and map the
-      // recommendations back to the original keys.
-      val ud = graft.api.Sampling.denseIndex(
-        cells.select(col("cust").as("k")), "k")
-        .select(col("k").as("cust"), col("__bidx").cast("int").as("user"))
-      val id = graft.api.Sampling.denseIndex(
-        cells.select(col("supp").as("k")), "k")
-        .select(col("k").as("supp"), col("__bidx").cast("int").as("item"))
-      val ratings = cells.join(ud, "cust").join(id, "supp")
-        .select(col("user"), col("item"), col("rating"))
+      // the sf10 checkpoint: CAST_OVERFLOW at key 2.2e9). ADAPTIVE
+      // remap: one bounds probe over the rating cells; keys inside Int
+      // range keep the zero-cost direct cast (the dictionary joins
+      // measured +8.8 s at sf1 when applied unconditionally), wider
+      // keys route through the two-phase dense index
+      // (Sampling.denseIndex — per-bucket row_number + broadcast
+      // offsets, no global sort task at any key scale; the J5
+      // dictionary shape) and the recommendations map back.
+      val mx = cells.agg(max(col("cust").cast("long")),
+        max(col("supp").cast("long"))).head()
+      val direct = mx.isNullAt(0) ||
+        (mx.getLong(0) <= Int.MaxValue && mx.getLong(1) <= Int.MaxValue)
+      val (ud, id) =
+        if (direct)
+          (cells.select(col("cust"), col("cust").cast("int").as("user")).distinct(),
+            cells.select(col("supp"), col("supp").cast("int").as("item")).distinct())
+        else
+          (graft.api.Sampling.denseIndex(cells.select(col("cust").as("k")), "k")
+            .select(col("k").as("cust"), col("__bidx").cast("int").as("user")),
+            graft.api.Sampling.denseIndex(cells.select(col("supp").as("k")), "k")
+              .select(col("k").as("supp"), col("__bidx").cast("int").as("item")))
+      val ratings =
+        if (direct) cells.select(col("cust").cast("int").as("user"),
+          col("supp").cast("int").as("item"), col("rating"))
+        else cells.join(ud, "cust").join(id, "supp")
+          .select(col("user"), col("item"), col("rating"))
       val model = new ALS()
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
         .setRank(8).setMaxIter(5).setRegParam(0.1)
@@ -836,12 +848,18 @@ object MLPack {
         .setColdStartStrategy("drop")
         .fit(ratings)
       val users = ud.filter(col("cust") <= 20).select(col("user")).distinct()
-      model.recommendForUserSubset(users, 5)
+      val recs = model.recommendForUserSubset(users, 5)
         .select(col("user"), explode(col("recommendations")).as("rec"))
         .select(col("user"), col("rec.item").as("item"),
           round(col("rec.rating"), 4).as("score"))
-        .join(ud, "user").join(id, "item")
-        .select(col("cust").as("user"), col("supp").as("item"), col("score"))
+      // Direct ids ARE the keys — no back-map join needed there.
+      val mapped =
+        if (direct) recs.select(col("user").cast("long").as("user"),
+          col("item").cast("long").as("item"), col("score"))
+        else recs.join(ud, "user").join(id, "item")
+          .select(col("cust").cast("long").as("user"),
+            col("supp").cast("long").as("item"), col("score"))
+      mapped
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("user")).orderBy(col("score").desc, col("item").asc)))
         .orderBy(col("user"), col("rn"))
