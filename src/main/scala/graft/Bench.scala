@@ -122,22 +122,27 @@ object Bench {
     }
     val loadAfter = loadAvg()
     // SKEW ENFORCEMENT (not just recording): a query whose two BEST
-    // successful times disagree by >3x has only one trustworthy sample —
-    // min-of-2 still reports the good pass, but the artifact can't prove
-    // it wasn't the fluke. When more than SPARK_GRAFT_SKEW_MAX queries
-    // are in that state, the host was noisy during the run; re-gate on
-    // load and give JUST those queries bounded repair passes. A repair
-    // sample near the existing min confirms it (two agreeing samples →
-    // resolved); if the budget runs out with the count still over the
-    // bound, the artifact is marked valid:false instead of shipping a
-    // number that needs a footnote (r9 lesson: BENCH_r09 recorded skew
-    // 49 and misread as a 22% regression the clean sf1 artifact
-    // disproved).
+    // successful times disagree by >3x AND by >0.5 s has only one
+    // trustworthy sample — min-of-2 still reports the good pass, but the
+    // artifact can't prove it wasn't the fluke. (The absolute floor
+    // keeps sub-half-second JIT/timer/first-touch jitter out of the
+    // counter: BENCH_r10's three "unresolved" rows were 0.23-vs-0.71 s
+    // class noise on queries whose value is irrelevant to the total.)
+    // EVERY unresolved query gets bounded repair passes — not only when
+    // the count tops SPARK_GRAFT_SKEW_MAX (the r10 defect: 3 unresolved
+    // ≤ bound 8 shipped with repair_passes:0, exactly the footnote the
+    // mechanism exists to prevent). A repair sample near the existing
+    // min confirms it (two agreeing samples → resolved); if the budget
+    // runs out with the count still over the bound, the artifact is
+    // marked valid:false instead of shipping a number that needs a
+    // footnote (r9 lesson: BENCH_r09 recorded skew 49 and misread as a
+    // 22% regression the clean sf1 artifact disproved).
     var samples: Map[String, Vector[Double]] =
       selected.map { case (n, _) => n -> runs.map(_(n)).toVector }.toMap
     def twoBestSkewed(ts: Vector[Double]): Boolean = {
       val good = ts.filter(_ >= 0.0).sorted
-      good.size >= 2 && good(0) > 0.0 && good(1) / good(0) > 3.0
+      good.size >= 2 && good(0) > 0.0 && good(1) / good(0) > 3.0 &&
+        good(1) - good(0) > 0.5
     }
     def unresolved(): Seq[String] =
       selected.collect { case (n, _) if twoBestSkewed(samples(n)) => n }
@@ -145,7 +150,7 @@ object Bench {
     val skewRetries = sys.env.getOrElse("SPARK_GRAFT_SKEW_RETRIES", "2").toInt
     val fnOf = selected.toMap
     var repairPasses = 0
-    while (passes >= 2 && unresolved().size > skewMax && repairPasses < skewRetries) {
+    while (passes >= 2 && unresolved().nonEmpty && repairPasses < skewRetries) {
       repairPasses += 1
       var waited = 0
       while (loadGate > 0 && load1() > loadGate && waited < loadWaitMax) {

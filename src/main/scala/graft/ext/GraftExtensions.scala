@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AccentFold, BitsetAgg, CosineSim, EditDistanceWithin, HllSketch, JaroWinkler, KmvSketch, MinHashSketch, WRatio}
+import graft.functions.{AccentFold, BitsetAgg, CosineSim, EditDistanceWithin, HllSketch, JaroWinkler, KmvSketch, MinHashSketch, QuantileSketch, WRatio}
 
 /** Session extensions registering graft's native Catalyst functions.
   * Activate with .config("spark.sql.extensions", "graft.ext.GraftExtensions")
@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "hll_sketch"),
       (children: Seq[Expression]) =>
         HllSketch(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("qsketch"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "qsketch"),
+      (children: Seq[Expression]) =>
+        QuantileSketch(children.head).toAggregateExpression()))
     // Optimizer rule: thresholded levenshtein comparisons run the
     // bounded O(k·n) form instead of the full O(n²) DP (see
     // BoundedLevenshteinRule).

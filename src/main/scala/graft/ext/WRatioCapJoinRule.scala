@@ -356,6 +356,16 @@ object WRatioCapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // First-match rank over the static slots: Contains guarded by
       // slot existence (substring beyond p would be "" and Contains
       // (x, "") is true — the guard keeps phantom slots out).
+      // INVARIANT (exactly-once proof): Contains is BYTE-level
+      // UTF8String containment while the lo side enumerates
+      // CHAR-boundary substrings; the two agree because valid UTF-8 is
+      // self-synchronizing — a byte-level match of a whole-code-point
+      // segment can only start on a code-point boundary, so every
+      // Contains hit has an equi-joined substring candidate at that
+      // rank. Spark StringType guarantees valid UTF-8 for decoded
+      // data; a future binary-ish input path that smuggles malformed
+      // bytes into StringType would void this and could drop a
+      // qualifying pair (firstMatch picking a rank with no candidate).
       val ranks = (0 until 2 * pMax).map { r =>
         val (form, lof, jdx) =
           if (r < pMax) (sh, lo, r) else (shTs.toAttribute, loTs.toAttribute, r - pMax)

@@ -224,19 +224,27 @@ object DFGraphAlgs {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
       target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+    // Cached SORTED on the join keys, not just co-partitioned: the
+    // in-memory relation advertises its outputOrdering, so each round's
+    // sort-merge join re-sorts only the |V|-row rank side — without the
+    // sortWithinPartitions every round re-sorted the full edge-sized
+    // contribution cache (iters × |E| log |E| wasted on identical data).
+    // One sort at cache-fill time amortizes over all rounds.
     val contrib = (salt match {
       case Some((_, eS)) =>
         eS.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"), col("__salt"))
           .repartition(col("src"), col("__salt"))
+          .sortWithinPartitions(col("src"), col("__salt"))
       case None =>
         e.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"))
           .repartition(col("src"))
+          .sortWithinPartitions(col("src"))
     }).persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).persist()
+      .repartition(col("id")).sortWithinPartitions(col("id")).persist()
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val joined = salt match {
@@ -285,19 +293,24 @@ object DFGraphAlgs {
     // persisted out-degree frame — see pageRank.
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("rel", "src"), e,
       target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+    // Sorted-on-key caches — see pageRank: one fill-time sort saves
+    // iters × full-cache re-sorts in the rounds' sort-merge joins.
     val contrib = (salt match {
       case Some((_, eS)) =>
         eS.join(outdeg, Seq("rel", "src"))
           .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
           .repartition(col("rel"), col("src"), col("__salt"))
+          .sortWithinPartitions(col("rel"), col("src"), col("__salt"))
       case None =>
         e.join(outdeg, Seq("rel", "src"))
           .select(col("rel"), col("src"), col("dst"), col("deg"))
           .repartition(col("rel"), col("src"))
+          .sortWithinPartitions(col("rel"), col("src"))
     }).persist()
     val nodes = e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct()
-      .repartition(col("rel"), col("id")).persist()
+      .repartition(col("rel"), col("id"))
+      .sortWithinPartitions(col("rel"), col("id")).persist()
     // Linear recurrence — one lazy plan, single job (see pageRank).
     var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
@@ -345,15 +358,20 @@ object DFGraphAlgs {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
       target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+    // Sorted-on-key cache — free for the broadcast-state path (hash
+    // join ignores ordering; one fill-time sort) and saves per-round
+    // re-sorts on the big-seed-set shuffle path — see pageRank.
     val contrib = (salt match {
       case Some((_, eS)) =>
         eS.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"), col("__salt"))
           .repartition(col("src"), col("__salt"))
+          .sortWithinPartitions(col("src"), col("__salt"))
       case None =>
         e.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"))
           .repartition(col("src"))
+          .sortWithinPartitions(col("src"))
     }).persist()
     // The restart rows: (seed, seed, 0.15) — tiny, broadcast into every
     // round's re-aggregation via the union (no shuffle contribution).

@@ -35,6 +35,20 @@ object AnalyticsPack {
     * any corpus size gives ~1/√2000 ≈ 2.2% quantile-rank error. */
   private val SqCap = 2000
 
+  /** DuckDB fragment: log-linear quantile-sketch bucket of a
+    * non-negative BIGINT `x` — identical integer to
+    * graft.functions.QuantileSketch.bucketOf (bin() drops leading
+    * zeros in both engines, so length(bin(x)) = bit length). */
+  private def qbSql(x: String): String =
+    s"CASE WHEN $x < 64 THEN $x " +
+      s"ELSE (length(bin($x))-6)*32 + ($x >> (length(bin($x))-6)) END"
+
+  /** DuckDB fragment: lower bound of quantile-sketch bucket `b` —
+    * matches graft.functions.QuantileSketch.loOf. */
+  private def qloSql(b: String): String =
+    s"CASE WHEN $b < 64 THEN CAST($b AS BIGINT) " +
+      s"ELSE CAST($b - ($b//32 - 1)*32 AS BIGINT) << ($b//32 - 1) END"
+
   /** DuckDB fragment: HLL rank of a 28-bit hash `h` at p=8 — 21 minus
     * the bitlength of the low 20 bits (bin() drops leading zeros in both
     * engines; rem = 0 means all 20 bits are zero → rank 21). Matches
@@ -326,6 +340,135 @@ object AnalyticsPack {
           col("n_exact_union"))
     }),
 
+    // MERGEABLE QUANTILE SKETCH (qsketch aggregate — log-linear
+    // bucket histogram, the HdrHistogram/DDSketch family): the sketch
+    // battery's quantile member, and the swap-in ana_quantiles promises
+    // at 100 TB. ONE bounded buffer per task (≤ 1920 buckets ≈ 15 KB
+    // worst case, constant in row count) merges bucketwise-add through
+    // the exchange — never a full sort or an all-values shuffle. Rank
+    // is exact; the value is quantized to its bucket lower bound
+    // (relative error ≤ 2^-5 ≈ 3.1%), and the exact median rides along
+    // as the audit. Prices pre-scale to integer cents (round half-up on
+    // positives agrees across engines; the double product 100·x is IEEE
+    // identical). The cumulative walk is a window over ≤ 1920 bucket
+    // rows — constant-size regardless of data scale, same class as
+    // denseIndex's offsets window. Every number is integer arithmetic
+    // until the final /100 division, so the DuckDB replay (GROUP BY the
+    // identical bucket function) hash-matches bit-for-bit.
+    "ana_qsketch_quantiles" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+      val sk = o.agg(call_function("qsketch", col("x")).as("bk"),
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50_exact"))
+      val cum = sk
+        .select(col("n"), col("q50_exact"), explode(col("bk")).as("e"))
+        .select(col("n"), col("q50_exact"), col("e.b").as("b"),
+          col("e.lo").as("lo"), col("e.cnt").as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("b"))))
+      def pick(q: Int) =
+        min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("lo")))
+          .as(s"l$q")
+      cum.groupBy(col("n"), col("q50_exact"))
+        .agg(count(lit(1)).as("n_buckets"),
+          pick(25), pick(50), pick(75), pick(95))
+        .select(col("n").as("n_total"), col("n_buckets"),
+          round(col("l25") / lit(100.0), 6).as("q25_est"),
+          round(col("l50") / lit(100.0), 6).as("q50_est"),
+          round(col("l75") / lit(100.0), 6).as("q75_est"),
+          round(col("l95") / lit(100.0), 6).as("q95_est"),
+          col("q50_exact"),
+          round(abs(col("l50") / lit(100.0) - col("q50_exact")), 6)
+            .as("q50_abs_err"))
+    }),
+
+    // GROUPED quantile-sketch profile — one bounded bucket buffer per
+    // (task, segment) merging map-side through the exchange (the
+    // grouped twin, same shape as ana_kmv_by_group/ana_hll_by_group):
+    // the per-column × per-segment latency/price-distribution profile a
+    // 100 TB warehouse refreshes per day, mergeable day-over-day. The
+    // per-group cumulative walk partitions the constant-size bucket
+    // frame by segment.
+    "ana_qsketch_by_group" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority"),
+        col("o_totalprice"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+      val sk = o.groupBy(col("o_orderpriority"))
+        .agg(call_function("qsketch", col("x")).as("bk"),
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50_exact"))
+      val cum = sk
+        .select(col("o_orderpriority"), col("n"), col("q50_exact"),
+          explode(col("bk")).as("e"))
+        .select(col("o_orderpriority"), col("n"), col("q50_exact"),
+          col("e.b").as("b"), col("e.lo").as("lo"), col("e.cnt").as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("o_orderpriority")).orderBy(col("b"))))
+      cum.groupBy(col("o_orderpriority"), col("n"), col("q50_exact"))
+        .agg(count(lit(1)).as("n_buckets"),
+          min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("lo")))
+            .as("l50"))
+        .select(col("o_orderpriority"), col("n").as("n_total"),
+          col("n_buckets"),
+          round(col("l50") / lit(100.0), 6).as("q50_est"),
+          col("q50_exact"),
+          round(abs(col("l50") / lit(100.0) - col("q50_exact")), 6)
+            .as("q50_abs_err"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // QSKETCH MERGE LAW — sketch(A ∪ B) = bucketwise-ADD(sketch A,
+    // sketch B), and unlike HLL/KMV the law is EXACT (counts add
+    // losslessly), so the check demands full multiset equality: per-
+    // period sketches built independently (the per-day profile shape),
+    // merged relationally, and compared bucket-for-bucket against the
+    // sketch of the union built from scratch — a genuine runtime probe
+    // of the aggregate's merge path, replayed relationally by the
+    // oracle. At 100 TB the merge side never rescans history:
+    // yesterday's bucket file plus today's IS the union's.
+    "ana_qsketch_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("x"),
+        (year(col("o_orderdate")) < 1998).as("pre"))
+      def flat(df: DataFrame, side: Column) = df
+        .select(side.as("side"), explode(col("bk")).as("e"))
+        .select(col("side"), col("e.b").as("b"), col("e.lo").as("lo"),
+          col("e.cnt").as("cnt"))
+      val parts = flat(
+        o.groupBy(col("pre")).agg(call_function("qsketch", col("x")).as("bk")),
+        when(col("pre"), lit("a")).otherwise(lit("b")))
+      val merged = parts.groupBy(col("b"), col("lo"))
+        .agg(sum(col("cnt")).as("cnt")).withColumn("side", lit("m"))
+        .select(col("side"), col("b"), col("lo"), col("cnt"))
+      val uni = flat(o.agg(call_function("qsketch", col("x")).as("bk")), lit("u"))
+      val cum = parts.unionByName(merged).unionByName(uni)
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("side")).orderBy(col("b"))))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("side"))))
+      val ests = cum.groupBy(col("side"))
+        .agg(count(lit(1)).as("nb"),
+          min(when(col("cum") >= expr("(tot * 50 + 99) div 100"), col("lo")))
+            .as("l50"))
+      def side(sd: String, c: String) = max(when(col("side") === sd, col(c)))
+      val wide = ests.agg(
+        side("a", "nb").as("n_buckets_a"), side("b", "nb").as("n_buckets_b"),
+        side("m", "nb").as("n_buckets_merged"),
+        round(side("a", "l50") / lit(100.0), 6).as("q50_est_a"),
+        round(side("b", "l50") / lit(100.0), 6).as("q50_est_b"),
+        round(side("m", "l50") / lit(100.0), 6).as("q50_est_merged"))
+      val lossless = merged.select(col("b"), col("cnt").as("cm"))
+        .join(uni.select(col("b"), col("cnt").as("cu")), Seq("b"), "full_outer")
+        .agg(sum(when(col("cm").isNull || col("cu").isNull ||
+          col("cm") =!= col("cu"), 1).otherwise(0)).cast("long").as("n_mismatch"))
+      val exact = o.agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50_exact_union"))
+      wide.crossJoin(broadcast(lossless)).crossJoin(broadcast(exact))
+        .select(col("n_buckets_a"), col("n_buckets_b"), col("n_buckets_merged"),
+          col("q50_est_a"), col("q50_est_b"), col("q50_est_merged"),
+          (col("n_mismatch") === 0).cast("int").as("merge_is_lossless"),
+          col("q50_exact_union"))
+    }),
+
     // A5 — basic stats + mean imputation (ref transformer.py:345
     // mean-imputes birth_year). The fixtures have no nulls, so
     // missingness is injected deterministically (hash-bucket 1-in-10)
@@ -369,8 +512,9 @@ object AnalyticsPack {
     // Exact interpolated quantiles of the price distribution — the
     // distribution-summary operator a corpus-stats pass reports. Exact
     // `percentile` (sort + linear interpolation, identical to DuckDB's
-    // quantile_cont) so results hash-match; at 100 TB the approximate
-    // t-digest form (percentile_approx) replaces it, same plan shape.
+    // quantile_cont) so results hash-match; at 100 TB the repo's own
+    // mergeable bounded-buffer sketch replaces it, same plan shape —
+    // ana_qsketch_quantiles IS that swap-in, oracle-checked.
     "ana_quantiles" -> ((s, d) => {
       Tables.orders(s, d).agg(
         round(expr("percentile(o_totalprice, 0.25)"), 6).as("q25"),
@@ -493,9 +637,10 @@ object AnalyticsPack {
     // Per-GROUP exact interpolated quantiles — the distribution summary
     // of ana_quantiles broken down by category (per-segment corpus
     // stats). One hash aggregation keyed on the group; at 100 TB the
-    // same plan swaps `percentile` for the mergeable t-digest
-    // (percentile_approx) with no shape change — group count, not row
-    // count, bounds the reduce side.
+    // same plan swaps `percentile` for the repo's mergeable qsketch
+    // with no shape change (ana_qsketch_by_group IS that swap-in,
+    // oracle-checked) — group count, not row count, bounds the reduce
+    // side.
     "ana_group_quantiles" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -796,6 +941,92 @@ object AnalyticsPack {
          |  round(${hllEstSql("zm.z", "zm.nz")}, 6) AS est_merged,
          |  eq.merge_is_lossless, e.n_exact_union
          |FROM za, zb, zm, eq, e""".stripMargin,
+
+    // Replays the quantile sketch bucket-for-bucket: the identical
+    // integer bucket function (GROUP BY is the sketch — merge law makes
+    // partitioning irrelevant), the same constant-size cumulative walk,
+    // the same integer rank rule.
+    "ana_qsketch_quantiles" ->
+      s"""WITH o AS (SELECT o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+         |s0 AS (SELECT COUNT(*) AS n,
+         |    round(quantile_cont(o_totalprice, 0.5), 6) AS q50_exact FROM o),
+         |bk AS (SELECT ${qbSql("x")} AS b, COUNT(*) AS cnt FROM o GROUP BY 1),
+         |cm AS (SELECT b, ${qloSql("b")} AS lo, cnt,
+         |    SUM(cnt) OVER (ORDER BY b) AS cum FROM bk),
+         |a AS (SELECT n, q50_exact, COUNT(*) AS n_buckets,
+         |    MIN(CASE WHEN cum >= (n*25+99)//100 THEN lo END) AS l25,
+         |    MIN(CASE WHEN cum >= (n*50+99)//100 THEN lo END) AS l50,
+         |    MIN(CASE WHEN cum >= (n*75+99)//100 THEN lo END) AS l75,
+         |    MIN(CASE WHEN cum >= (n*95+99)//100 THEN lo END) AS l95
+         |  FROM cm, s0 GROUP BY 1, 2)
+         |SELECT n AS n_total, n_buckets,
+         |  round(l25 / CAST(100 AS DOUBLE), 6) AS q25_est,
+         |  round(l50 / CAST(100 AS DOUBLE), 6) AS q50_est,
+         |  round(l75 / CAST(100 AS DOUBLE), 6) AS q75_est,
+         |  round(l95 / CAST(100 AS DOUBLE), 6) AS q95_est,
+         |  q50_exact,
+         |  round(abs(l50 / CAST(100 AS DOUBLE) - q50_exact), 6) AS q50_abs_err
+         |FROM a""".stripMargin,
+
+    "ana_qsketch_by_group" ->
+      s"""WITH o AS (SELECT o_orderpriority, o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+         |s0 AS (SELECT o_orderpriority, COUNT(*) AS n,
+         |    round(quantile_cont(o_totalprice, 0.5), 6) AS q50_exact
+         |  FROM o GROUP BY 1),
+         |bk AS (SELECT o_orderpriority, ${qbSql("x")} AS b, COUNT(*) AS cnt
+         |  FROM o GROUP BY 1, 2),
+         |cm AS (SELECT o_orderpriority, b, ${qloSql("b")} AS lo, cnt,
+         |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY b) AS cum
+         |  FROM bk),
+         |a AS (SELECT c.o_orderpriority, s.n, s.q50_exact,
+         |    COUNT(*) AS n_buckets,
+         |    MIN(CASE WHEN c.cum >= (s.n*50+99)//100 THEN c.lo END) AS l50
+         |  FROM cm c JOIN s0 s USING (o_orderpriority) GROUP BY 1, 2, 3)
+         |SELECT o_orderpriority, n AS n_total, n_buckets,
+         |  round(l50 / CAST(100 AS DOUBLE), 6) AS q50_est, q50_exact,
+         |  round(abs(l50 / CAST(100 AS DOUBLE) - q50_exact), 6) AS q50_abs_err
+         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "ana_qsketch_merge" ->
+      s"""WITH o AS (SELECT o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         |    year(o_orderdate) < 1998 AS pre FROM orders),
+         |pb AS (SELECT CASE WHEN pre THEN 'a' ELSE 'b' END AS side,
+         |    ${qbSql("x")} AS b, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+         |mg AS (SELECT 'm' AS side, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM pb GROUP BY 2),
+         |un AS (SELECT 'u' AS side, ${qbSql("x")} AS b, COUNT(*) AS cnt
+         |  FROM o GROUP BY 2),
+         |al AS (SELECT * FROM pb UNION ALL SELECT * FROM mg
+         |  UNION ALL SELECT * FROM un),
+         |cm AS (SELECT side, b, ${qloSql("b")} AS lo, cnt,
+         |    SUM(cnt) OVER (PARTITION BY side ORDER BY b) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY side) AS tot FROM al),
+         |es AS (SELECT side, COUNT(*) AS nb,
+         |    MIN(CASE WHEN cum >= (tot*50+99)//100 THEN lo END) AS l50
+         |  FROM cm GROUP BY 1),
+         |wd AS (SELECT
+         |    MAX(CASE WHEN side='a' THEN nb END) AS n_buckets_a,
+         |    MAX(CASE WHEN side='b' THEN nb END) AS n_buckets_b,
+         |    MAX(CASE WHEN side='m' THEN nb END) AS n_buckets_merged,
+         |    round(MAX(CASE WHEN side='a' THEN l50 END)
+         |      / CAST(100 AS DOUBLE), 6) AS q50_est_a,
+         |    round(MAX(CASE WHEN side='b' THEN l50 END)
+         |      / CAST(100 AS DOUBLE), 6) AS q50_est_b,
+         |    round(MAX(CASE WHEN side='m' THEN l50 END)
+         |      / CAST(100 AS DOUBLE), 6) AS q50_est_merged
+         |  FROM es),
+         |ls AS (SELECT CAST(COUNT(*) = 0 AS INTEGER) AS merge_is_lossless
+         |  FROM ((SELECT b, cnt FROM mg EXCEPT SELECT b, cnt FROM un)
+         |    UNION ALL
+         |    (SELECT b, cnt FROM un EXCEPT SELECT b, cnt FROM mg))),
+         |ex AS (SELECT round(quantile_cont(o_totalprice, 0.5), 6)
+         |    AS q50_exact_union FROM o)
+         |SELECT n_buckets_a, n_buckets_b, n_buckets_merged, q50_est_a,
+         |  q50_est_b, q50_est_merged, merge_is_lossless, q50_exact_union
+         |FROM wd, ls, ex""".stripMargin,
 
     // Replays the sketch cell-for-cell: same affine cell indexes, same
     // min-over-depths estimate, same sampled candidate set.

@@ -809,37 +809,49 @@ object MLPack {
     // structure on a synthetic matrix); everything DETERMINISTIC feeding
     // the solves is hash-checked by the ml_als_matrix companion below.
     "ml_als_recommend" -> ((s, d) => {
+      // PERSISTED: the cell matrix feeds the bounds probe, the dense
+      // index builds, the ratings join, AND the user-subset filter —
+      // without the cache each of those replays the orders⋈lineitem
+      // aggregation.
       val cells = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .agg(count(lit(1)).cast("float").as("rating"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // MLlib ALS block-partitions on INT ids — entity keys at fixture
       // scale-ups (replica stride 10^8) overflow Int (caught LIVE by
-      // the sf10 checkpoint: CAST_OVERFLOW at key 2.2e9). ADAPTIVE
-      // remap: one bounds probe over the rating cells; keys inside Int
-      // range keep the zero-cost direct cast (the dictionary joins
-      // measured +8.8 s at sf1 when applied unconditionally), wider
-      // keys route through the two-phase dense index
+      // the sf10 checkpoint: CAST_OVERFLOW at key 2.2e9). PER-SIDE
+      // adaptive remap: one bounds probe over the rating cells; a side
+      // whose keys fit Int keeps the zero-cost direct cast (the
+      // dictionary joins measured +8.8 s at sf1 when applied
+      // unconditionally — and with SuppOffset at 2^40 the supplier side
+      // ALWAYS overflows at sf≥1 while customer keys still fit, so
+      // whole-matrix adaptivity taxed the side that didn't need it),
+      // wider keys route through the two-phase dense index
       // (Sampling.denseIndex — per-bucket row_number + broadcast
       // offsets, no global sort task at any key scale; the J5
       // dictionary shape) and the recommendations map back.
       val mx = cells.agg(max(col("cust").cast("long")),
         max(col("supp").cast("long"))).head()
-      val direct = mx.isNullAt(0) ||
-        (mx.getLong(0) <= Int.MaxValue && mx.getLong(1) <= Int.MaxValue)
-      val (ud, id) =
-        if (direct)
-          (cells.select(col("cust"), col("cust").cast("int").as("user")).distinct(),
-            cells.select(col("supp"), col("supp").cast("int").as("item")).distinct())
-        else
-          (graft.api.Sampling.denseIndex(cells.select(col("cust").as("k")), "k")
-            .select(col("k").as("cust"), col("__bidx").cast("int").as("user")),
-            graft.api.Sampling.denseIndex(cells.select(col("supp").as("k")), "k")
-              .select(col("k").as("supp"), col("__bidx").cast("int").as("item")))
+      val directCust = mx.isNullAt(0) || mx.getLong(0) <= Int.MaxValue
+      val directSupp = mx.isNullAt(1) || mx.getLong(1) <= Int.MaxValue
+      val ud =
+        if (directCust)
+          cells.select(col("cust"), col("cust").cast("int").as("user")).distinct()
+        else graft.api.Sampling.denseIndex(cells.select(col("cust").as("k")), "k")
+          .select(col("k").as("cust"), col("__bidx").cast("int").as("user"))
+      val id =
+        if (directSupp)
+          cells.select(col("supp"), col("supp").cast("int").as("item")).distinct()
+        else graft.api.Sampling.denseIndex(cells.select(col("supp").as("k")), "k")
+          .select(col("k").as("supp"), col("__bidx").cast("int").as("item"))
+      // Only a remapped side pays its dictionary join.
+      val withUser =
+        if (directCust) cells.withColumn("user", col("cust").cast("int"))
+        else cells.join(ud, "cust")
       val ratings =
-        if (direct) cells.select(col("cust").cast("int").as("user"),
-          col("supp").cast("int").as("item"), col("rating"))
-        else cells.join(ud, "cust").join(id, "supp")
+        (if (directSupp) withUser.withColumn("item", col("supp").cast("int"))
+         else withUser.join(id, "supp"))
           .select(col("user"), col("item"), col("rating"))
       val model = new ALS()
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
@@ -852,17 +864,23 @@ object MLPack {
         .select(col("user"), explode(col("recommendations")).as("rec"))
         .select(col("user"), col("rec.item").as("item"),
           round(col("rec.rating"), 4).as("score"))
-      // Direct ids ARE the keys — no back-map join needed there.
+      // Direct ids ARE the keys — no back-map join on that side.
+      val userMapped =
+        if (directCust) recs.withColumn("ukey", col("user").cast("long"))
+        else recs.join(ud, "user").withColumn("ukey", col("cust").cast("long"))
       val mapped =
-        if (direct) recs.select(col("user").cast("long").as("user"),
-          col("item").cast("long").as("item"), col("score"))
-        else recs.join(ud, "user").join(id, "item")
-          .select(col("cust").cast("long").as("user"),
-            col("supp").cast("long").as("item"), col("score"))
-      mapped
+        (if (directSupp) userMapped.withColumn("ikey", col("item").cast("long"))
+         else userMapped.join(id, "item").withColumn("ikey", col("supp").cast("long")))
+          .select(col("ukey").as("user"), col("ikey").as("item"), col("score"))
+      // ≤ 20 users × 5 recs: materialize the tiny result eagerly so the
+      // cell cache can be released before the query frame is consumed.
+      val out = mapped
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("user")).orderBy(col("score").desc, col("item").asc)))
         .orderBy(col("user"), col("rn"))
+        .localCheckpoint()
+      cells.unpersist(false)
+      out
     }),
 
     // The DETERMINISTIC PREFIX of ml_als_recommend, oracle-checked: the

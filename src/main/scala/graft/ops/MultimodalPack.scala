@@ -109,8 +109,11 @@ object MultimodalPack {
     // AUDIO SPECTRAL features through the REAL codec (r9 verdict
     // stretch #8 — a feature family the image path doesn't share):
     // each document synthesizes a deterministic mono PCM clip
-    // (s_i = (L·31 + i·7) mod 65536 − 32768, L = text length, one
-    // sample per char capped at 400), round-trips it through
+    // (s_i = (L·31 + i·7) mod 65536 − 32768, L = text length in CODE
+    // POINTS — DuckDB's length() counts code points while Java
+    // String.length counts UTF-16 code units, so codePointCount keeps
+    // the two generators byte-identical on non-BMP text — one sample
+    // per char capped at 400), round-trips it through
     // WavCodec.encode → decode, and computes zero-crossing count +
     // per-10ms-block energy (max and total) from the DECODED samples —
     // integer arithmetic end to end. The oracle replays the sample
@@ -122,9 +125,9 @@ object MultimodalPack {
       import graft.multimodal.{WavCodec, WavMediaDecoder}
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .filter(r => r._2 != null && r._2.length >= 2)
+        .filter(r => r._2 != null && r._2.codePointCount(0, r._2.length) >= 2)
         .map { case (id, text) =>
-          val L = text.length
+          val L = text.codePointCount(0, text.length)
           val n = math.min(L, 400)
           val wav = WavCodec.encode(16000, 1,
             Array.tabulate(n)(i => ((L * 31 + i * 7) % 65536 - 32768).toShort))
@@ -136,6 +139,63 @@ object MultimodalPack {
           "max_block_energy")
         .withColumn("mean_energy",
           round(col("total_energy").cast("double") / col("n_samples"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // FRAME-DELTA / MOTION ENERGY through the real codec — the
+    // video-adjacent analog of mm_audio_spectral's spectral block: each
+    // document synthesizes a MULTI-FRAME payload (2-4 same-dimension
+    // PGM frames, pixel p_f(i) = (L·131 + f·17 + i·7) mod 256, L = text
+    // length in code points, concatenated into one binary), splits it
+    // back into frames (equal-size by construction — the container
+    // manifest a real video format carries), decodes EVERY frame through
+    // the registry-validated PGM codec, and computes per-consecutive-
+    // pair motion energy Σ_i |p_f(i) − p_{f−1}(i)| from the DECODED
+    // pixels — integer arithmetic end to end. The oracle replays the
+    // pixel GENERATOR in SQL, so a green row proves the codec round-trip
+    // is bit-exact per frame AND the motion arithmetic agrees across
+    // engines. Per-row bounded typed work; distributes with the scan.
+    "mm_frame_delta" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.PnmCodec
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .filter(_._2 != null)
+        .map { case (id, text) =>
+          val L = text.codePointCount(0, text.length)
+          val w = (L % 7) + 2
+          val h = 2
+          val nf = 2 + (L % 3)
+          val payload = Array.tabulate(nf) { f =>
+            PnmCodec.encodePgm(w, h,
+              Array.tabulate(w * h)(i => (L * 131 + f * 17 + i * 7) % 256))
+          }.flatten
+          val flen = payload.length / nf
+          var tot = 0L
+          var mx = 0L
+          var prev: Array[Int] = null
+          var f = 0
+          while (f < nf) {
+            val slice =
+              java.util.Arrays.copyOfRange(payload, f * flen, (f + 1) * flen)
+            val (_, _, _, px) = PnmCodec.decode(slice)
+            if (prev != null) {
+              var m = 0L
+              var i = 0
+              while (i < px.length) { m += math.abs(px(i) - prev(i)); i += 1 }
+              tot += m
+              if (m > mx) mx = m
+            }
+            prev = px
+            f += 1
+          }
+          (id, nf.toLong, (w * h).toLong, tot, mx)
+        }
+        .toDF("doc_id", "n_frames", "n_pixels", "total_motion",
+          "max_pair_motion")
+        .withColumn("mean_pair_motion",
+          round(col("total_motion").cast("double") /
+            ((col("n_frames") - 1) * col("n_pixels")), 6))
         .orderBy(col("doc_id"))
     }),
 
@@ -252,6 +312,30 @@ object MultimodalPack {
         |  max_block_energy,
         |  round(CAST(total_energy AS DOUBLE) / n, 6) AS mean_energy
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Replays the pixel GENERATOR (the Spark side recomputes the same
+    // numbers from codec-decoded frame bytes — the per-frame round-trip
+    // is the check).
+    "mm_frame_delta" ->
+      """WITH m AS (SELECT doc_id, length(text) AS L,
+        |    ((length(text) % 7) + 2) * 2 AS np,
+        |    2 + (length(text) % 3) AS nf
+        |  FROM documents WHERE text IS NOT NULL),
+        |fr AS (SELECT doc_id, L, np, nf, unnest(range(1, nf)) AS f FROM m),
+        |mo AS (SELECT doc_id, np, nf, f,
+        |    CAST(list_sum(list_transform(range(0, np), i ->
+        |      abs((L * 131 + f * 17 + i * 7) % 256
+        |        - (L * 131 + (f - 1) * 17 + i * 7) % 256))) AS BIGINT) AS motion
+        |  FROM fr),
+        |a AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |    CAST(np AS BIGINT) AS n_pixels,
+        |    CAST(SUM(motion) AS BIGINT) AS total_motion,
+        |    CAST(MAX(motion) AS BIGINT) AS max_pair_motion
+        |  FROM mo GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_frames, n_pixels, total_motion, max_pair_motion,
+        |  round(CAST(total_motion AS DOUBLE) / ((n_frames - 1) * n_pixels), 6)
+        |    AS mean_pair_motion
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH m AS (SELECT doc_id, text,

@@ -50,11 +50,22 @@ object SourcesPack {
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
       try {
         rd.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (blk, i) =>
+          // Loud, diagnosable failures on schema drift or stats-less
+          // chunks (a writer may legally omit statistics) — a bare
+          // .get/.asInstanceOf here surfaced as an opaque
+          // NoSuchElementException inside the query.
           def mm(name: String): (Long, Long) = {
-            val st = blk.getColumns.asScala
-              .find(_.getPath.toDotString == name).get.getStatistics
-            (st.genericGetMin.asInstanceOf[Number].longValue(),
-              st.genericGetMax.asInstanceOf[Number].longValue())
+            val ch = blk.getColumns.asScala
+              .find(_.getPath.toDotString == name)
+              .getOrElse(sys.error(s"footerZones: no column '$name' in ${f.getName} rg $i"))
+            val st = ch.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue)
+              sys.error(s"footerZones: no statistics for '$name' in ${f.getName} rg $i")
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number) => (mn.longValue(), mx.longValue())
+              case (mn, _) => sys.error(
+                s"footerZones: non-numeric stats for '$name' in ${f.getName} rg $i (${mn.getClass.getName})")
+            }
           }
           val (n1, x1) = mm("ck"); val (n2, x2) = mm("pc")
           (f.getName, i, blk.getRowCount, n1, x1, n2, x2)

@@ -9,6 +9,12 @@ import graft.tables.Tables
   * block-pair sweep, BSP loops, two-phase ranks) is otherwise validated
   * only at sf0.1; a 10× point catches secretly super-linear plans.
   *
+  * Replica ceiling: the TEXT BIJECTION binds first — 312 distinct
+  * affine a-z maps (hard `require`), i.e. sf ≤ ~31 from an sf0.1
+  * source. The id headroom reaches much further (keys stay below
+  * GraphPack.SuppOffset = 2^40 for ~10⁴ replicas) but is NOT the
+  * binding limit; don't conflate the two.
+  *
   * Replication semantics — each replica is a DISJOINT copy of the world:
   * - Every entity key is offset by `replica × 10⁸` (far above any live
   *   key), so joins/graphs gain 10× rows without cross-replica edges.
@@ -26,13 +32,24 @@ import graft.tables.Tables
   *   ROTATION colliding at replica 10 (every doc had ~10 exact twins:
   *   dup pairs ×990 for ×10 data, dedup_cluster_canonical 23.6×).
   * - `customer.c_name`/`supplier.s_name` are REGENERATED from the offset
-  *   key (`Customer#%09d` of the new key) so names stay bijective with
-  *   keys, as in the source fixture. Leaving them verbatim would give
-  *   every name 10 exact copies and square the edit-distance-join
-  *   output (measured: 2.18M → 217.85M candidate pairs, a 100× blowup
-  *   that benchmarks the fixture artifact, not the plan); with the
-  *   rewrite, cross-replica names differ in the leading replica digit —
-  *   a constant 45 extra distance-1 pairs per base key, linear in n.
+  *   key so names stay bijective with keys and keep the source shape
+  *   (`^Customer#[0-9]+$` — consumers regex on it). Leaving them
+  *   verbatim would give every name 10 exact copies and square the
+  *   edit-distance-join output (measured: 2.18M → 217.85M candidate
+  *   pairs, a 100× blowup that benchmarks the fixture artifact, not the
+  *   plan). Key-derived names alone are not enough either — the round-10
+  *   sf10 checkpoint measured `search_lev_autojoin` at 24.3× for 10×
+  *   data because offset keys differ in only their leading replica
+  *   digits (~99 cross-replica distance-1 twins per base key at 100
+  *   replicas). Same decorrelation discipline as the text bijection:
+  *   replica 0 keeps the source's exact `Customer#%09d`; replicas ≥ 1
+  *   prepend a 4-digit CHECK-CODED replica block (lpad(r,3) plus digit
+  *   sum mod 10 — a single differing digit always flips the check
+  *   digit, so any two replica blocks differ in ≥ 2 positions; equal-
+  *   length strings with ≥ 2 differing positions have Levenshtein ≥ 2,
+  *   and vs replica 0 the length gap alone costs 4). Cross-replica name
+  *   pairs therefore NEVER enter a distance-1 join: near-dup name
+  *   output is exactly replicas × the per-replica output — linear.
   * - `embeddings.embedding` passes through a SIGNED cyclic shift
   *   (coordinates rotated by replica × 7, then sign-flipped per
   *   (replica, coordinate) hash bit; replica 0 is the identity): a
@@ -116,9 +133,21 @@ object ScaleUp {
     new java.io.File(dst).mkdirs()
     write("region", Tables.region(spark, src))
     write("nation", Tables.nation(spark, src))
-    def named(pfx: String, key: String) =
-      concat(lit(pfx), lpad((col(key) + col("__r") * Stride).cast("string"),
-        9, "0"))
+    // Check-coded replica block for names (see scaladoc): lpad(r, 3)
+    // plus digit-sum-mod-10 check digit — pairwise Hamming ≥ 2 between
+    // any two replica blocks, so cross-replica names sit at
+    // Levenshtein ≥ 2 and never enter a distance-1 join. Replica 0 is
+    // the identity (source names verbatim). Supports r ≤ 999; the
+    // text bijection's 312-replica cap binds first.
+    def nameSalt = {
+      val check = pmod(expr("(__r div 100) + (__r div 10) + __r"), lit(10L))
+      concat(lpad(col("__r").cast("string"), 3, "0"), check.cast("string"))
+    }
+    def named(pfx: String, key: String) = {
+      val offKey = lpad((col(key) + col("__r") * Stride).cast("string"), 9, "0")
+      when(col("__r") === 0, concat(lit(pfx), lpad(col(key).cast("string"), 9, "0")))
+        .otherwise(concat(lit(pfx), nameSalt, offKey))
+    }
     write("customer", rep(Tables.customer(spark, src)).select(
       off("c_custkey"), named("Customer#", "c_custkey").as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))

@@ -183,6 +183,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch: bucket bounds/monotonicity; split-merge; serde; rank exactness") {
+    import graft.functions.QuantileSketch
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    // Bucket function: monotone, value within [lo, lo·(1+2^-5))-ish —
+    // the contract the quantile estimate's error bound rests on.
+    val probes = Seq(0L, 1L, 63L, 64L, 65L, 127L, 128L, 12345L,
+      987654321L, Long.MaxValue) ++
+      samples(2000, seed = 31L).map(v => math.abs(v % (1L << 50)))
+    var prevB = -1
+    probes.sorted.foreach { x =>
+      val b = QuantileSketch.bucketOf(x)
+      assert(b >= 0 && b < QuantileSketch.Buckets, s"x=$x b=$b")
+      assert(b >= prevB, s"bucket not monotone at x=$x")
+      prevB = b
+      val lo = QuantileSketch.loOf(b)
+      assert(lo <= math.max(x, 0L), s"x=$x lo=$lo")
+      // Relative quantization error ≤ 2^-5 (values < 64 are exact).
+      if (x >= 64) assert((x - lo).toDouble / x <= 1.0 / 32 + 1e-12,
+        s"x=$x lo=$lo err=${(x - lo).toDouble / x}")
+      else assert(lo == math.max(x, 0L))
+    }
+    val agg = QuantileSketch(BoundReference(0, LongType, nullable = true))
+    for (size <- Seq(0, 1, 100, 5000); split <- Seq(0, size / 3)) {
+      val xs = samples(size, seed = size * 13 + 7)
+        .map(v => math.abs(v % 10000000L))
+      val whole = xs.foldLeft(agg.createAggregationBuffer()) { (b, x) =>
+        agg.update(b, InternalRow(x)) }
+      val (l, r) = xs.splitAt(split)
+      val bl = l.foldLeft(agg.createAggregationBuffer()) { (b, x) => agg.update(b, InternalRow(x)) }
+      val br = r.foldLeft(agg.createAggregationBuffer()) { (b, x) => agg.update(b, InternalRow(x)) }
+      val merged = agg.merge(bl, br)
+      // Merge law is EXACT for count histograms: bucketwise identical.
+      assert(merged.toSeq == whole.toSeq, s"size=$size split=$split")
+      assert(agg.deserialize(agg.serialize(merged)).toSeq == merged.toSeq)
+      assert(merged.sum == size.toLong, "total count conserved")
+      if (size > 0) {
+        // Rank is exact: the sketch median's bucket must CONTAIN the
+        // true median (lo ≤ exact median, next bucket's lo > it is not
+        // required — quantization moves the value, never the rank).
+        val sorted = xs.sorted
+        val rank = (size * 50 + 99) / 100 // ceil(n/2), the query's rule
+        val exactMedian = sorted(rank - 1)
+        var cum = 0L
+        var est = -1L
+        var i = 0
+        while (i < QuantileSketch.Buckets && est < 0) {
+          cum += merged(i)
+          if (cum >= rank) est = QuantileSketch.loOf(i)
+          i += 1
+        }
+        assert(est >= 0)
+        assert(est <= exactMedian, s"size=$size est=$est exact=$exactMedian")
+        if (exactMedian >= 64)
+          assert((exactMedian - est).toDouble / exactMedian <= 1.0 / 32 + 1e-12,
+            s"median rel err too big: est=$est exact=$exactMedian")
+        else assert(est == exactMedian)
+      }
+    }
+  }
+
   test("codec sniffs never throw on arbitrary bytes; accepted payloads decode") {
     // The registry sniffs run on EVERY row of a binary media column —
     // at 100 TB a payload that makes a sniff throw kills the task (and
