@@ -207,8 +207,16 @@ object DFGraphAlgs {
     * the loop remains ONE lazy plan; measured ~2× over the checkpointed
     * inputs at sf0.1, and the shuffle-count argument scales. */
   def pageRank(edges: DataFrame, iters: Int,
-      knownMaxDeg: Option[Long] = None): DataFrame = {
-    val e = mat(edges.select(col("src"), col("dst")))
+      knownMaxDeg: Option[Long] = None): DataFrame =
+    pageRankLoop(mat(edges.select(col("src"), col("dst"))), iters, knownMaxDeg)
+
+  /** [[pageRank]]'s loop body. `e` must be cheap to rescan — either
+    * materialized or a narrow projection over a materialized frame (the
+    * packed multi-view path passes the latter: re-running a when-chain +
+    * bit-pack per scan beats checkpoint-copying the projection). It is
+    * scanned ~3× at fill (contrib, nodes union). */
+  private def pageRankLoop(e: DataFrame, iters: Int,
+      knownMaxDeg: Option[Long]): DataFrame = {
     // Hub salting (see [[SaltTargetDegConf]]): the contribution join is
     // exchange-free by co-partitioning, but a power-law hub still lands
     // all its out-edges in ONE persisted partition — one task per round.
@@ -221,7 +229,7 @@ object DFGraphAlgs {
     // cache per query: ~2 s at the sf1 checkpoint). Both branches then
     // reuse the cached aggregate in their contribution join, so the
     // probe's fill is work the main job no longer repeats.
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    lazy val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
       target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
     // Cached SORTED on the join keys, not just co-partitioned: the
@@ -230,6 +238,16 @@ object DFGraphAlgs {
     // sortWithinPartitions every round re-sorted the full edge-sized
     // contribution cache (iters × |E| log |E| wasted on identical data).
     // One sort at cache-fill time amortizes over all rounds.
+    //
+    // The unsalted fill computes deg as a WINDOW count over the already
+    // key-sorted partitions instead of an aggregate + self-join: one
+    // |E| exchange + one sort total, where the join form paid the
+    // aggregation exchange, the join's own exchanges, AND a redundant
+    // user repartition the planner does not elide (measured ~2 s of the
+    // 12 s sf1 query). The salted fill keeps the join form — a window
+    // over (src) would straddle the salt sub-keys the repartition just
+    // split apart. deg semantics identical: every e row keeps its
+    // source's out-edge count.
     val contrib = (salt match {
       case Some((_, eS)) =>
         eS.join(outdeg, "src")
@@ -237,14 +255,16 @@ object DFGraphAlgs {
           .repartition(col("src"), col("__salt"))
           .sortWithinPartitions(col("src"), col("__salt"))
       case None =>
-        e.join(outdeg, "src")
-          .select(col("src"), col("dst"), col("deg"))
-          .repartition(col("src"))
-          .sortWithinPartitions(col("src"))
+        e.repartition(col("src")).sortWithinPartitions(col("src"))
+          .withColumn("deg", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     }).persist()
+    // distinct's final aggregation already leaves nodes hash-partitioned
+    // on id — sort within those partitions directly (a repartition(id)
+    // here is one more |V| exchange for the same layout).
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).sortWithinPartitions(col("id")).persist()
+      .sortWithinPartitions(col("id")).persist()
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val joined = salt match {
@@ -283,7 +303,72 @@ object DFGraphAlgs {
   def pageRankByRel(edges: DataFrame, iters: Int,
       knownMaxDeg: Option[Long] = None): DataFrame = {
     val e = mat(edges.select(col("rel"), col("src"), col("dst")))
-    val outdeg = e.groupBy(col("rel"), col("src"))
+    // PACKED fast path: the per-relation subgraphs are DISJOINT, so
+    // global pageRank over a union with (relIdx, vertex) bit-packed into
+    // one long id IS per-relation pagerank — same message multiset per
+    // vertex, same decimal sums, bit-identical ranks. The packed loop
+    // runs the single-long-key round shape, measured 2.2× cheaper per
+    // round than composite (string, long) keys at the sf1 checkpoint
+    // (hash, compare, and shuffle all touch one word instead of a
+    // struct row). Conditions (else the composite loop below): an
+    // atomic non-null rel type (the dictionary is a driver-side
+    // when-chain — bounded by the multi-view contract, ~44 relations
+    // in the reference), and ids small enough that vertex << bits(rel)
+    // cannot overflow. knownMaxDeg stays a valid upper bound for the
+    // packed graph's hub probe (per-(rel,src) degree ≤ total degree).
+    // Skipped under plan-only (the dictionary probe is an action; the
+    // inspectable shape is the composite loop's).
+    val packed: Option[DataFrame] = if (planOnly(e)) None else {
+      val atomic = {
+        import org.apache.spark.sql.types._
+        edges.schema("rel").dataType match {
+          case _: StructType | _: ArrayType | _: MapType |
+               _: UserDefinedType[_] => false
+          case _ => true
+        }
+      }
+      if (!atomic) None
+      else {
+        // ONE probe action over the materialized edge list: the rel
+        // dictionary (collect_set — order is irrelevant, the same
+        // in-run array drives both encode and decode), the id bounds,
+        // and a null-rel count (collect_set drops nulls; a null rel
+        // routes to the composite loop, which alone carries its
+        // join-semantics).
+        val probe = e.agg(collect_set(col("rel")).as("rels"),
+          max(greatest(col("src"), col("dst"))).as("mx"),
+          min(least(col("src"), col("dst"))).as("mn"),
+          sum(when(col("rel").isNull, 1L).otherwise(0L)).as("nulls")).head()
+        val rels: Array[Any] = probe.getSeq[Any](0).toArray
+        val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(rels.length - 1, 1).toLong)
+        val maxId = Option(probe.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val minId = Option(probe.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val nNull = Option(probe.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (rels.isEmpty || nNull > 0L || minId < 0L ||
+            maxId > (Long.MaxValue >> bits)) None
+        else {
+          val relIdx = rels.zipWithIndex.tail
+            .foldLeft(when(col("rel") === lit(rels.head), lit(0L))) {
+              case (w, (r, i)) => w.when(col("rel") === lit(r), lit(i.toLong))
+            }
+          def pack(c: Column) = shiftleft(c, bits).bitwiseOR(col("__ri"))
+          val enc = e.withColumn("__ri", relIdx)
+            .select(pack(col("src")).as("src"), pack(col("dst")).as("dst"))
+          val pr = pageRankLoop(enc, iters, knownMaxDeg)
+          val mask = (1L << bits) - 1L
+          val relBack = rels.zipWithIndex.tail
+            .foldLeft(when(col("id").bitwiseAND(lit(mask)) === lit(0L),
+              lit(rels.head))) { case (w, (r, i)) =>
+                w.when(col("id").bitwiseAND(lit(mask)) === lit(i.toLong), lit(r))
+            }
+          Some(pr.select(relBack.as("rel"),
+            shiftrightunsigned(col("id"), bits).as("id"), col("rank")))
+        }
+      }
+    }
+    if (packed.isDefined) return packed.get
+    lazy val outdeg = e.groupBy(col("rel"), col("src"))
       .agg(count(lit(1)).as("deg"))
     // Co-partitioned persists, one exchange per round — see pageRank.
     // With composite (rel, id) keys the avoided re-shuffles are 2× the
@@ -294,7 +379,8 @@ object DFGraphAlgs {
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("rel", "src"), e,
       target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
     // Sorted-on-key caches — see pageRank: one fill-time sort saves
-    // iters × full-cache re-sorts in the rounds' sort-merge joins.
+    // iters × full-cache re-sorts in the rounds' sort-merge joins; the
+    // unsalted fill is the one-exchange window form (see pageRank).
     val contrib = (salt match {
       case Some((_, eS)) =>
         eS.join(outdeg, Seq("rel", "src"))
@@ -302,14 +388,13 @@ object DFGraphAlgs {
           .repartition(col("rel"), col("src"), col("__salt"))
           .sortWithinPartitions(col("rel"), col("src"), col("__salt"))
       case None =>
-        e.join(outdeg, Seq("rel", "src"))
-          .select(col("rel"), col("src"), col("dst"), col("deg"))
-          .repartition(col("rel"), col("src"))
+        e.repartition(col("rel"), col("src"))
           .sortWithinPartitions(col("rel"), col("src"))
+          .withColumn("deg", count(lit(1)).over(org.apache.spark.sql
+            .expressions.Window.partitionBy(col("rel"), col("src"))))
     }).persist()
     val nodes = e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct()
-      .repartition(col("rel"), col("id"))
       .sortWithinPartitions(col("rel"), col("id")).persist()
     // Linear recurrence — one lazy plan, single job (see pageRank).
     var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
@@ -355,12 +440,13 @@ object DFGraphAlgs {
     val e = mat(edges.select(col("src"), col("dst")))
     // Hub salting for the shuffle path (big seed sets); probe over the
     // persisted out-degree frame — see pageRank.
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    lazy val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
       target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
     // Sorted-on-key cache — free for the broadcast-state path (hash
     // join ignores ordering; one fill-time sort) and saves per-round
-    // re-sorts on the big-seed-set shuffle path — see pageRank.
+    // re-sorts on the big-seed-set shuffle path — see pageRank. The
+    // unsalted fill is the one-exchange window form (see pageRank).
     val contrib = (salt match {
       case Some((_, eS)) =>
         eS.join(outdeg, "src")
@@ -368,10 +454,9 @@ object DFGraphAlgs {
           .repartition(col("src"), col("__salt"))
           .sortWithinPartitions(col("src"), col("__salt"))
       case None =>
-        e.join(outdeg, "src")
-          .select(col("src"), col("dst"), col("deg"))
-          .repartition(col("src"))
-          .sortWithinPartitions(col("src"))
+        e.repartition(col("src")).sortWithinPartitions(col("src"))
+          .withColumn("deg", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     }).persist()
     // The restart rows: (seed, seed, 0.15) — tiny, broadcast into every
     // round's re-aggregation via the union (no shuffle contribution).
@@ -467,6 +552,15 @@ object DFGraphAlgs {
   def betweennessDeltas(edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // The checkpointed edge list re-exchanges per level join (2·levels
+    // ~110 MB shuffle writes at sf1) — MEASURED alternative: two
+    // key-sorted persisted copies (src-keyed forward, dst-keyed
+    // backward) removed 9 of the 11 edge shuffles but cost MORE wall
+    // (+1.8 s at sf1): the level-state side is tiny, so AQE already
+    // replans each level join as a broadcast with a local shuffle read
+    // of the edge side — the exchanges being "saved" were never paid as
+    // sorts, while the sorted fills are. Keep the bare checkpoint and
+    // let AQE do per-level runtime replanning.
     val e = mat(edges.select(col("src"), col("dst")))
     // Per-LEVEL frames, each (s0, id, sigma) mat'ed once — a vertex
     // enters exactly one level, so the full state is a flat union of
