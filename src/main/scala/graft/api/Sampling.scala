@@ -12,22 +12,33 @@ import graft.ops.TextHash.h28
   */
 object Sampling {
 
+  /** 2654435761 mod 1000003 — the Knuth multiplier PRE-REDUCED into the
+    * mix modulus. Every mix below multiplies `pmod(key, m)` by a reduced
+    * constant instead of the raw key by 2654435761: the value is
+    * IDENTICAL for every key (modular multiplication commutes with
+    * reduction), but the product stays ≤ m·constant ≈ 4.3·10¹¹ for ANY
+    * int64 key — where the raw form overflows (and, under ANSI mode,
+    * THROWS from codegen) for |key| ≳ 3.5·10⁹, which the sf10 fixture's
+    * replica-strided ids actually reach. */
+  private val KnuthRed1000003 = 427799L
+
   /** Knuth-style integer-mix bucket in [0, 100) from a long key —
     * ~100× cheaper per row than an md5 hash; use for high-volume
-    * row-level sampling decisions. Both reductions go through pmod:
-    * Spark's `%` is sign-preserving, so a negative key (or the sign flip
-    * when key·2654435761 overflows int64 for |key| ≳ 3.5e9 — real at
-    * 100 TB id ranges) would otherwise escape the [0, 100) contract and
-    * defeat every `bucket < rate` cut. */
+    * row-level sampling decisions. All reductions go through pmod:
+    * Spark's `%` is sign-preserving, so a negative key would otherwise
+    * escape the [0, 100) contract and defeat every `bucket < rate` cut;
+    * the pre-reduced multiplier (see [[KnuthRed1000003]]) keeps the
+    * product in int64 for the whole key domain. */
   def mixBucket(key: Column): Column =
-    pmod(pmod(key * 2654435761L, lit(1000003L)), lit(100))
+    pmod(pmod(pmod(key, lit(1000003L)) * KnuthRed1000003, lit(1000003L)), lit(100))
 
   /** Two-key integer mix in [0, 1000003) — the pair-sampling form of
-    * mixBucket, same overflow-safe pmod contract. Range is only ~10⁶:
-    * use [[mixPairWide]] when the mix is mapped onto an index space that
-    * can exceed a million keys. */
+    * mixBucket, same overflow-safe pmod + pre-reduced-multiplier
+    * contract. Range is only ~10⁶: use [[mixPairWide]] when the mix is
+    * mapped onto an index space that can exceed a million keys. */
   def mixPair(a: Column, b: Column): Column =
-    pmod(a * 2654435761L + b * 40503L, lit(1000003L))
+    pmod(pmod(a, lit(1000003L)) * KnuthRed1000003 +
+      pmod(b, lit(1000003L)) * 40503L, lit(1000003L))
 
   /** Exclusive upper bound of [[mixPairWide]]: 1000003 · 999983 ≈ 10¹². */
   val WideMixMax: Long = 1000003L * 999983L
@@ -39,12 +50,15 @@ object Sampling {
     * modulus [0, 1000003) range silently made every index ≥ 1000003
     * unreachable when pmod'ed by a larger candidate count (plus modulo
     * bias near the boundary); this form covers candidate sides up to
-    * ~10¹² distinct keys with bias ≤ n/10¹². All arithmetic stays inside
-    * int64 for |key| ≲ 3.5·10⁹ (beyond that Spark wraps deterministically;
-    * the DuckDB twin is only evaluated at fixture-scale keys). */
+    * ~10¹² distinct keys with bias ≤ n/10¹². Both component mixes
+    * pre-reduce their keys into their modulus before multiplying
+    * (value-identical, see [[KnuthRed1000003]]), so all arithmetic stays
+    * inside int64 for EVERY int64 key — the raw-key form threw ANSI
+    * overflow at the sf10 fixture's 10¹⁰-scale ids. */
   def mixPairWide(a: Column, b: Column): Column =
-    pmod(a * 2654435761L + b * 40503L, lit(1000003L)) * 999983L +
-      pmod(a * 48271L + b * 69621L, lit(999983L))
+    mixPair(a, b) * 999983L +
+      pmod(pmod(a, lit(999983L)) * 48271L +
+        pmod(b, lit(999983L)) * 69621L, lit(999983L))
 
   /** Per-stratum keep-rates: keep a row iff its mix bucket falls under
     * the stratum's percentage (strata missing from `rates` drop to

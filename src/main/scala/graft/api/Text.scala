@@ -638,16 +638,23 @@ object Text {
     * (the per-shard order is materialized shard-locally — at production
     * scale this is `repartitionByRange(shard, h)` + sortWithinPartitions
     * into one file per shard, never a global sort), and a `shards`-row
-    * aggregate. Input ids must stay below ~3.4e9 for the multiplication
-    * to fit a signed 64-bit integer in both engines; a production run on
-    * synthetic wider keys swaps in xxhash64 (same shape, no SQL twin). */
+    * aggregate. The multiplicative hash splits the (2³²-reduced) key
+    * into 16-bit halves so every intermediate stays in int64 for ANY
+    * non-negative int64 id — bit-identical to (id·2654435761) mod 2³²
+    * ((k₁·2¹⁶ + k₀)·C ≡ k₀·C + ((k₁·(C mod 2¹⁶)) mod 2¹⁶)·2¹⁶ mod 2³²;
+    * the raw product threw ANSI overflow at the sf10 fixture's
+    * 10¹⁰-scale ids, which the DuckDB twin never sees). */
   def globalShuffle(corpus: DataFrame, id: String, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, "shards must be positive")
+    val k = pmod(col("doc_id"), lit(4294967296L))
+    val k1 = shiftright(k, 16)
+    val k0 = k.bitwiseAND(65535L)
     val base = corpus
       .select(col(id).as("doc_id"))
       .select(col("doc_id"),
-        ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+        pmod(k0 * 2654435761L + pmod(k1 * 31153L, lit(65536L)) * 65536L,
+          lit(4294967296L)).as("h"))
       .withColumn("shard", col("h") % shards)
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     base.withColumn("rn", row_number().over(w))

@@ -253,7 +253,12 @@ object AnalyticsPack {
       val audit = o.agg(count(lit(1)).as("n_total"),
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50_exact"))
       o.crossJoin(broadcast(audit))
-        .filter(pmod(pmod(col("o_orderkey") * 2654435761L, lit(1000003L)),
+        // pre-reduced multiplier (2654435761 ≡ 427799 mod 1000003):
+        // value-identical to key·2654435761 mod 1000003 for every key,
+        // but in-int64 at the 10¹⁰-scale replica ids where the raw
+        // product threw ANSI overflow (sf10 checkpoint catch).
+        .filter(pmod(pmod(pmod(col("o_orderkey"), lit(1000003L)) * 427799L,
+            lit(1000003L)),
           greatest(lit(1L), expr("n_total div " + SqCap))) === 0)
         .groupBy(col("n_total"), col("q50_exact"))
         .agg(count(lit(1)).as("n_sampled"),

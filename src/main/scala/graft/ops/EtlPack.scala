@@ -321,7 +321,8 @@ object EtlPack {
     * corpus sizes). */
   def samplePersons(persons: DataFrame, d: Long): DataFrame =
     persons.filter(
-      pmod(pmod(col("hid") * 2654435761L, lit(1000003L)), lit(d)) === 0)
+      pmod(pmod(pmod(col("hid"), lit(1000003L)) * 427799L, lit(1000003L)),
+        lit(d)) === 0)
 
   val queries: Map[String, Q] = Map(
     // S7 on the real landing shape: whole-document pages → one row per

@@ -36,7 +36,6 @@ object SearchPack {
   private def ratioSql(a: String, b: String): String =
     s"round(100.0 * (1.0 - levenshtein($a, $b) / CAST(greatest(length($a), length($b)) AS DOUBLE)), 6)"
 
-  private def tokenSort(c: Column): Column = graft.api.Search.tokenSort(c)
   private def tokenSortSql(e: String): String =
     s"array_to_string(list_sort(string_split($e, ' ')), ' ')"
 
@@ -90,25 +89,30 @@ object SearchPack {
     // dispatch, inert here — query and names are same-length) over all
     // normalized names with the reference's re-rank bonuses, threshold
     // 60, deterministic top-10 (ref fuzzy_search.py:54-94; settings.py:46
-    // cutoff 60).
+    // cutoff 60). Scored through the NATIVE wratio expression (one
+    // codegen'd JVM call per row) rather than the composed Column form —
+    // value-identical stage by stage (PropertySpec pins parity), but the
+    // Column form's partial legs are interpreted higher-order lambdas
+    // the scan pays per row; the switch also puts the native node under
+    // the DuckDB oracle directly. The Column form stays the API path
+    // (api.Search.fuzzyTopK) and keeps its parity pin.
     "search_fuzzy_topk" -> ((s, d) => {
       val key = col("__key")
-      val base = graft.api.Search.fuzzyScoreWith(key, col("__key_ts"), FuzzyQuery)
+      val base = call_function("wratio", key, lit(FuzzyQuery))
       val bonus =
         when(length(key) < length(lit(FuzzyQuery)) / 2, -30.0).otherwise(0.0) +
         when(key.startsWith(FuzzyQuery.substring(0, 4)), 20.0).otherwise(0.0) +
         when(key.contains(FuzzyQuery.substring(9)), 10.0).otherwise(0.0)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), norm(col("c_name")).as("__key"))
-        .withColumn("__key_ts", tokenSort(col("__key")))
         .select(col("c_custkey"), col("c_name"),
           round(base + bonus, 6).as("score"))
         .orderBy(col("score").desc, col("c_custkey").asc)
         .limit(10)
         // threshold AFTER the top-k: top-10-then-filter is set-equal to
-        // filter-then-top-10 here, and keeps the (expensive, interpreted
-        // lambda) score expression out of a pushed-down filter that would
-        // evaluate it a second time per row.
+        // filter-then-top-10 here, and keeps the expensive score
+        // expression out of a pushed-down filter that would evaluate it
+        // a second time per row.
         .filter(col("score") >= 60.0)
     }),
 
@@ -135,13 +139,16 @@ object SearchPack {
     // full ratio alone scores "custoner#42" vs "customer#000000042" at
     // ~56 — below the 60 cutoff; the 0.9-damped best window (~65) is
     // what makes short-name lookup work at all.
+    // Native wratio here too: this is the query where the partial-leg
+    // window sweep actually runs per row (short query vs long names →
+    // the ≥ 1.5 dispatch fires), so the codegen'd node vs the
+    // interpreted transform/sequence lambdas is the whole scan cost.
     "search_fuzzy_partial" -> ((s, d) => {
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), norm(col("c_name")).as("__key"))
-        .withColumn("__key_ts", tokenSort(col("__key")))
         .select(col("c_custkey"), col("c_name"),
-          round(graft.api.Search.fuzzyScoreWith(col("__key"), col("__key_ts"),
-            PartialQuery), 6).as("score"))
+          round(call_function("wratio", col("__key"), lit(PartialQuery)), 6)
+            .as("score"))
         .orderBy(col("score").desc, col("c_custkey").asc)
         .limit(10)
         .filter(col("score") >= 60.0)   // after top-k: see search_fuzzy_topk

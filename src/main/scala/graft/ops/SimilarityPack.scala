@@ -60,6 +60,15 @@ object SimilarityPack {
   private val Pivots    = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
   /** Lloyd rounds for the IVF coarse quantizer. */
   private val KmIters   = 2
+  /** Target cell occupancy of the SIZED SemDeDup quantizer (semCells):
+    * k = max(8, ceil(n / SemTargetCell)) seeds, so cells stay
+    * ~constant-sized as the corpus grows — the k ∝ n contract from
+    * Abbas et al. 2023 (the paper fits 50k-110k clusters for corpora of
+    * millions for exactly this reason). The 8 floor keeps the quantizer
+    * IVF-shaped on the tiny fixtures. */
+  private val SemTargetCell = 512
+  private def semK(n: Long): Int =
+    math.max(8L, (n + SemTargetCell - 1) / SemTargetCell).toInt
   /** PQ geometry: Dim/PqSubDim subspaces of PqSubDim dims each; codebook
     * size = |Pivots| codes per subspace; top-PqOverfetch ADC candidates
     * are exactly re-ranked. */
@@ -211,6 +220,90 @@ object SimilarityPack {
         cent = next
       }
       cent
+    }
+
+  /** Fitted centroids packed to one array row per cell — (cid, cvec),
+    * the broadcastable form the native prefilter probes. */
+  private def packCent(cent: DataFrame): DataFrame =
+    cent.groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("cid"), expr("transform(pc, x -> x.cv)").as("cvec"))
+
+  /** Nearest-centroid assignment that never explodes n·k·dim rows:
+    * a DOUBLE-precision native `l2_dist2` probe over the broadcast
+    * packed centroids prunes to the cells within a small margin of each
+    * vector's minimum (one codegen'd pass over n·k pairs, min is
+    * map-side combined so only |V| rows shuffle), then the exact
+    * order-independent decimal distance re-ranks the ~1-3 survivors and
+    * picks the winner with the (d2, cid) tie-break. The DuckDB twin
+    * computes the exact decimal distance for EVERY (vec, cid) pair
+    * directly — sound because the margin provably contains the exact
+    * argmin (double error on a 64-term sum is ~1e-14 relative, the
+    * margin is 1e-6), so Spark re-ranks a superset that contains the
+    * oracle's winner and exact ties carry both candidates into the
+    * shared tie-break. Same prefilter + exact-verify discipline as the
+    * cosine near-dup family, applied to quantizer assignment. */
+  private def assignCells(s: SparkSession, d: String, cent: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probe = emb.crossJoin(broadcast(packCent(cent)))
+      .select(col("vec_id"), col("cid"),
+        call_function("l2_dist2", col("embedding"), col("cvec")).as("d2d"))
+    // |V|-row min frame; broadcast back so the n·k probe stream itself
+    // never shuffles (it is re-scanned, which beats spilling it — the
+    // probe is pure codegen over a broadcast).
+    val mins = probe.groupBy(col("vec_id")).agg(min(col("d2d")).as("md"))
+    val surv = probe.join(broadcast(mins), "vec_id")
+      .filter(col("d2d") <= col("md") * lit(1.000001) + lit(1e-9))
+      .select(col("vec_id"), col("cid"))
+    comps(s, d).join(surv, "vec_id")
+      .join(broadcast(cent), Seq("cid", "pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** The SIZED SemDeDup quantizer — the k ∝ n contract made real:
+    * k = semK(n) hash-minimal seed vectors (h28 order — a deterministic
+    * uniform sample both engines replay), refined by the same KmIters
+    * Lloyd rounds as the fixed fixture quantizer, every assignment
+    * through [[assignCells]]' prefilter + exact re-rank. Cells stay
+    * ~SemTargetCell vectors at every scale, so dedup_semantic's
+    * within-cell pair sweep is LINEAR in the corpus (the r10-pinned
+    * k = 8 form measured Σcell² = n²/8 — the sf10 full-surface
+    * checkpoint caught it filling the host disk). Flat assignment is
+    * n·k probe pairs — the quadratic-with-a-1/512-constant term that
+    * flat quantizers pay everywhere (SemDeDup hides it in GPU k-means);
+    * past ~10⁷ vectors the assignment itself wants an ANN probe
+    * (lshBuckets' job), which slots in without changing this contract.
+    * Session-cached like the other fitted artifacts. */
+  private[ops] def semCells(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"sim.semcells:$d") {
+      val k = semK(Tables.embeddings(s, d).count())
+      val seeds = Tables.embeddings(s, d)
+        .orderBy(h28(col("vec_id").cast("string")).asc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id").as("cid"))
+      var cent = comps(s, d)
+        .join(broadcast(seeds), col("vec_id") === col("cid"))
+        .select(col("cid"), col("pos"), col("v").as("cv"))
+        .repartition(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cent.count()
+      for (_ <- 1 to KmIters) {
+        val a = assignCells(s, d, cent)
+        val next = comps(s, d).join(a, "vec_id")
+          .groupBy(col("cid"), col("pos"))
+          .agg((psum(col("v")) / count(lit(1))).as("cv"))
+          .repartition(1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cent.unpersist(false)
+        cent = next
+      }
+      assignCells(s, d, cent)
     }
 
   /** L2-NORMALIZED exploded components with a subspace id —
@@ -612,55 +705,79 @@ object SimilarityPack {
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup at
     // corpus scale — pairwise cosine is computed ONLY between vectors the
-    // fitted IVF coarse quantizer assigns to the same cell, never across
-    // the corpus: the k-means partition bounds candidate generation the
-    // way LSH bands do for MinHash (Σ cell² pairs, cells ≈ n/k), and the
-    // quantizer is the SAME fitted artifact sim_ivf_topk probes (cached,
-    // oracle-checked). Drop rule: a vector is a semantic duplicate when a
-    // SMALLER-id cell-mate sits at ≥ SemThresh cosine — the deterministic
-    // keep-the-min-id form of the paper's keep-one-per-cluster step.
-    // SCALE KNOB, stated: total work is Σ cell² = n²/k for k cells, so
-    // SemDeDup's contract is k ∝ n (the paper fits 50k-110k clusters;
-    // cells stay ~constant-sized and the sweep stays linear). The
-    // fixture pins k = |Pivots| = 8 so the fitted quantizer itself stays
-    // under the DuckDB oracle — which makes THIS query's cost quadratic
-    // across fixture scales (BENCH_SF1 measures it); the production
-    // form grows the seed set with the corpus, nothing else changes.
-    // Output is the drop list with its evidence (how many better copies,
-    // and the closest one's cosine).
+    // fitted coarse quantizer assigns to the same cell, never across the
+    // corpus: the k-means partition bounds candidate generation the way
+    // LSH bands do for MinHash. Drop rule: a vector is a semantic
+    // duplicate when a SMALLER-id cell-mate sits at ≥ SemThresh cosine —
+    // the deterministic keep-the-min-id form of the paper's
+    // keep-one-per-cluster step. The quantizer is the SIZED Lloyd fit
+    // (semCells): k = max(8, ceil(n/512)) hash-minimal seeds, so cells
+    // stay ~constant and the within-cell sweep Σcell² ≈ n·512 is LINEAR
+    // in the corpus. (Through round 10 this query pinned k = 8, whose
+    // Σcell² = n²/8 filled the host disk at the sf10 full-surface
+    // checkpoint — the "grow the seed set with the corpus" production
+    // form this comment used to defer to is now the query itself; the
+    // whole sized fit stays under the DuckDB oracle via the seed-rank
+    // CTE + the same unrolled Lloyd chain.) Output is the drop list with
+    // its evidence (how many better copies, the closest one's cosine).
     "dedup_semantic" -> ((s, d) => {
       graft.api.Similarity.semanticDropList(Tables.embeddings(s, d),
-          "vec_id", "embedding", ivfAssign(s, d), SemThresh)
+          "vec_id", "embedding", semCells(s, d), SemThresh)
         .orderBy(col("vec_id"))
     })
   )
+
+  /** One exact-decimal Lloyd assignment step as a CTE (every (vec, cid)
+    * distance — the oracle replays the full product; Spark prunes it
+    * with the l2_dist2 prefilter, provably same winners). */
+  private def kmAssignSql(name: String, centCte: String) =
+    s"""$name AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM (SELECT x.vec_id, c.cid,
+       |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+       |      FROM comps x JOIN $centCte c ON c.pos = x.pos
+       |      GROUP BY x.vec_id, c.cid))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One exact-decimal Lloyd mean step as a CTE. */
+  private def kmCentSql(name: String, assignCte: String) =
+    s"""$name AS MATERIALIZED (SELECT a.cid, x.pos,
+       |    CAST(SUM(CAST(x.v AS $PsumCast)) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM comps x JOIN $assignCte a ON a.vec_id = x.vec_id
+       |  GROUP BY a.cid, x.pos)""".stripMargin
+
+  /** KmIters Lloyd rounds from seed CTE `c0` of prefix `p`, ending in
+    * the final assignment CTE `${p}afin`. */
+  private def kmChainSql(p: String): String = {
+    val chain = (1 to KmIters).map { k =>
+      kmAssignSql(s"${p}a$k", s"${p}c${k - 1}") + ",\n" + kmCentSql(s"${p}c$k", s"${p}a$k")
+    }.mkString(",\n")
+    s"$chain,\n${kmAssignSql(s"${p}afin", s"${p}c$KmIters")}"
+  }
 
   /** DuckDB twin of kmeansCentroids + final cell assignment: the Lloyd
     * recurrence unrolled into chained CTEs (c0 → a1 → c1 → … → afin),
     * exact-decimal distance and mean reductions — identical cells on
     * both engines. */
-  private def ivfKmeansSql: String = {
-    def assignSql(name: String, centCte: String) =
-      s"""$name AS MATERIALIZED (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY d2 ASC, cid ASC) AS rn
-         |    FROM (SELECT x.vec_id, c.cid,
-         |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
-         |      FROM comps x JOIN $centCte c ON c.pos = x.pos
-         |      GROUP BY x.vec_id, c.cid))
-         |  WHERE rn = 1)""".stripMargin
-    def centSql(name: String, assignCte: String) =
-      s"""$name AS MATERIALIZED (SELECT a.cid, x.pos,
-         |    CAST(SUM(CAST(x.v AS $PsumCast)) AS DOUBLE) / COUNT(*) AS cv
-         |  FROM comps x JOIN $assignCte a ON a.vec_id = x.vec_id
-         |  GROUP BY a.cid, x.pos)""".stripMargin
-    val chain = (1 to KmIters).map { k =>
-      assignSql(s"a$k", s"c${k - 1}") + ",\n" + centSql(s"c$k", s"a$k")
-    }.mkString(",\n")
+  private def ivfKmeansSql: String =
     s"""c0 AS MATERIALIZED (SELECT vec_id AS cid, pos, v AS cv FROM comps
        |  WHERE vec_id IN (${Pivots.mkString(", ")})),
-       |$chain,
-       |${assignSql("afin", s"c$KmIters")}""".stripMargin
+       |${kmChainSql("")}""".stripMargin
+
+  /** DuckDB twin of [[semCells]] — the SIZED quantizer: k = semK(n)
+    * hash-minimal seeds by the h28 rank (same rule as the Spark
+    * orderBy + limit), then the same Lloyd chain; ends in `safin`. */
+  private def semKmeansSql: String = {
+    val kExpr = s"GREATEST(8, CAST(CEIL((SELECT COUNT(*) FROM embeddings)" +
+      s" / $SemTargetCell.0) AS BIGINT))"
+    s"""sseed AS MATERIALIZED (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |        ORDER BY ${h28Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+       |    FROM embeddings) WHERE rn <= $kExpr),
+       |sc0 AS MATERIALIZED (SELECT vec_id AS cid, pos, v AS cv FROM comps
+       |  WHERE vec_id IN (SELECT vec_id FROM sseed)),
+       |${kmChainSql("s")}""".stripMargin
   }
 
   /** DuckDB twin of pqCodebooks + the final per-(vec, sub) code
@@ -882,9 +999,9 @@ object SimilarityPack {
     // within-cell pair through decimal arithmetic) into ~3 min.
     "dedup_semantic" ->
       s"""WITH $compsSql, $normsSql,
-         |$ivfKmeansSql,
+         |$semKmeansSql,
          |cand AS (SELECT a.vec_id AS i, b.vec_id AS j
-         |  FROM afin a JOIN afin b ON b.cid = a.cid AND a.vec_id < b.vec_id),
+         |  FROM safin a JOIN safin b ON b.cid = a.cid AND a.vec_id < b.vec_id),
          |pairs AS (SELECT c.i, c.j FROM cand c
          |  JOIN embeddings ea ON ea.vec_id = c.i
          |  JOIN embeddings eb ON eb.vec_id = c.j

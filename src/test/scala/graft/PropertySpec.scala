@@ -31,15 +31,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("integer-mix bucket is stable and in [0, 100) for any key") {
+  test("integer-mix bucket is in [0, 100) and equals the ideal Knuth mix for any key") {
     // floorMod IS Spark's pmod for a positive modulus — this models the
-    // actual Column expression in Sampling.mixBucket (which uses pmod at
-    // both reductions exactly so negative keys and the sign flip from
-    // key*2654435761 int64 overflow stay inside the contract; the
-    // splitmix sample stream covers both negative and overflowing keys).
+    // actual Column expression in Sampling.mixBucket: the key is
+    // pre-reduced into the modulus and multiplied by the REDUCED
+    // constant (2654435761 ≡ 427799 mod 1000003), which never leaves
+    // int64 for any key. The BigInt form is the ideal (overflow-free)
+    // k·2654435761 mod 1000003 mod 100 — the reduced form must equal it
+    // EVERYWHERE, including the 10¹⁰-scale keys where the raw int64
+    // product used to throw ANSI overflow (sf10 checkpoint catch); the
+    // splitmix sample stream covers negative and overflowing keys.
     for (k <- samples(2000)) {
-      val b = math.floorMod(math.floorMod(k * 2654435761L, 1000003L), 100L)
+      val red = math.floorMod(math.floorMod(k, 1000003L) * 427799L, 1000003L)
+      val b = math.floorMod(red, 100L)
       assert(b >= 0 && b < 100, s"k=$k -> $b")
+      val ideal = ((BigInt(k) * BigInt(2654435761L)) mod BigInt(1000003L)) % 100
+      assert(BigInt(b) == ideal, s"k=$k reduced $b != ideal $ideal")
     }
   }
 

@@ -132,6 +132,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(mismatch(0).isNullAt(0))
   }
 
+  test("l2_dist2: values, mixed element types, nulls, and length mismatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),   // identical → 0
+      (Array(3.0f, 0.0f), Array(0.0f, 4.0f)))   // 3-4-5 → 25
+      .toDF("a", "b")
+    val got = df.select(call_function("l2_dist2", col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 0.0)
+    assert(math.abs(got(1).getDouble(0) - 25.0) < 1e-12)
+    // float vs double element types accepted on either side
+    val mixed = Seq((Array(1.0f, 1.0f), Array(2.0, 3.0))).toDF("a", "b")
+      .select(call_function("l2_dist2", col("a"), col("b"))).collect()
+    assert(math.abs(mixed(0).getDouble(0) - 5.0) < 1e-12)
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(call_function("l2_dist2", col("a"), col("b"))).collect()
+    assert(mismatch(0).isNullAt(0))
+  }
+
   test("fingerprint is order-sensitive where minhash is not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
