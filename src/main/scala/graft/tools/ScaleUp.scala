@@ -97,6 +97,11 @@ object ScaleUp {
     val copr = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     require(replicas <= copr.length * 26,
       s"affine text bijection supports up to ${copr.length * 26} replicas")
+    // Name-pad ceiling: offset keys (key + r·Stride, source keys ≤ 9
+    // digits) must fit the 12-digit replica-name pad — lpad TRUNCATES
+    // beyond it (the silent digit-drop this guard exists to prevent).
+    require((replicas - 1).toLong * Stride + 999999999L < 1000000000000L,
+      s"offset keys for $replicas replicas overflow the 12-digit name pad")
     val perms = (0 until replicas).map { r =>
       val a = copr((r / 26) % copr.length); val b = r % 26
       (0 until 26).map(l => ('a' + (a * l + b) % 26).toChar).mkString
@@ -143,8 +148,18 @@ object ScaleUp {
       val check = pmod(expr("(__r div 100) + (__r div 10) + __r"), lit(10L))
       concat(lpad(col("__r").cast("string"), 3, "0"), check.cast("string"))
     }
+    // Offset-key digits at width 12, NOT 9: Spark's lpad TRUNCATES a
+    // longer string to the target length, so at width 9 every replica
+    // r ≥ 10 (offset key ≥ 10 digits) silently lost its LAST key digit
+    // — ~10 keys per replica collapsed to one duplicate name, and the
+    // sf10 full-surface checkpoint measured the fallout as a 15.6×
+    // search_lev_autojoin (millions of distance-0 name pairs). Width 12
+    // holds the full 312-replica offset range (3.12e10 + key, 11
+    // digits; the require pins it), and because the offset key embeds r
+    // across the pad, replicas ≥ 1 share NO common digit tail — the
+    // zero-run shift-aliasing between check blocks is gone too.
     def named(pfx: String, key: String) = {
-      val offKey = lpad((col(key) + col("__r") * Stride).cast("string"), 9, "0")
+      val offKey = lpad((col(key) + col("__r") * Stride).cast("string"), 12, "0")
       when(col("__r") === 0, concat(lit(pfx), lpad(col(key).cast("string"), 9, "0")))
         .otherwise(concat(lit(pfx), nameSalt, offKey))
     }
