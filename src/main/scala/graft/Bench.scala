@@ -9,10 +9,13 @@ object Bench {
     // the skew counter contain the damage but the official artifact
     // deserves a quiet start. Before any Spark work, wait (bounded) for
     // the 1-minute load to fall under the gate; if it never does,
-    // proceed and let the recorded load/wait fields self-identify the
-    // noisy run. SPARK_GRAFT_LOAD_GATE=0 disables.
+    // proceed — but the artifact ships `valid:false` (r12: the r11
+    // driver capture started at load 8.2 after a 90 s wait and shipped
+    // `valid:true` with a +7.6% total the clean sf1 artifact disproved;
+    // a load-tainted total must self-identify as untrusted, not just
+    // carry footnote fields). SPARK_GRAFT_LOAD_GATE=0 disables.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
-    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX", "600").toInt
+    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX", "1800").toInt
     def load1(): Double =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
@@ -168,10 +171,17 @@ object Bench {
       }
     }
     val skewUnresolved = unresolved().size
-    val benchValid = passes < 2 || skewUnresolved <= skewMax
+    // A run that STARTED above the gate is load-tainted: the external
+    // load was there before any Spark work, so min-of-N can't prove any
+    // pass was clean. (Self-load between passes is NOT checked — the
+    // 1-minute average right after a 32-core pass reads our own work.)
+    val loadTainted = loadGate > 0 && loadAtGate > loadGate
+    val benchValid = (passes < 2 || skewUnresolved <= skewMax) && !loadTainted
     if (!benchValid)
-      System.err.println(s"[bench] INVALID: $skewUnresolved queries still " +
-        s"skewed after $repairPasses repair passes (bound $skewMax)")
+      System.err.println(s"[bench] INVALID: " +
+        (if (loadTainted) f"started at load $loadAtGate%.2f > gate $loadGate%.1f; " else "") +
+        s"$skewUnresolved queries still skewed after $repairPasses repair " +
+        s"passes (bound $skewMax)")
     // Per-query: min over SUCCESSFUL samples (initial passes + repairs);
     // a query with no successful pass keeps a negative time and lands in
     // `failed`.
@@ -214,7 +224,7 @@ object Bench {
         s""""repair_passes":$repairPasses,"valid":$benchValid,""" +
         s""""load_avg_before":"$loadBefore","load_avg_after":"$loadAfter",""" +
         s""""load_gate":$loadGate,"load_gate_waited_sec":$gateWaited,""" +
-        s""""load_avg_at_gate":$loadAtGate,""" +
+        s""""load_avg_at_gate":$loadAtGate,"load_tainted":$loadTainted,""" +
         s""""queries_total":$queriesTotal,"sf":"$sfDir""""
     // stdout is the driver contract and long lines truncate there: its
     // capture keeps only a ~2.2 KB tail, so rounds 1-5 all recorded

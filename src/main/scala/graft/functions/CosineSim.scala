@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * here, unlike a shuffled SUM). Returns null if either side is null or
   * lengths differ; both float and double element types are accepted.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with NumericArrayPair {
   override def dataType: DataType = DoubleType
 
   private def elemType(e: Expression): DataType =

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * cosine near-dup family. Returns null if either side is null or the
   * lengths differ; float and double element types are accepted.
   */
-case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression {
+case class L2Dist2(left: Expression, right: Expression)
+    extends BinaryExpression with NumericArrayPair {
   override def dataType: DataType = DoubleType
 
   private def elemType(e: Expression): DataType =

@@ -881,7 +881,7 @@ object AnalyticsPack {
          |  FROM orders),
          |k AS (SELECT o.o_totalprice, s0.n_total, s0.q50_exact
          |  FROM orders o, s0
-         |  WHERE ((o.o_orderkey * 2654435761) % 1000003)
+         |  WHERE (((o.o_orderkey % 1000003) * 427799) % 1000003)
          |    % greatest(1, n_total // $SqCap) = 0),
          |a AS (SELECT n_total, q50_exact, COUNT(*) AS n_sampled,
          |    round(quantile_cont(o_totalprice, 0.25), 6) AS q25_sample,
@@ -1166,7 +1166,7 @@ object AnalyticsPack {
       """WITH t AS (SELECT o_orderpriority,
         |    CASE WHEN o_orderpriority LIKE '1%' THEN 100
         |         WHEN o_orderpriority LIKE '2%' THEN 50 ELSE 10 END AS rate,
-        |    CASE WHEN (o_orderkey * 2654435761) % 1000003 % 100 <
+        |    CASE WHEN ((o_orderkey % 1000003) * 427799) % 1000003 % 100 <
         |        CASE WHEN o_orderpriority LIKE '1%' THEN 100
         |             WHEN o_orderpriority LIKE '2%' THEN 50 ELSE 10 END
         |      THEN 1 ELSE 0 END AS keep

@@ -229,6 +229,11 @@ object DedupPack {
     // pairs within Hamming distance 6. Bit j of the fingerprint is the
     // sign of Σ_tokens (±1 by bit j of the token hash).
     "dedup_simhash" -> ((s, d) => {
+      // Quadratic-by-design teaching twin — ScaleGuard steers users to
+      // the output-identical linear form past the warn threshold (and
+      // hard-fails under spark.graft.quadraticFailRows).
+      ScaleGuard.quadratic(s, "dedup_simhash",
+        Tables.documents(s, d).count(), "dedup_simhash_banded")
       val fp = simhashFingerprints(s, d)
       fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),

@@ -655,7 +655,7 @@ object EtlPack {
          |hum AS (SELECT CAST(substr(id, 2) AS BIGINT) AS hid
          |  FROM nod WHERE type = 'human'),
          |samp AS (SELECT hid FROM hum
-         |  WHERE ((hid * 2654435761) % 1000003)
+         |  WHERE (((hid % 1000003) * 427799) % 1000003)
          |        % GREATEST(1, (SELECT COUNT(*) FROM hum) // $PairSampleCap) = 0),
          |vx2 AS (SELECT DISTINCT src AS id FROM und),
          |m0 AS (SELECT h.hid AS s0, v.id,

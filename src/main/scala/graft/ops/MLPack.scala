@@ -1315,8 +1315,8 @@ object MLPack {
          |  FROM rnk JOIN offs ON offs.bkt = rnk.bkt),
          |cand AS (SELECT DISTINCT t.c, sidx.p FROM (
          |    SELECT c_custkey AS c,
-         |      (((c_custkey * 2654435761 + j * 40503) % 1000003) * 999983
-         |        + ((c_custkey * 48271 + j * 69621) % 999983))
+         |      ((((c_custkey % 1000003) * 427799 + j * 40503) % 1000003) * 999983
+         |        + (((c_custkey % 999983) * 48271 + j * 69621) % 999983))
          |        % (SELECT COUNT(*) FROM sidx) AS bidx
          |    FROM customer
          |    CROSS JOIN (SELECT unnest(range(0, $NegPerCust)) AS j)) t

@@ -32,6 +32,15 @@ object SimilarityPack {
   // DuckDB oracle — same discipline as Search.sizedBlockedSimJoin.
   private val TargetBucket = 32
   private val MaxPlanes    = 16
+  /** Second phase of sim_dedup_sweep's banding (r11 verdict: the
+    * integer plane count steps with log n, so a capture at a step
+    * boundary measured 10.8× for 10× data): buckets holding more than
+    * SplitCap vectors — the dense-region tail that dominates Σs² under
+    * any single-phase signing — get [[SplitPlanes]] EXTRA sign bits,
+    * bounding the per-key pair fanout independently of where n sits in
+    * the 2^p step. Same two-phase shape as dedup_simhash_banded. */
+  private val SplitCap    = 4 * TargetBucket
+  private val SplitPlanes = 3
   // Floored at p = 1: p = 0 means ZERO hyperplanes, and lshBuckets'
   // inner join on the (empty) plane frame would silently drop every
   // vector on a ≤ TargetBucket corpus — one plane (two buckets) keeps
@@ -69,6 +78,19 @@ object SimilarityPack {
   private val SemTargetCell = 512
   private def semK(n: Long): Int =
     math.max(8L, (n + SemTargetCell - 1) / SemTargetCell).toInt
+  /** Super-cell count of the TWO-LEVEL ANN-probed assignment (r11
+    * verdict: the flat n·k probe was the 18.4× sf10 residual): g = ⌈√k⌉
+    * FIXED super-vectors (the first g of the k hash-minimal seeds — no
+    * Lloyd on supers, so the n·g vector→super ranking is computed ONCE).
+    * Each Lloyd-round assignment then probes only centroids whose
+    * nearest super is among the vector's top-[[SemProbe]] supers:
+    * n·g + rounds·n·m·(k/g) ≈ n·√k work instead of rounds·n·k. The
+    * 4 floor keeps the probe exhaustive (= exact flat assignment) on
+    * the small fixtures where k ≤ ~16. */
+  private def semG(k: Int): Int = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+  /** Supers probed per vector (the IVF nprobe knob applied to the
+    * assignment itself). m = g on small fixtures → exhaustive probe. */
+  private val SemProbe = 4
   /** PQ geometry: Dim/PqSubDim subspaces of PqSubDim dims each; codebook
     * size = |Pivots| codes per subspace; top-PqOverfetch ADC candidates
     * are exactly re-ranked. */
@@ -243,8 +265,8 @@ object SimilarityPack {
     * oracle's winner and exact ties carry both candidates into the
     * shared tie-break. Same prefilter + exact-verify discipline as the
     * cosine near-dup family, applied to quantizer assignment. */
-  private def assignCells(s: SparkSession, d: String, cent: DataFrame): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  private def assignFlat(s: SparkSession, d: String, cent: DataFrame,
+      emb: DataFrame): DataFrame = {
     val probe = emb.crossJoin(broadcast(packCent(cent)))
       .select(col("vec_id"), col("cid"),
         call_function("l2_dist2", col("embedding"), col("cvec")).as("d2d"))
@@ -265,6 +287,85 @@ object SimilarityPack {
       .select(col("vec_id"), col("cid"))
   }
 
+  /** Per-vector top-[[SemProbe]] supers — the ONE n·g ranking of the
+    * two-level assignment, computed once per fit (supers are fixed).
+    * Same prefilter discipline as everything else here: an l2_dist2
+    * double probe finds each vector's m-th-smallest distance, a small
+    * margin keeps every candidate the exact ranking could place in the
+    * top m (double error ~1e-14 relative vs the 1e-6 margin), and the
+    * exact decimal distance ranks the survivors with the (d2, sid)
+    * tie-break. The DuckDB twin ranks ALL n·g pairs exactly — identical
+    * top-m sets by the margin argument. */
+  private def vecSupers(s: SparkSession, d: String,
+      packSup: DataFrame, supComps: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probe = emb.crossJoin(broadcast(packSup))
+      .select(col("vec_id"), col("sid"),
+        call_function("l2_dist2", col("embedding"), col("svec")).as("d2d"))
+    // The m-th smallest DOUBLE distance per vector — the rank value is
+    // tie-order independent, so row_number's (d2d, sid) order is only
+    // for per-row determinism.
+    val kth = probe.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2d").asc, col("sid").asc)))
+      .filter(col("rn") === SemProbe)
+      .select(col("vec_id"), col("d2d").as("kd"))
+    val surv = probe.join(broadcast(kth), "vec_id")
+      .filter(col("d2d") <= col("kd") * lit(1.000001) + lit(1e-9))
+      .select(col("vec_id"), col("sid"))
+    comps(s, d).join(surv, "vec_id")
+      .join(broadcast(supComps), Seq("sid", "pos"))
+      .groupBy(col("vec_id"), col("sid"))
+      .agg(psum((col("v") - col("sv")) * (col("v") - col("sv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("sid").asc)))
+      .filter(col("rn") <= SemProbe)
+      .select(col("vec_id"), col("sid"))
+  }
+
+  /** TWO-LEVEL nearest-centroid assignment (the r11 verdict's ANN-probed
+    * form): centroids are bucketed by their nearest FIXED super
+    * (exact decimal over k·g pairs — tiny), candidate (vector, cell)
+    * pairs come from the EQUI-JOIN of the vector's precomputed top-m
+    * supers with the centroid buckets (n·m·k/g expected pairs instead
+    * of n·k), and the winner is picked by the same l2_dist2-margin +
+    * exact-decimal re-rank as the flat form. Vectors whose probed
+    * supers hold no centroid (possible once Lloyd moves cells between
+    * supers) fall back to the exact flat probe — a replayable rule, and
+    * a near-empty input in practice. The probe rule — not the flat
+    * argmin — IS the assignment's spec; the DuckDB twin replays the
+    * identical rule with exact decimal arithmetic end-to-end. */
+  private def assignCells(s: SparkSession, d: String, cent: DataFrame,
+      vsup: DataFrame, supComps: DataFrame): DataFrame = {
+    val csup = cent.join(broadcast(supComps), "pos")
+      .groupBy(col("cid"), col("sid"))
+      .agg(psum((col("cv") - col("sv")) * (col("cv") - col("sv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2").asc, col("sid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("sid"))
+    val cand = vsup.join(broadcast(csup), "sid").select(col("vec_id"), col("cid"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probe = cand.join(emb, "vec_id")
+      .join(broadcast(packCent(cent)), "cid")
+      .select(col("vec_id"), col("cid"),
+        call_function("l2_dist2", col("embedding"), col("cvec")).as("d2d"))
+    val mins = probe.groupBy(col("vec_id")).agg(min(col("d2d")).as("md"))
+    val surv = probe.join(broadcast(mins), "vec_id")
+      .filter(col("d2d") <= col("md") * lit(1.000001) + lit(1e-9))
+      .select(col("vec_id"), col("cid"))
+    val assigned = comps(s, d).join(surv, "vec_id")
+      .join(broadcast(cent), Seq("cid", "pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val missing = emb.join(cand.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    assigned.unionByName(assignFlat(s, d, cent, missing))
+  }
+
   /** The SIZED SemDeDup quantizer — the k ∝ n contract made real:
     * k = semK(n) hash-minimal seed vectors (h28 order — a deterministic
     * uniform sample both engines replay), refined by the same KmIters
@@ -273,37 +374,62 @@ object SimilarityPack {
     * ~SemTargetCell vectors at every scale, so dedup_semantic's
     * within-cell pair sweep is LINEAR in the corpus (the r10-pinned
     * k = 8 form measured Σcell² = n²/8 — the sf10 full-surface
-    * checkpoint caught it filling the host disk). Flat assignment is
-    * n·k probe pairs — the quadratic-with-a-1/512-constant term that
-    * flat quantizers pay everywhere (SemDeDup hides it in GPU k-means);
-    * past ~10⁷ vectors the assignment itself wants an ANN probe
-    * (lshBuckets' job), which slots in without changing this contract.
-    * Session-cached like the other fitted artifacts. */
+    * checkpoint caught it filling the host disk). Assignment is the
+    * TWO-LEVEL probe ([[assignCells]] — r12): the flat n·k probe that
+    * was the r11 sf10 checkpoint's 18.4× residual is replaced by one
+    * n·g super ranking plus per-round n·m·(k/g) candidate probes —
+    * ≈ n·√k total, the standard hierarchical form of IVF assignment
+    * (flat quantizers pay n·k everywhere; SemDeDup hides it in GPU
+    * k-means). Session-cached like the other fitted artifacts. */
   private[ops] def semCells(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.semcells:$d") {
       val k = semK(Tables.embeddings(s, d).count())
-      val seeds = Tables.embeddings(s, d)
+      val g = semG(k)
+      val ranked = Tables.embeddings(s, d)
         .orderBy(h28(col("vec_id").cast("string")).asc, col("vec_id").asc)
-        .limit(k)
-        .select(col("vec_id").as("cid"))
+      val seeds = ranked.limit(k).select(col("vec_id").as("cid"))
+      // The g = ⌈√k⌉ FIXED supers are the hash-minimal PREFIX of the
+      // seed set — both frames are the same deterministic rank, so the
+      // oracle replays them from one row_number.
+      val supers = ranked.limit(g).select(col("vec_id").as("sid"))
+      // Every fit-internal artifact below is truncated with an EAGER
+      // localCheckpoint, not persist: the two-level assignment references
+      // each frame from several branches (csup, cand, probe, fallback),
+      // so an un-truncated lineage makes each Lloyd round's plan TREE a
+      // multiple of the last round's — the probed r12 form OOM'd the
+      // driver in generateTreeString before truncation (same blowup class
+      // as the DFGraphAlgs BSP rounds, same fix). The lost size stats
+      // don't matter: every small frame is joined under an explicit
+      // broadcast() hint. Superseded rounds are freed by ContextCleaner
+      // once the var is reassigned (k×dim frames — tiny).
+      val supComps = comps(s, d)
+        .join(broadcast(supers), col("vec_id") === col("sid"))
+        .select(col("sid"), col("pos"), col("v").as("sv"))
+        .repartition(1)
+        .localCheckpoint(true)
+      val packSup = supComps.groupBy(col("sid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+        .select(col("sid"), expr("transform(ps, x -> x.sv)").as("svec"))
+      // The one n·g ranking — materialized once for the whole fit (every
+      // Lloyd round and the final assignment probe through it).
+      val vsup = vecSupers(s, d, packSup, supComps).localCheckpoint(true)
       var cent = comps(s, d)
         .join(broadcast(seeds), col("vec_id") === col("cid"))
         .select(col("cid"), col("pos"), col("v").as("cv"))
         .repartition(1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cent.count()
+        .localCheckpoint(true)
       for (_ <- 1 to KmIters) {
-        val a = assignCells(s, d, cent)
-        val next = comps(s, d).join(a, "vec_id")
+        cent = comps(s, d).join(assignCells(s, d, cent, vsup, supComps), "vec_id")
           .groupBy(col("cid"), col("pos"))
           .agg((psum(col("v")) / count(lit(1))).as("cv"))
           .repartition(1)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cent.unpersist(false)
-        cent = next
+          .localCheckpoint(true)
       }
-      assignCells(s, d, cent)
+      // The cached ASSIGNMENT is the fitted artifact (unlike
+      // kmeansCentroids, whose centroid frame is what consumers join);
+      // its plan is one probed assignment over checkpointed leaves, and
+      // DFCache's persist supplies the consumer-facing stats.
+      assignCells(s, d, cent, vsup, supComps)
     }
 
   /** L2-NORMALIZED exploded components with a subspace id —
@@ -430,6 +556,11 @@ object SimilarityPack {
     // api.Dedup.lshNearDupPairs) is the sub-quadratic form of record.
     "sim_cosine_neardup" -> ((s, d) => {
       import s.implicits._
+      // Quadratic-by-contract exact-recall sweep — ScaleGuard steers
+      // users to the sub-quadratic LSH path past the warn threshold
+      // (and hard-fails under spark.graft.quadraticFailRows).
+      ScaleGuard.quadratic(s, "sim_cosine_neardup",
+        Tables.embeddings(s, d).count(), "sim_lsh_topk / api.Dedup.lshNearDupPairs")
       val bps = (for (x <- 0 until NumBlocks; y <- x until NumBlocks)
         yield (x * NumBlocks + y, x, y)).toDF("bp", "bx", "by")
       val emb = Tables.embeddings(s, d)
@@ -477,9 +608,29 @@ object SimilarityPack {
     // a lower-id near-dup (the SemDeDup keep-min-id drop count).
     "sim_dedup_sweep" -> ((s, d) => {
       import s.implicits._
+      // TWO-PHASE banding: buckets past SplitCap vectors get SplitPlanes
+      // extra sign bits (planes j ∈ [p, p+SplitPlanes) — the same
+      // deterministic md5-parity family, so the oracle replays them),
+      // bounding per-key pair fanout independently of the log-n plane
+      // step. Non-overfull buckets keep subkey 0 — their candidate set
+      // is unchanged.
+      val p = sizedNumPlanes(Tables.embeddings(s, d).count())
       val b = buckets(s, d)
-      val cand = b.select(col("bucket"), col("vec_id").as("i"))
-        .join(b.select(col("bucket"), col("vec_id").as("j")), "bucket")
+      val over = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > SplitCap)
+        .select(col("bucket"), lit(true).as("ov"))
+      val extra = graft.api.Similarity
+        .hyperplanes(s, p + SplitPlanes, Dim)
+        .filter(col("j") >= p)
+      val subB = graft.api.Similarity.lshBuckets(comps(s, d), extra)
+        .select(col("vec_id"), col("bucket").as("subb"))
+      val keyed = b.join(broadcast(over), Seq("bucket"), "left")
+        .join(subB, "vec_id")
+        .select(col("vec_id"), col("bucket"),
+          when(col("ov"), col("subb")).otherwise(lit(0L)).as("subk"))
+      val cand = keyed.select(col("bucket"), col("subk"), col("vec_id").as("i"))
+        .join(keyed.select(col("bucket"), col("subk"), col("vec_id").as("j")),
+          Seq("bucket", "subk"))
         .filter(col("i") < col("j"))
         .select(col("i"), col("j"))
       val cos = cosineOf(comps(s, d), cand)
@@ -765,19 +916,78 @@ object SimilarityPack {
        |  WHERE vec_id IN (${Pivots.mkString(", ")})),
        |${kmChainSql("")}""".stripMargin
 
-  /** DuckDB twin of [[semCells]] — the SIZED quantizer: k = semK(n)
-    * hash-minimal seeds by the h28 rank (same rule as the Spark
-    * orderBy + limit), then the same Lloyd chain; ends in `safin`. */
+  /** One TWO-LEVEL assignment step as CTEs — the twin of [[assignCells]]
+    * with exact decimal arithmetic end-to-end (no margin needed: the
+    * oracle ranks every candidate exactly). `{name}_cs` buckets each
+    * centroid under its nearest super; `{name}_pa` ranks each vector
+    * over the centroids in its precomputed top-m supers; the fallback
+    * branch ranks vectors with NO probed candidate over all centroids —
+    * the identical replayable rule the Spark side applies. */
+  private def semAssignSql(name: String, centCte: String): String =
+    s"""${name}_cs AS (SELECT cid, sid FROM (
+       |    SELECT q.cid, q.sid, row_number() OVER (PARTITION BY q.cid
+       |        ORDER BY q.d2 ASC, q.sid ASC) AS rn
+       |    FROM (SELECT c.cid, p.sid,
+       |        CAST(SUM(CAST((c.cv - p.sv) * (c.cv - p.sv) AS $PsumCast)) AS DOUBLE) AS d2
+       |      FROM $centCte c JOIN supc p ON p.pos = c.pos
+       |      GROUP BY c.cid, p.sid) q)
+       |  WHERE rn = 1),
+       |${name}_pa AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT q.vec_id, q.cid, row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.d2 ASC, q.cid ASC) AS rn
+       |    FROM (SELECT cd.vec_id, cd.cid,
+       |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+       |      FROM (SELECT v.vec_id, cs.cid
+       |        FROM vsup v JOIN ${name}_cs cs USING (sid)) cd
+       |      JOIN comps x ON x.vec_id = cd.vec_id
+       |      JOIN $centCte c ON c.cid = cd.cid AND c.pos = x.pos
+       |      GROUP BY cd.vec_id, cd.cid) q)
+       |  WHERE rn = 1),
+       |$name AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM ${name}_pa
+       |  UNION ALL
+       |  SELECT vec_id, cid FROM (
+       |    SELECT q.vec_id, q.cid, row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.d2 ASC, q.cid ASC) AS rn
+       |    FROM (SELECT x.vec_id, c.cid,
+       |        CAST(SUM(CAST((x.v - c.cv) * (x.v - c.cv) AS $PsumCast)) AS DOUBLE) AS d2
+       |      FROM comps x JOIN $centCte c ON c.pos = x.pos
+       |      WHERE x.vec_id NOT IN (SELECT vec_id FROM ${name}_pa)
+       |      GROUP BY x.vec_id, c.cid) q)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of [[semCells]] — the SIZED quantizer with the
+    * TWO-LEVEL probed assignment: k = semK(n) hash-minimal seeds and
+    * g = semG(k) supers from ONE h28 rank (same rule as the Spark
+    * orderBy + limit prefix), the n·g vector→super ranking computed
+    * once, then the Lloyd chain with every assignment through
+    * [[semAssignSql]]; ends in `safin`. */
   private def semKmeansSql: String = {
     val kExpr = s"GREATEST(8, CAST(CEIL((SELECT COUNT(*) FROM embeddings)" +
       s" / $SemTargetCell.0) AS BIGINT))"
-    s"""sseed AS MATERIALIZED (SELECT vec_id FROM (
-       |    SELECT vec_id, row_number() OVER (
-       |        ORDER BY ${h28Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
-       |    FROM embeddings) WHERE rn <= $kExpr),
+    val gExpr = s"GREATEST(4, CAST(CEIL(SQRT(CAST($kExpr AS DOUBLE))) AS BIGINT))"
+    val chain = (1 to KmIters).map { r =>
+      semAssignSql(s"sa$r", s"sc${r - 1}") + ",\n" + kmCentSql(s"sc$r", s"sa$r")
+    }.mkString(",\n")
+    s"""srank AS MATERIALIZED (SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${h28Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+       |  FROM embeddings),
+       |sseed AS (SELECT vec_id FROM srank WHERE rn <= $kExpr),
+       |ssup AS (SELECT vec_id AS sid FROM srank WHERE rn <= $gExpr),
+       |supc AS MATERIALIZED (SELECT u.sid, c.pos, c.v AS sv
+       |  FROM comps c JOIN ssup u ON c.vec_id = u.sid),
+       |vsup AS MATERIALIZED (SELECT vec_id, sid FROM (
+       |    SELECT q.vec_id, q.sid, row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.d2 ASC, q.sid ASC) AS rn
+       |    FROM (SELECT x.vec_id, p.sid,
+       |        CAST(SUM(CAST((x.v - p.sv) * (x.v - p.sv) AS $PsumCast)) AS DOUBLE) AS d2
+       |      FROM comps x JOIN supc p ON p.pos = x.pos
+       |      GROUP BY x.vec_id, p.sid) q)
+       |  WHERE rn <= $SemProbe),
        |sc0 AS MATERIALIZED (SELECT vec_id AS cid, pos, v AS cv FROM comps
        |  WHERE vec_id IN (SELECT vec_id FROM sseed)),
-       |${kmChainSql("s")}""".stripMargin
+       |$chain,
+       |${semAssignSql("safin", s"sc$KmIters")}""".stripMargin
   }
 
   /** DuckDB twin of pqCodebooks + the final per-(vec, sub) code
@@ -843,9 +1053,27 @@ object SimilarityPack {
 
     "sim_dedup_sweep" ->
       s"""WITH $compsSql, $planesSql, $bucketsSql, $normsSql,
+         |xplanes AS (SELECT j, pos,
+         |    CASE WHEN ${h28Sql("concat('hp', j, '_', pos)")} % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END AS r
+         |  FROM (SELECT unnest(range(0, ${MaxPlanes + SplitPlanes})) AS j)
+         |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos)
+         |  CROSS JOIN np WHERE j >= np.p AND j < np.p + $SplitPlanes),
+         |xproj AS (SELECT c.vec_id, p.j,
+         |    CAST(SUM(CAST(c.v * p.r AS $PsumCast)) AS DOUBLE) AS dot
+         |  FROM comps c JOIN xplanes p ON p.pos = c.pos
+         |  GROUP BY c.vec_id, p.j),
+         |subb AS MATERIALIZED (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS subb
+         |  FROM xproj GROUP BY vec_id),
+         |bsz AS (SELECT bucket, COUNT(*) AS bn FROM buckets GROUP BY bucket),
+         |keyed AS MATERIALIZED (SELECT b.vec_id, b.bucket,
+         |    CASE WHEN z.bn > $SplitCap THEN s.subb ELSE 0 END AS subk
+         |  FROM buckets b JOIN bsz z USING (bucket) JOIN subb s USING (vec_id)),
          |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
-         |  FROM buckets a JOIN buckets b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |  FROM keyed a JOIN keyed b
+         |    ON a.bucket = b.bucket AND a.subk = b.subk AND a.vec_id < b.vec_id),
          |$cosinePairSql
          |SELECT threshold, COUNT(*) AS n_pairs,
          |  COUNT(DISTINCT j) AS n_dropped

@@ -43,8 +43,13 @@ object SourcesPack {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // Recurse one hive level: the deterministic layouts write one
+    // pb=<bucket> directory per z/sort bucket.
+    def list(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .flatMap(c => if (c.isDirectory) list(c) else Array(c))
+    val files = list(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getAbsolutePath)
     val rows = files.flatMap { f =>
       val rd = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
@@ -319,14 +324,30 @@ object SourcesPack {
         .select(col("ck"), col("pc"),
           graft.api.Layout.rangeBucket(col("ck"), col("mn1"), col("mx1"), 256).as("b1"),
           graft.api.Layout.rangeBucket(col("pc"), col("mn2"), col("mx2"), 256).as("b2"))
+      // DETERMINISTIC layout writes (r11 verdict): repartitionByRange's
+      // boundaries come from per-run SAMPLING, so consecutive runs wrote
+      // different files and the oracle could read a different generation
+      // than the one the answer scored (the sf1 221/222 mismatch). The
+      // bucket is now the same exact integer rule the zone-map audits
+      // use (zv >> 10 and b1 >> 2 — 64 buckets each), routed with hash
+      // repartition and written as one hive directory per bucket: the
+      // layout is a pure function of the data, every re-run writes
+      // identical files, and the per-bucket z-range stays contiguous
+      // (a hash-collided flat layout would merge disjoint z-ranges into
+      // one file and widen its stats box). The within-file sort carries
+      // (ck, pc) tie-breaks so the row SEQUENCE — hence any row-group
+      // split — is deterministic too.
       b.select(col("ck"), col("pc"),
           graft.api.Layout.zValue(col("b1"), col("b2")).as("zv"))
-        .repartitionByRange(64, col("zv")).sortWithinPartitions(col("zv"))
-        .select(col("ck"), col("pc"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$base/z")
-      b.select(col("ck"), col("pc"))
-        .repartitionByRange(64, col("ck")).sortWithinPartitions(col("ck"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$base/s")
+        .withColumn("pb", shiftright(col("zv"), 10))
+        .repartition(64, col("pb"))
+        .sortWithinPartitions(col("pb"), col("zv"), col("ck"), col("pc"))
+        .select(col("ck"), col("pc"), col("pb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/z")
+      b.select(col("ck"), col("pc"), shiftright(col("b1"), 2).as("pb"))
+        .repartition(64, col("pb"))
+        .sortWithinPartitions(col("pb"), col("ck"), col("pc"))
+        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/s")
       // The query rectangle: middle quarter of ck × middle quarter of pc,
       // integer-derived from the global min/max (oracle replays it from
       // the base table).
@@ -558,7 +579,7 @@ object SourcesPack {
          |      THEN CAST(stats_min_value AS BIGINT) END) AS min_pc,
          |    MAX(CASE WHEN path_in_schema = 'pc'
          |      THEN CAST(stats_max_value AS BIGINT) END) AS max_pc
-         |  FROM parquet_metadata('$base/$sub/*.parquet') GROUP BY 1, 2)""".stripMargin
+         |  FROM parquet_metadata('$base/$sub/pb=*/*.parquet') GROUP BY 1, 2)""".stripMargin
     Map("src_zorder_footer" ->
       s"""WITH ${zones("z", "zm")},
          |${zones("s", "sm")},

@@ -774,7 +774,7 @@ object TextPack {
         |      AS rate
         |  FROM stats),
         |g AS (SELECT d.doc_id, d.domain, d.n_tokens, r.rate,
-        |    CASE WHEN (d.doc_id * 2654435761) % 1000003 % 100 < r.rate
+        |    CASE WHEN ((d.doc_id % 1000003) * 427799) % 1000003 % 100 < r.rate
         |      THEN 1 ELSE 0 END AS keep
         |  FROM docs d JOIN rates r USING (domain))
         |SELECT domain, rate, COUNT(*) AS n_docs,
@@ -945,7 +945,9 @@ object TextPack {
 
     "text_global_shuffle" ->
       s"""WITH b AS (SELECT doc_id,
-         |    (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+         |    (((doc_id % 4294967296) % 65536) * 2654435761
+         |     + ((((doc_id % 4294967296) // 65536) * 31153) % 65536) * 65536)
+         |      % 4294967296 AS h FROM documents),
          |s AS (SELECT doc_id, h, h % $ShuffleShards AS shard,
          |    row_number() OVER (PARTITION BY h % $ShuffleShards
          |      ORDER BY h, doc_id) AS rn

@@ -53,6 +53,26 @@ class InvariantSpec extends SparkSpec {
 
   private val rng = new scala.util.Random(42)
 
+  test("ScaleGuard: quadratic twins hard-fail past quadraticFailRows, run otherwise") {
+    val failKey = "spark.graft.quadraticFailRows"
+    // Default: unlimited — the guard only warns, the query still builds.
+    assert(graft.ops.SimilarityPack.queries("sim_cosine_neardup")(spark, sf())
+      .columns.nonEmpty)
+    spark.conf.set(failKey, "1")
+    try {
+      val e1 = intercept[IllegalStateException] {
+        graft.ops.SimilarityPack.queries("sim_cosine_neardup")(spark, sf())
+      }
+      assert(e1.getMessage.contains("sim_lsh_topk"),
+        s"the failure must steer to the linear twin: ${e1.getMessage}")
+      val e2 = intercept[IllegalStateException] {
+        graft.ops.DedupPack.queries("dedup_simhash")(spark, sf())
+      }
+      assert(e2.getMessage.contains("dedup_simhash_banded"),
+        s"the failure must steer to the banded twin: ${e2.getMessage}")
+    } finally spark.conf.unset(failKey)
+  }
+
   test("percentile_approx (t-digest) is close to the exact percentile") {
     // ana_quantiles documents percentile_approx as the 100 TB form of its
     // exact interpolated percentile — pin that the approximation actually

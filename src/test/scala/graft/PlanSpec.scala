@@ -176,6 +176,31 @@ class PlanSpec extends SparkSpec {
     val p2 = planOf(graft.ops.SimilarityPack.queries("dedup_semantic")(spark, sf()))
     assert(!p2.contains("CartesianProduct"),
       "semantic dedup must never plan an unbroadcast all-pairs product")
+    // At most ONE nested loop may survive OUTSIDE the cached quantizer:
+    // the sized n×k centroid probe. A second live BNLJ means the
+    // pair-candidate stage regressed to an all-pairs broadcast product —
+    // the blowup this test exists to catch (the pair stage must stay an
+    // equi-join). Counted on the plan TREE, not the string: the string
+    // prints the cached Lloyd chain inside every InMemoryRelation, so a
+    // string count sees hundreds of spurious copies; tree traversal
+    // stops at the cache boundary (InMemoryTableScan is a leaf).
+    val q2 = graft.ops.SimilarityPack.queries("dedup_semantic")(spark, sf())
+    def countBnlj(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
+      }
+      self + kids.map(countBnlj).sum
+    }
+    val bnlj2 = countBnlj(q2.queryExecution.executedPlan)
+    assert(bnlj2 <= 1,
+      s"semantic dedup planned $bnlj2 live BroadcastNestedLoopJoins; only the " +
+        "n×k centroid probe may nested-loop — the pair stage must equi-join")
     assert(p2.contains("l2_dist2"),
       "cell assignment must ride the native packed-array prefilter")
     assert(p2.contains("cosine_sim"), "prefilter must use the native packed-array scan")

@@ -151,6 +151,77 @@ class TrainingDataSpec extends SparkSpec {
     assert(mismatch(0).isNullAt(0))
   }
 
+  test("V2 contract: an externally-produced embedding column drops in unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // An "SBERT-class" embedding table produced OUTSIDE the engine —
+    // synthesized here, written as plain parquet with the fixed-width
+    // contract (vec_id: long, embedding: array<float>[Dim]) — must run
+    // the similarity battery with ZERO plan or code changes: the
+    // contract is the schema, not the embedding's provenance. Planted
+    // near-clones prove the semantics carry through end-to-end.
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val base = (0L until 300L).map { id =>
+      (id, Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    // ids 250..259 are near-clones of 0..9 (scaled + tiny noise →
+    // cosine ≈ 1 with their originals).
+    val planted = base.map { case (id, v) =>
+      if (id >= 250 && id < 260) {
+        val src = base((id - 250).toInt)._2
+        (id, src.map(x => x * 1.01f + (rng.nextFloat() - 0.5f) * 1e-3f))
+      } else (id, v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_ext").toString
+    planted.toDF("vec_id", "embedding")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // The native codegen'd scan and the exact posexplode/decimal form
+    // must agree on the external column exactly as they do on the
+    // fixture one.
+    val native = graft.ops.SimilarityPack.queries("sim_native_topk")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = graft.ops.SimilarityPack.queries("sim_bruteforce_topk")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native.keySet == exact.keySet)
+    // vec 250 is the planted clone of the query vector (vec 0): it must
+    // rank first at cosine ≈ 1.
+    assert(native.contains(250L) && native(250L) > 0.99,
+      s"planted clone of the query vector missing from top-k: $native")
+    // SemDeDup on the external column: every planted clone has a
+    // smaller-id near-dup at cosine ≥ the threshold, so all ten must be
+    // on the drop list.
+    val dropped = graft.ops.SimilarityPack.queries("dedup_semantic")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert((250L until 260L).forall(dropped.contains),
+      s"planted clones missing from the semantic drop list: $dropped")
+  }
+
+  test("cosine_sim / l2_dist2 reject non-float-array inputs at analysis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Both are SQL-registered, so arbitrary user types reach them: a
+    // non-array argument must fail ANALYSIS with a type message (not a
+    // planning ClassCastException), and an array<int> argument must be
+    // REJECTED (getDouble over int element storage read garbage before
+    // the NumericArrayPair check).
+    for (fn <- Seq("cosine_sim", "l2_dist2")) {
+      val notArray = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq((1.0, Array(1.0f))).toDF("a", "b")
+          .select(call_function(fn, col("a"), col("b"))).collect()
+      }
+      assert(notArray.getMessage.toLowerCase.contains("array"),
+        s"$fn non-array rejection must name the expected type: ${notArray.getMessage}")
+      val intArray = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq((Array(1, 2), Array(1.0f, 2.0f))).toDF("a", "b")
+          .select(call_function(fn, col("a"), col("b"))).collect()
+      }
+      assert(intArray.getMessage.toLowerCase.contains("array"),
+        s"$fn array<int> must be rejected, not misread: ${intArray.getMessage}")
+    }
+  }
+
   test("fingerprint is order-sensitive where minhash is not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
