@@ -622,12 +622,18 @@ object SimilarityPack {
       val extra = graft.api.Similarity
         .hyperplanes(s, p + SplitPlanes, Dim)
         .filter(col("j") >= p)
-      val subB = graft.api.Similarity.lshBuckets(comps(s, d), extra)
+      // Extra sign bits ONLY for vectors in overfull buckets (the first
+      // cut computed them for all n and cost more than the split saved
+      // at sf1 — measured +82%); everyone else keeps subkey 0.
+      val inOver = b.join(broadcast(over), "bucket").select(col("vec_id"))
+      val subB = graft.api.Similarity
+        .lshBuckets(comps(s, d).join(inOver, "vec_id"), extra)
         .select(col("vec_id"), col("bucket").as("subb"))
       val keyed = b.join(broadcast(over), Seq("bucket"), "left")
-        .join(subB, "vec_id")
+        .join(subB, Seq("vec_id"), "left")
         .select(col("vec_id"), col("bucket"),
-          when(col("ov"), col("subb")).otherwise(lit(0L)).as("subk"))
+          when(col("ov") && col("subb").isNotNull, col("subb"))
+            .otherwise(lit(0L)).as("subk"))
       val cand = keyed.select(col("bucket"), col("subk"), col("vec_id").as("i"))
         .join(keyed.select(col("bucket"), col("subk"), col("vec_id").as("j")),
           Seq("bucket", "subk"))
@@ -1059,18 +1065,23 @@ object SimilarityPack {
          |  FROM (SELECT unnest(range(0, ${MaxPlanes + SplitPlanes})) AS j)
          |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos)
          |  CROSS JOIN np WHERE j >= np.p AND j < np.p + $SplitPlanes),
+         |bsz AS (SELECT bucket, COUNT(*) AS bn FROM buckets GROUP BY bucket),
+         |inov AS (SELECT b.vec_id FROM buckets b JOIN bsz z USING (bucket)
+         |  WHERE z.bn > $SplitCap),
          |xproj AS (SELECT c.vec_id, p.j,
          |    CAST(SUM(CAST(c.v * p.r AS $PsumCast)) AS DOUBLE) AS dot
-         |  FROM comps c JOIN xplanes p ON p.pos = c.pos
+         |  FROM comps c JOIN inov i ON i.vec_id = c.vec_id
+         |  JOIN xplanes p ON p.pos = c.pos
          |  GROUP BY c.vec_id, p.j),
          |subb AS MATERIALIZED (SELECT vec_id,
          |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT)
          |      ELSE 0 END) AS BIGINT) AS subb
          |  FROM xproj GROUP BY vec_id),
-         |bsz AS (SELECT bucket, COUNT(*) AS bn FROM buckets GROUP BY bucket),
          |keyed AS MATERIALIZED (SELECT b.vec_id, b.bucket,
-         |    CASE WHEN z.bn > $SplitCap THEN s.subb ELSE 0 END AS subk
-         |  FROM buckets b JOIN bsz z USING (bucket) JOIN subb s USING (vec_id)),
+         |    CASE WHEN z.bn > $SplitCap AND s.subb IS NOT NULL
+         |      THEN s.subb ELSE 0 END AS subk
+         |  FROM buckets b JOIN bsz z USING (bucket)
+         |  LEFT JOIN subb s USING (vec_id)),
          |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
          |  FROM keyed a JOIN keyed b
          |    ON a.bucket = b.bucket AND a.subk = b.subk AND a.vec_id < b.vec_id),
