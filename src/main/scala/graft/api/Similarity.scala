@@ -140,8 +140,10 @@ object Similarity {
     * constant (broadcast pivot frame, fixed seed limit), the same class
     * of bounded action as the BSP convergence counts. At SemDeDup's
     * production k the pivot frame is ~k·dim doubles (50k × 64 ≈ 25 MB) —
-    * still broadcastable; past that, assignment wants its own ANN probe,
-    * which is [[lshBuckets]]' job, not this one's.
+    * still broadcastable; past that, assignment wants its own ANN probe —
+    * the TWO-LEVEL form `graft.ops.SimilarityPack.semCells` implements
+    * (⌈√k⌉ fixed supers, one n·g ranking, top-m probed Lloyd rounds with
+    * an exact fallback) is the scale path of record.
     * Returns (vec_id, cid) ready for [[semanticDropList]]. */
   def sizedCells(emb: DataFrame, id: String, vec: String,
       targetCellSize: Int, lloydRounds: Int = 2): DataFrame = {
