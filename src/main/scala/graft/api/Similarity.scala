@@ -22,6 +22,26 @@ object Similarity {
   private def psum(c: Column): Column =
     sum(c.cast("decimal(28,15)")).cast("double")
 
+  /** Exact decimal dot product of two numeric ARRAY columns as a
+    * MAP-SIDE fold: each product term is computed in double
+    * (bit-identical to the exploded form's x.v·y.v over double
+    * components), cast to DECIMAL(28,15), and summed with an exact
+    * decimal fold — decimal addition commutes exactly, so the value
+    * equals [[cosineOf]]'s posexplode + decimal-SUM form (and the
+    * DuckDB twins' SUM(CAST(.. AS DECIMAL))) in any order, WITHOUT
+    * materializing pairs×dim rows or shuffling a component frame. */
+  def decimalDotArr(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x * y).cast("decimal(28,15)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
+      (acc, t) => (acc + t).cast("decimal(38,15)"))
+      .cast("double")
+
+  /** Exact decimal L2 norm of an array column — the map-side twin of
+    * [[norms]] (same term arithmetic, same exact decimal sum). */
+  def normArr(a: Column): Column = sqrt(decimalDotArr(a, a))
+
   /** (vec_id, pos, v) exploded components as double. */
   def components(emb: DataFrame, id: String, vec: String): DataFrame =
     emb.select(col(id).as("vec_id"), posexplode(col(vec)).as(Seq("pos", "v")))
@@ -107,20 +127,31 @@ object Similarity {
     * returns (vec_id, n_better_dups, max_cosine). */
   def semanticDropList(emb: DataFrame, id: String, vec: String,
       cells: DataFrame, threshold: Double, pairParts: Int = 256): DataFrame = {
-    val pairs = cells.select(col("vec_id").as("i"), col("cid"))
-      .join(cells.select(col("vec_id").as("j"), col("cid")), "cid")
+    // Arrays ride THROUGH the cell self-join (two n-row shuffles on
+    // cid), the Σcell² pair stream exists only inside the join's
+    // codegen pipeline (the native cosine prefilter cuts it inline),
+    // and the exact decimal cosine is a map-side array fold on the few
+    // survivors. The r12 shape replaces the r11 one — pair stream
+    // repartitioned then joined against the exploded component frame —
+    // which shuffled pairs×1 + pairs×2 rows (3×51M at sf10, the
+    // measured bulk of the sweep); values are identical (same terms,
+    // same exact decimal sums, same rounding).
+    val withVec = cells.join(
+      emb.select(col(id).as("vec_id"), col(vec).as("__v")), "vec_id")
+    val a = withVec.select(col("cid"), col("vec_id").as("i"), col("__v").as("va"))
+    val b = withVec.select(col("cid"), col("vec_id").as("j"), col("__v").as("vb"))
+    val surv = a.join(b.repartition(pairParts, col("cid")), "cid")
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"))
-      // spread the Σcell² pair stream so per-task join state stays small
-      .repartition(pairParts, col("i"), col("j"))
-    val cand = pairs
-      .join(emb.select(col(id).as("i"), col(vec).as("va")), "i")
-      .join(emb.select(col(id).as("j"), col(vec).as("vb")), "j")
       .filter(call_function("cosine_sim", col("va"), col("vb")) >= threshold - 1e-4)
-      .select(col("i"), col("j"))
-    cosineOf(components(emb, id, vec), cand)
-      .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .select(col("i"), col("j"),
+        // coalesce shields the fold from isnotnull constraint inference
+        // (which would push the interpreted decimal fold into the cid
+        // join condition and price it per candidate pair — see the
+        // sim_dedup_sweep note); −2 < every threshold, so the
+        // impossible-null case still drops.
+        coalesce(round(decimalDotArr(col("va"), col("vb"))
+          / (normArr(col("va")) * normArr(col("vb"))), 6), lit(-2.0)).as("cosine"))
+    surv.filter(col("cosine") >= threshold)
       .groupBy(col("j").as("vec_id"))
       .agg(count(lit(1)).as("n_better_dups"),
         max(col("cosine")).as("max_cosine"))

@@ -32,15 +32,17 @@ object SimilarityPack {
   // DuckDB oracle — same discipline as Search.sizedBlockedSimJoin.
   private val TargetBucket = 32
   private val MaxPlanes    = 16
-  /** Second phase of sim_dedup_sweep's banding (r11 verdict: the
-    * integer plane count steps with log n, so a capture at a step
-    * boundary measured 10.8× for 10× data): buckets holding more than
-    * SplitCap vectors — the dense-region tail that dominates Σs² under
-    * any single-phase signing — get [[SplitPlanes]] EXTRA sign bits,
-    * bounding the per-key pair fanout independently of where n sits in
-    * the 2^p step. Same two-phase shape as dedup_simhash_banded. */
-  private val SplitCap    = 4 * TargetBucket
-  private val SplitPlanes = 3
+  // PINNED CONTRACT NOTE (r12, measured): sim_dedup_sweep's candidate
+  // volume steps with the INTEGER plane count p (n ≤ TargetBucket·2^p),
+  // so a scale capture near a step boundary reads up to ~11× for 10×
+  // data (r11 sf10: 10.8× headline / 9.2× isolated) — the step is the
+  // sweep's honest cost model, not a super-linear plan. A two-phase
+  // overfull-bucket split was BUILT AND MEASURED in r12 and reverted:
+  // +2.5 s at sf1 and +40 s at sf10 (96.8 vs 56.8 s unsplit), because
+  // the replica-clustered fixture puts most vectors in overfull buckets
+  // and the extra sign-bit pass costs more than the pair reduction
+  // saves at both scales. The smoothing knob that remains honest is
+  // TargetBucket itself.
   // Floored at p = 1: p = 0 means ZERO hyperplanes, and lshBuckets'
   // inner join on the (empty) plane frame would silently drop every
   // vector on a ≤ TargetBucket corpus — one plane (two buckets) keeps
@@ -91,6 +93,14 @@ object SimilarityPack {
   /** Supers probed per vector (the IVF nprobe knob applied to the
     * assignment itself). m = g on small fixtures → exhaustive probe. */
   private val SemProbe = 4
+  /** Lloyd rounds of the SEM quantizer — ONE, not KmIters: the seeds
+    * are already a uniform hash sample (h28-minimal ids), so one
+    * assignment+mean pass balances the cells; the second round polished
+    * centroids the drop rule is insensitive to while costing a full
+    * n·m·(k/g) probe + means pass (the r12 sf10 profile priced each
+    * round at 9-17 s of the fit's ~45 s). The IVF/PQ teaching fits
+    * keep KmIters = 2. */
+  private val SemIters = 1
   /** PQ geometry: Dim/PqSubDim subspaces of PqSubDim dims each; codebook
     * size = |Pivots| codes per subspace; top-PqOverfetch ADC candidates
     * are exactly re-ranked. */
@@ -113,6 +123,25 @@ object SimilarityPack {
   private def psum(c: Column): Column =
     sum(c.cast("decimal(28,15)")).cast("double")
   private val PsumCast = "DECIMAL(28,15)"
+
+  /** Exact squared L2 distance of two numeric ARRAY columns as a
+    * MAP-SIDE fold: each squared-difference term is computed in double
+    * (bit-identical to the exploded form's (v−cv)² over double
+    * components), cast to DECIMAL(28,15), and summed with an exact
+    * decimal fold. Decimal addition is exact, so the value equals the
+    * posexplode + [[psum]] form — and the twin's SUM(CAST(… AS
+    * DECIMAL(28,15))) — in ANY order, WITHOUT materializing n·dim rows
+    * or shuffling the component cache: the r12 sf10 profile measured
+    * the quantizer fit at 41.9 s of which most was six 12.8M-row comps
+    * shuffle-joins serving the exact re-ranks; this fold does the same
+    * arithmetic inside the survivor row. */
+  private def d2ExactArr(a: Column, c: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), c,
+        (x, cv) => ((x - cv) * (x - cv)).cast(PsumCast)),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
+      (acc, t) => (acc + t).cast("decimal(38,15)"))
+      .cast("double")
 
   /** (vec_id, pos, v) exploded embedding components, as double
     * (session-cached: every exact-cosine query re-reads this).
@@ -175,7 +204,7 @@ object SimilarityPack {
   // of their self-join — uncached, one query built it twice; this was
   // the worst sf1 scale ratio at 7.2× before caching, and it is already
   // a Warm.scala entry so the build cost stays attributed).
-  private[ops] def buckets(s: SparkSession, d: String): DataFrame =
+  private[graft] def buckets(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.buckets:$d") {
       graft.api.Similarity.lshBuckets(comps(s, d), planes(s, d))
     }
@@ -277,10 +306,10 @@ object SimilarityPack {
     val surv = probe.join(broadcast(mins), "vec_id")
       .filter(col("d2d") <= col("md") * lit(1.000001) + lit(1e-9))
       .select(col("vec_id"), col("cid"))
-    comps(s, d).join(surv, "vec_id")
-      .join(broadcast(cent), Seq("cid", "pos"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+    surv.join(emb, "vec_id")
+      .join(broadcast(packCent(cent)), "cid")
+      .select(col("vec_id"), col("cid"),
+        d2ExactArr(col("embedding"), col("cvec")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
       .filter(col("rn") === 1)
@@ -312,10 +341,10 @@ object SimilarityPack {
     val surv = probe.join(broadcast(kth), "vec_id")
       .filter(col("d2d") <= col("kd") * lit(1.000001) + lit(1e-9))
       .select(col("vec_id"), col("sid"))
-    comps(s, d).join(surv, "vec_id")
-      .join(broadcast(supComps), Seq("sid", "pos"))
-      .groupBy(col("vec_id"), col("sid"))
-      .agg(psum((col("v") - col("sv")) * (col("v") - col("sv"))).as("d2"))
+    surv.join(emb, "vec_id")
+      .join(broadcast(packSup), "sid")
+      .select(col("vec_id"), col("sid"),
+        d2ExactArr(col("embedding"), col("svec")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("sid").asc)))
       .filter(col("rn") <= SemProbe)
@@ -353,10 +382,10 @@ object SimilarityPack {
     val surv = probe.join(broadcast(mins), "vec_id")
       .filter(col("d2d") <= col("md") * lit(1.000001) + lit(1e-9))
       .select(col("vec_id"), col("cid"))
-    val assigned = comps(s, d).join(surv, "vec_id")
-      .join(broadcast(cent), Seq("cid", "pos"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(psum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+    val assigned = surv.join(emb, "vec_id")
+      .join(broadcast(packCent(cent)), "cid")
+      .select(col("vec_id"), col("cid"),
+        d2ExactArr(col("embedding"), col("cvec")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
       .filter(col("rn") === 1)
@@ -368,7 +397,7 @@ object SimilarityPack {
 
   /** The SIZED SemDeDup quantizer — the k ∝ n contract made real:
     * k = semK(n) hash-minimal seed vectors (h28 order — a deterministic
-    * uniform sample both engines replay), refined by the same KmIters
+    * uniform sample both engines replay), refined by SemIters
     * Lloyd rounds as the fixed fixture quantizer, every assignment
     * through [[assignCells]]' prefilter + exact re-rank. Cells stay
     * ~SemTargetCell vectors at every scale, so dedup_semantic's
@@ -381,8 +410,18 @@ object SimilarityPack {
     * ≈ n·√k total, the standard hierarchical form of IVF assignment
     * (flat quantizers pay n·k everywhere; SemDeDup hides it in GPU
     * k-means). Session-cached like the other fitted artifacts. */
-  private[ops] def semCells(s: SparkSession, d: String): DataFrame =
+  private[graft] def semCells(s: SparkSession, d: String): DataFrame =
     DFCache.cached(s, s"sim.semcells:$d") {
+      // Stage timers (spark.graft.profile=true): the fit is a chain of
+      // eager checkpoints, so wall-clock per stage is directly readable.
+      val prof = s.conf.get("spark.graft.profile", "false").toBoolean
+      def stage[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (prof) System.err.println(
+          f"[semcells] $tag%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
       val k = semK(Tables.embeddings(s, d).count())
       val g = semG(k)
       val ranked = Tables.embeddings(s, d)
@@ -402,28 +441,36 @@ object SimilarityPack {
       // don't matter: every small frame is joined under an explicit
       // broadcast() hint. Superseded rounds are freed by ContextCleaner
       // once the var is reassigned (k×dim frames — tiny).
-      val supComps = comps(s, d)
-        .join(broadcast(supers), col("vec_id") === col("sid"))
-        .select(col("sid"), col("pos"), col("v").as("sv"))
-        .repartition(1)
-        .localCheckpoint(true)
+      val supComps = stage("supComps") {
+        comps(s, d)
+          .join(broadcast(supers), col("vec_id") === col("sid"))
+          .select(col("sid"), col("pos"), col("v").as("sv"))
+          .repartition(1)
+          .localCheckpoint(true)
+      }
       val packSup = supComps.groupBy(col("sid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
         .select(col("sid"), expr("transform(ps, x -> x.sv)").as("svec"))
       // The one n·g ranking — materialized once for the whole fit (every
       // Lloyd round and the final assignment probe through it).
-      val vsup = vecSupers(s, d, packSup, supComps).localCheckpoint(true)
-      var cent = comps(s, d)
-        .join(broadcast(seeds), col("vec_id") === col("cid"))
-        .select(col("cid"), col("pos"), col("v").as("cv"))
-        .repartition(1)
-        .localCheckpoint(true)
-      for (_ <- 1 to KmIters) {
-        cent = comps(s, d).join(assignCells(s, d, cent, vsup, supComps), "vec_id")
-          .groupBy(col("cid"), col("pos"))
-          .agg((psum(col("v")) / count(lit(1))).as("cv"))
+      val vsup = stage("vsup") {
+        vecSupers(s, d, packSup, supComps).localCheckpoint(true)
+      }
+      var cent = stage("seed cent") {
+        comps(s, d)
+          .join(broadcast(seeds), col("vec_id") === col("cid"))
+          .select(col("cid"), col("pos"), col("v").as("cv"))
           .repartition(1)
           .localCheckpoint(true)
+      }
+      for (r <- 1 to SemIters) {
+        cent = stage(s"round $r") {
+          comps(s, d).join(assignCells(s, d, cent, vsup, supComps), "vec_id")
+            .groupBy(col("cid"), col("pos"))
+            .agg((psum(col("v")) / count(lit(1))).as("cv"))
+            .repartition(1)
+            .localCheckpoint(true)
+        }
       }
       // The cached ASSIGNMENT is the fitted artifact (unlike
       // kmeansCentroids, whose centroid frame is what consumers join);
@@ -608,38 +655,34 @@ object SimilarityPack {
     // a lower-id near-dup (the SemDeDup keep-min-id drop count).
     "sim_dedup_sweep" -> ((s, d) => {
       import s.implicits._
-      // TWO-PHASE banding: buckets past SplitCap vectors get SplitPlanes
-      // extra sign bits (planes j ∈ [p, p+SplitPlanes) — the same
-      // deterministic md5-parity family, so the oracle replays them),
-      // bounding per-key pair fanout independently of the log-n plane
-      // step. Non-overfull buckets keep subkey 0 — their candidate set
-      // is unchanged.
-      val p = sizedNumPlanes(Tables.embeddings(s, d).count())
-      val b = buckets(s, d)
-      val over = b.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-        .filter(col("bn") > SplitCap)
-        .select(col("bucket"), lit(true).as("ov"))
-      val extra = graft.api.Similarity
-        .hyperplanes(s, p + SplitPlanes, Dim)
-        .filter(col("j") >= p)
-      // Extra sign bits ONLY for vectors in overfull buckets (the first
-      // cut computed them for all n and cost more than the split saved
-      // at sf1 — measured +82%); everyone else keeps subkey 0.
-      val inOver = b.join(broadcast(over), "bucket").select(col("vec_id"))
-      val subB = graft.api.Similarity
-        .lshBuckets(comps(s, d).join(inOver, "vec_id"), extra)
-        .select(col("vec_id"), col("bucket").as("subb"))
-      val keyed = b.join(broadcast(over), Seq("bucket"), "left")
-        .join(subB, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("bucket"),
-          when(col("ov") && col("subb").isNotNull, col("subb"))
-            .otherwise(lit(0L)).as("subk"))
-      val cand = keyed.select(col("bucket"), col("subk"), col("vec_id").as("i"))
-        .join(keyed.select(col("bucket"), col("subk"), col("vec_id").as("j")),
-          Seq("bucket", "subk"))
+      // Candidates = same-bucket pairs from the self-sized LSH index.
+      // The candidate volume steps with the integer plane count — see
+      // the pinned contract note at the constants (a two-phase overfull
+      // split was measured strictly worse at both sf1 and sf10 in r12
+      // and reverted). Arrays ride THROUGH the bucket self-join (two
+      // n-row shuffles); the pair stream exists only inside the join's
+      // codegen pipeline, prefiltered inline at the LOWEST swept
+      // threshold, and the exact decimal cosine is a map-side array
+      // fold on survivors — same values as the exploded-components
+      // form, none of its pairs-sized shuffles.
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val bv = buckets(s, d).join(e, "vec_id")
+      val av = bv.select(col("bucket"), col("vec_id").as("i"), col("embedding").as("va"))
+      val bw = bv.select(col("bucket"), col("vec_id").as("j"), col("embedding").as("vb"))
+      // coalesce makes the fold NON-NULLABLE: without it Catalyst infers
+      // isnotnull(<the whole decimal fold>) from the downstream
+      // threshold filter and pushes it INTO the bucket-join condition,
+      // evaluating the interpreted fold for every candidate pair before
+      // the cheap conjuncts (measured 77 s for 272k pairs at sf1; the
+      // sentinel −2 sits below every threshold, so a null cosine —
+      // impossible on the fixed-width contract — still drops).
+      val cos = av.join(bw, "bucket")
         .filter(col("i") < col("j"))
-        .select(col("i"), col("j"))
-      val cos = cosineOf(comps(s, d), cand)
+        .filter(call_function("cosine_sim", col("va"), col("vb")) >= 0.4 - 1e-4)
+        .select(col("i"), col("j"),
+          coalesce(round(graft.api.Similarity.decimalDotArr(col("va"), col("vb"))
+            / (graft.api.Similarity.normArr(col("va"))
+              * graft.api.Similarity.normArr(col("vb"))), 6), lit(-2.0)).as("cosine"))
       val thr = Seq(0.6, 0.5, 0.45, 0.4).toDF("threshold")
       cos.crossJoin(broadcast(thr))   // constant fanout: |thresholds|
         .filter(col("cosine") >= col("threshold"))
@@ -972,7 +1015,7 @@ object SimilarityPack {
     val kExpr = s"GREATEST(8, CAST(CEIL((SELECT COUNT(*) FROM embeddings)" +
       s" / $SemTargetCell.0) AS BIGINT))"
     val gExpr = s"GREATEST(4, CAST(CEIL(SQRT(CAST($kExpr AS DOUBLE))) AS BIGINT))"
-    val chain = (1 to KmIters).map { r =>
+    val chain = (1 to SemIters).map { r =>
       semAssignSql(s"sa$r", s"sc${r - 1}") + ",\n" + kmCentSql(s"sc$r", s"sa$r")
     }.mkString(",\n")
     s"""srank AS MATERIALIZED (SELECT vec_id, row_number() OVER (
@@ -993,7 +1036,7 @@ object SimilarityPack {
        |sc0 AS MATERIALIZED (SELECT vec_id AS cid, pos, v AS cv FROM comps
        |  WHERE vec_id IN (SELECT vec_id FROM sseed)),
        |$chain,
-       |${semAssignSql("safin", s"sc$KmIters")}""".stripMargin
+       |${semAssignSql("safin", s"sc$SemIters")}""".stripMargin
   }
 
   /** DuckDB twin of pqCodebooks + the final per-(vec, sub) code
@@ -1059,32 +1102,9 @@ object SimilarityPack {
 
     "sim_dedup_sweep" ->
       s"""WITH $compsSql, $planesSql, $bucketsSql, $normsSql,
-         |xplanes AS (SELECT j, pos,
-         |    CASE WHEN ${h28Sql("concat('hp', j, '_', pos)")} % 2 = 1
-         |      THEN 1.0 ELSE -1.0 END AS r
-         |  FROM (SELECT unnest(range(0, ${MaxPlanes + SplitPlanes})) AS j)
-         |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS pos)
-         |  CROSS JOIN np WHERE j >= np.p AND j < np.p + $SplitPlanes),
-         |bsz AS (SELECT bucket, COUNT(*) AS bn FROM buckets GROUP BY bucket),
-         |inov AS (SELECT b.vec_id FROM buckets b JOIN bsz z USING (bucket)
-         |  WHERE z.bn > $SplitCap),
-         |xproj AS (SELECT c.vec_id, p.j,
-         |    CAST(SUM(CAST(c.v * p.r AS $PsumCast)) AS DOUBLE) AS dot
-         |  FROM comps c JOIN inov i ON i.vec_id = c.vec_id
-         |  JOIN xplanes p ON p.pos = c.pos
-         |  GROUP BY c.vec_id, p.j),
-         |subb AS MATERIALIZED (SELECT vec_id,
-         |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, j) AS BIGINT)
-         |      ELSE 0 END) AS BIGINT) AS subb
-         |  FROM xproj GROUP BY vec_id),
-         |keyed AS MATERIALIZED (SELECT b.vec_id, b.bucket,
-         |    CASE WHEN z.bn > $SplitCap AND s.subb IS NOT NULL
-         |      THEN s.subb ELSE 0 END AS subk
-         |  FROM buckets b JOIN bsz z USING (bucket)
-         |  LEFT JOIN subb s USING (vec_id)),
          |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
-         |  FROM keyed a JOIN keyed b
-         |    ON a.bucket = b.bucket AND a.subk = b.subk AND a.vec_id < b.vec_id),
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |$cosinePairSql
          |SELECT threshold, COUNT(*) AS n_pairs,
          |  COUNT(DISTINCT j) AS n_dropped
