@@ -29,13 +29,23 @@ object Similarity {
     * decimal fold — decimal addition commutes exactly, so the value
     * equals [[cosineOf]]'s posexplode + decimal-SUM form (and the
     * DuckDB twins' SUM(CAST(.. AS DECIMAL))) in any order, WITHOUT
-    * materializing pairs×dim rows or shuffling a component frame. */
+    * materializing pairs×dim rows or shuffling a component frame.
+    *
+    * The accumulator is DECIMAL(37,15), not 38: Spark types
+    * Add(decimal(p1,15), decimal(28,15)) at precision
+    * max(p1−15, 13)+15+1, so a 38-digit accumulator needs 39 and gets
+    * HALF_UP-rounded to decimal(38,14) — 1e-14 error per partial sum
+    * (the r12 advice finding). At 37 the Add lands exactly on
+    * decimal(38,15) and the re-cast to (37,15) is lossless for any
+    * |sum| < 10²² (dim ≤ thousands of |term| ≤ 10¹³ is < 10¹⁷).
+    * DecimalFoldSpec pins the fold == the exploded decimal SUM on
+    * adversarial sub-1e-14 values. */
   def decimalDotArr(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"),
         (x, y) => (x * y).cast("decimal(28,15)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
-      (acc, t) => (acc + t).cast("decimal(38,15)"))
+      lit(java.math.BigDecimal.ZERO).cast("decimal(37,15)"),
+      (acc, t) => (acc + t).cast("decimal(37,15)"))
       .cast("double")
 
   /** Exact decimal L2 norm of an array column — the map-side twin of

@@ -232,7 +232,7 @@ object DedupPack {
       // Quadratic-by-design teaching twin — ScaleGuard steers users to
       // the output-identical linear form past the warn threshold (and
       // hard-fails under spark.graft.quadraticFailRows).
-      ScaleGuard.quadratic(s, "dedup_simhash",
+      ScaleGuard.quadratic(s, "dedup_simhash", s"documents:$d",
         Tables.documents(s, d).count(), "dedup_simhash_banded")
       val fp = simhashFingerprints(s, d)
       fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))

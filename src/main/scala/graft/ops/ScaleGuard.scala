@@ -25,19 +25,32 @@ object ScaleGuard {
   private val WarnKey = "spark.graft.quadraticWarnRows"
   private val FailKey = "spark.graft.quadraticFailRows"
 
+  /** Sizing counts memoized per fixture key (r12 advice: an eager
+    * count() inside query CONSTRUCTION taxed plan-only callers with a
+    * full table scan per build). Fixture tables are immutable per dir,
+    * so a (table, dir)-keyed memo is sound; first builder still pays
+    * one bounded count — same class as the self-sizing LSH derivation. */
+  private val sized = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Check an n-row input against the quadratic guard thresholds.
-    * `op` names the operator, `linearAlt` the adjacent linear twin the
-    * message steers to. */
-  def quadratic(s: SparkSession, op: String, n: Long, linearAlt: String): Unit = {
+    * `op` names the operator, `key` identifies the sized input (e.g.
+    * "documents:<dir>") so repeat builds reuse the count, `n` is the
+    * BY-NAME sizing count (evaluated at most once per key), `linearAlt`
+    * the adjacent linear twin the message steers to. */
+  def quadratic(s: SparkSession, op: String, key: String, n: => Long,
+      linearAlt: String): Unit = {
     val warnAt = s.conf.get(WarnKey, "100000").toLong
     val failAt = s.conf.get(FailKey, Long.MaxValue.toString).toLong
-    if (n > failAt) throw new IllegalStateException(
+    val rows = sized.getOrElseUpdate(key, n)
+    if (rows > failAt) throw new IllegalStateException(
       s"$op is an exact-recall QUADRATIC operator (documented contract) and " +
-        s"its input has $n rows > $FailKey=$failAt; use $linearAlt at scale, " +
+        s"its input has $rows rows > $FailKey=$failAt; use $linearAlt at scale, " +
         s"or raise $FailKey to run the quadratic form anyway")
-    if (n > warnAt) log.warn(
-      s"$op is QUADRATIC in its $n input rows (~${n * n / 2} pairs); past " +
-        s"~10^7 rows this cannot finish — the output-identical linear form " +
-        s"is $linearAlt (set $FailKey to hard-fail instead of warning)")
+    if (rows > warnAt) log.warn(
+      // BigInt: n·n/2 overflows Long past ~4.3e9 rows — exactly the
+      // regime the warning targets (r12 advice).
+      s"$op is QUADRATIC in its $rows input rows (~${BigInt(rows) * rows / 2} " +
+        s"pairs); past ~10^7 rows this cannot finish — the output-identical " +
+        s"linear form is $linearAlt (set $FailKey to hard-fail instead of warning)")
   }
 }

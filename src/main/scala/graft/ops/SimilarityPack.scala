@@ -116,6 +116,10 @@ object SimilarityPack {
   private val SemThresh = 0.4
   /** Scalar-quantization levels (one int8 code per dimension). */
   private val SqLevels  = 256
+  /** sim_dedup_sweep's swept cutoffs — ONE list read by the query (its
+    * candidate prefilter bound is min − 1e-4) AND the DuckDB twin, so
+    * the two can't drift (r12 advice). */
+  private val SweepThresholds = Seq(0.6, 0.5, 0.45, 0.4)
 
   /** Exact order-independent sum at unit scale: products of normalized
     * embedding components need 15 fractional digits (OpsUtil.dsum's
@@ -134,13 +138,17 @@ object SimilarityPack {
     * or shuffling the component cache: the r12 sf10 profile measured
     * the quantizer fit at 41.9 s of which most was six 12.8M-row comps
     * shuffle-joins serving the exact re-ranks; this fold does the same
-    * arithmetic inside the survivor row. */
-  private def d2ExactArr(a: Column, c: Column): Column =
+    * arithmetic inside the survivor row. Accumulator is DECIMAL(37,15)
+    * so the Add stays within precision 38 and is EXACT — a 38-digit
+    * accumulator forces precision 39 and Spark rounds every partial
+    * sum to scale 14 (see api.Similarity.decimalDotArr / the r12
+    * advice finding; DecimalFoldSpec pins the equality). */
+  private[graft] def d2ExactArr(a: Column, c: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), c,
         (x, cv) => ((x - cv) * (x - cv)).cast(PsumCast)),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,15)"),
-      (acc, t) => (acc + t).cast("decimal(38,15)"))
+      lit(java.math.BigDecimal.ZERO).cast("decimal(37,15)"),
+      (acc, t) => (acc + t).cast("decimal(37,15)"))
       .cast("double")
 
   /** (vec_id, pos, v) exploded embedding components, as double
@@ -606,7 +614,7 @@ object SimilarityPack {
       // Quadratic-by-contract exact-recall sweep — ScaleGuard steers
       // users to the sub-quadratic LSH path past the warn threshold
       // (and hard-fails under spark.graft.quadraticFailRows).
-      ScaleGuard.quadratic(s, "sim_cosine_neardup",
+      ScaleGuard.quadratic(s, "sim_cosine_neardup", s"embeddings:$d",
         Tables.embeddings(s, d).count(), "sim_lsh_topk / api.Dedup.lshNearDupPairs")
       val bps = (for (x <- 0 until NumBlocks; y <- x until NumBlocks)
         yield (x * NumBlocks + y, x, y)).toDF("bp", "bx", "by")
@@ -676,14 +684,19 @@ object SimilarityPack {
       // the cheap conjuncts (measured 77 s for 272k pairs at sf1; the
       // sentinel −2 sits below every threshold, so a null cosine —
       // impossible on the fixed-width contract — still drops).
+      // Prefilter bound DERIVED from the swept list (r12 advice: a
+      // hardcoded literal silently under-counts any lower threshold
+      // someone later adds to the sweep); the oracle SQL reads the
+      // same SweepThresholds constant.
       val cos = av.join(bw, "bucket")
         .filter(col("i") < col("j"))
-        .filter(call_function("cosine_sim", col("va"), col("vb")) >= 0.4 - 1e-4)
+        .filter(call_function("cosine_sim", col("va"), col("vb"))
+          >= SweepThresholds.min - 1e-4)
         .select(col("i"), col("j"),
           coalesce(round(graft.api.Similarity.decimalDotArr(col("va"), col("vb"))
             / (graft.api.Similarity.normArr(col("va"))
               * graft.api.Similarity.normArr(col("vb"))), 6), lit(-2.0)).as("cosine"))
-      val thr = Seq(0.6, 0.5, 0.45, 0.4).toDF("threshold")
+      val thr = SweepThresholds.toDF("threshold")
       cos.crossJoin(broadcast(thr))   // constant fanout: |thresholds|
         .filter(col("cosine") >= col("threshold"))
         .groupBy(col("threshold"))
@@ -1109,7 +1122,7 @@ object SimilarityPack {
          |SELECT threshold, COUNT(*) AS n_pairs,
          |  COUNT(DISTINCT j) AS n_dropped
          |FROM cos CROSS JOIN
-         |  (SELECT CAST(unnest([0.6, 0.5, 0.45, 0.4]) AS DOUBLE) AS threshold)
+         |  (SELECT CAST(unnest([${SweepThresholds.mkString(", ")}]) AS DOUBLE) AS threshold)
          |WHERE cosine >= threshold
          |GROUP BY threshold ORDER BY threshold DESC""".stripMargin,
 

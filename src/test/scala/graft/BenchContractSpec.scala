@@ -1,0 +1,56 @@
+package graft
+
+/** Pins the bench artifact's trust machinery (r12 verdict #2/#3/#7):
+  * the quiet-host gate reads max(1-min, 5-min) — not the gameable
+  * 1-minute figure alone — the calibration probe returns a positive,
+  * repeatable host-speed number, and a filtered spot run warms only
+  * the cache entries its queries consume. */
+class BenchContractSpec extends SparkSpec {
+
+  test("gateLoad is max(1-min, 5-min) — the r12 sf10 gaming case trips it") {
+    // r12's sf10 spot: 1-min dipped to 1.03 while 5/15-min read a busy
+    // quarter hour — the old 1-min-only gate shipped load_tainted:false.
+    assert(Bench.gateLoad("1.03 23.76 13.44 1/328 21698") === 23.76)
+    assert(Bench.gateLoad("30.98 23.76 13.44") === 30.98)
+    assert(Bench.gateLoad("0.09 0.17 1.20 1/328 21698") === 0.17)
+    intercept[Exception] { Bench.gateLoad("") }
+  }
+
+  test("calibration probe: positive, and CalRefSec stays plausible for it") {
+    // reps=1 keeps the test cheap; the probe must return real work time
+    // (not optimized away to ~0) on the same jobs the reference pinned.
+    val t = Bench.calibrationProbe(spark, reps = 1)
+    assert(t > 0.01, s"probe collapsed to $t s — a job was optimized away")
+    assert(Bench.CalRefSec > 0.0)
+  }
+
+  test("scoped warmup: spot query sets warm only the caches they consume") {
+    import graft.ops.Warm.neededEntries
+    val d = sf()
+    // A multimodal-only spot touches NO shared cache.
+    assert(neededEntries(spark, d, Some(Set("mm_format_census"))).isEmpty)
+    // The r12 sf10 4-query spot: dedup_semantic + sim_dedup_sweep ride
+    // sim.*; ml_als_recommend rides ml.* + graph.relpairs; none of them
+    // touch graph.rwcorpus / dedup.simhash (the 577 s warmup wall).
+    val spot = neededEntries(spark, d, Some(Set(
+      "dedup_semantic", "sim_dedup_sweep", "ml_als_recommend", "sim_cosine_neardup")))
+    assert(spot.contains("sim.comps") && spot.contains("ml.edges") &&
+      spot.contains("graph.relpairs"))
+    assert(!spot.contains("graph.rwcorpus") && !spot.contains("dedup.simhash") &&
+      !spot.contains("graph.nbridx") && !spot.contains("graph.maxdeg"))
+    // graph queries pull the maxdeg scalar memo; only the rw family
+    // pulls the walk corpora.
+    val g = neededEntries(spark, d, Some(Set("graph_degrees")))
+    assert(g.contains("graph.maxdeg") && g.contains("graph.edges"))
+    assert(!g.contains("graph.rwcorpus") && !g.contains("graph.n2vcorpus"))
+    val rw = neededEntries(spark, d, Some(Set("graph_rw_skipgram")))
+    assert(rw.contains("graph.rwcorpus") && rw.contains("graph.nbridx"))
+    // The unfiltered surface warms everything — full-bench behavior
+    // unchanged.
+    val all = neededEntries(spark, d, None)
+    assert(all.size === 28 && all.contains("graph.maxdeg"))
+    // text_contamination shares the dedup shingle pass (cross-pack edge).
+    assert(neededEntries(spark, d, Some(Set("text_contamination")))
+      === Seq("dedup.shingles"))
+  }
+}

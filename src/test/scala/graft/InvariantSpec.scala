@@ -73,6 +73,15 @@ class InvariantSpec extends SparkSpec {
     } finally spark.conf.unset(failKey)
   }
 
+  test("ScaleGuard: sizing count is memoized per key (r12 advice — no re-scan per build)") {
+    var evals = 0
+    graft.ops.ScaleGuard.quadratic(spark, "memo_op", "memo-test-key",
+      { evals += 1; 10L }, "memo_alt")
+    graft.ops.ScaleGuard.quadratic(spark, "memo_op", "memo-test-key",
+      { evals += 1; 10L }, "memo_alt")
+    assert(evals === 1, "second build must reuse the cached count")
+  }
+
   test("percentile_approx (t-digest) is close to the exact percentile") {
     // ana_quantiles documents percentile_approx as the 100 TB form of its
     // exact interpolated percentile — pin that the approximation actually
