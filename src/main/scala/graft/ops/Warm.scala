@@ -60,9 +60,14 @@ object Warm {
       ("sim.ivfassign",  () => SimilarityPack.ivfAssign(s, d), sim),
       ("sim.sqstats",    () => SimilarityPack.sqStats(s, d), sim),
       ("sim.sqcodes",    () => SimilarityPack.sqCodes(s, d), sim),
+      // dedup_semantic is SimilarityPack's (sim caches) — the dedup_
+      // prefix must not pull the text-shingle caches for it (measured
+      // 15 s of unread warmup in the r13 sf10 spot).
       ("dedup.shingles",   () => DedupPack.shingleRows(s, d),
-        q => q.startsWith("dedup_") || q == "text_contamination"),
-      ("dedup.signatures", () => DedupPack.signatures(s, d), pfx("dedup_")),
+        q => (q.startsWith("dedup_") && q != "dedup_semantic") ||
+          q == "text_contamination"),
+      ("dedup.signatures", () => DedupPack.signatures(s, d),
+        q => q.startsWith("dedup_") && q != "dedup_semantic"),
       ("dedup.simhash",    () => DedupPack.simhashFingerprints(s, d),
         pfx("dedup_simhash")))
   }

@@ -9,11 +9,26 @@ import graft.tables.Tables
   * block-pair sweep, BSP loops, two-phase ranks) is otherwise validated
   * only at sf0.1; a 10× point catches secretly super-linear plans.
   *
-  * Replica ceiling: the TEXT BIJECTION binds first — 312 distinct
-  * affine a-z maps (hard `require`), i.e. sf ≤ ~31 from an sf0.1
-  * source. The id headroom reaches much further (keys stay below
-  * GraphPack.SuppOffset = 2^40 for ~10⁴ replicas) but is NOT the
-  * binding limit; don't conflate the two.
+  * Replica ceiling (r13): the 12-digit NAME PAD binds — 9 990 replicas
+  * ≈ sf999 from an sf0.1 source (hard `require`). The text bijection
+  * no longer caps at 312: [[textPerms]] keeps the 312 affine maps
+  * verbatim (replicas ≤ 312 regenerate CONTENT-identical fixtures —
+  * the committed sf1/sf10/sf30 artifacts stay valid) and extends past them
+  * with seeded Fisher-Yates permutations rejection-checked to agree
+  * with EVERY earlier map on at most [[MaxAgree]] = 8 of 26 letters.
+  * Distance argument: affine-affine pairs agree on ≤ 2 letters
+  * ((a₁−a₂)l ≡ b₂−b₁ mod 26 has gcd(a₁−a₂, 26) ≤ 2 solutions — the
+  * coprime multipliers are all odd, so the difference is even and
+  * never ±13); random pairs agree on ≤ 8 by the explicit check. Either
+  * way ≥ 18 of 26 letters map differently between any two replicas,
+  * so a shingle survives across a replica pair only if drawn entirely
+  * from the ≤ 8 agreeing letters — same "rewrites most shingles"
+  * standard the affine family met, now at any replica count the pad
+  * allows. (Expected agreement of two uniform permutations is
+  * Poisson(1); P[> 8] ≈ 1e-9, so rejections stay negligible out to
+  * ~10⁴ maps — the bound is a guarantee, not a filter.) The id
+  * headroom (GraphPack.SuppOffset = 2^40 ≈ 10⁴ replicas) is the next
+  * wall after the pad; don't conflate the two.
   *
   * Replication semantics — each replica is a DISJOINT copy of the world:
   * - Every entity key is offset by `replica × 10⁸` (far above any live
@@ -70,6 +85,57 @@ import graft.tables.Tables
 object ScaleUp {
   private val Stride = 100000000L
 
+  /** Max letters on which any two replica text maps may agree — see the
+    * ceiling scaladoc's distance argument. */
+  val MaxAgree = 8
+
+  /** Per-replica a-z bijections: replicas 0-311 are the original affine
+    * family (l → a·l + b mod 26; replica 0 = identity) VERBATIM, so any
+    * fixture of ≤ 312 replicas regenerates byte-identical; past them,
+    * deterministic seeded Fisher-Yates permutations, each
+    * rejection-resampled (bumping its seed salt) until it agrees with
+    * every earlier map on ≤ [[MaxAgree]] letters. Generation is
+    * driver-side and O(replicas²·26) — ~1.3e9 char compares at the 10⁴
+    * pad ceiling, seconds once per fixture build. ScaleUpSpec pins
+    * bijectivity, the affine prefix, and the agreement bound across the
+    * 312 boundary. */
+  def textPerms(replicas: Int): IndexedSeq[String] = {
+    val copr = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val affine = math.min(replicas, copr.length * 26)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    out ++= (0 until affine).map { r =>
+      val a = copr((r / 26) % copr.length); val b = r % 26
+      (0 until 26).map(l => ('a' + (a * l + b) % 26).toChar).mkString
+    }
+    def agree(x: String, y: String): Int = {
+      var i = 0; var n = 0
+      while (i < 26) { if (x.charAt(i) == y.charAt(i)) n += 1; i += 1 }
+      n
+    }
+    var r = affine
+    while (out.size < replicas) {
+      var salt = 0L
+      var cand: String = null
+      do {
+        // java.util.Random's LCG is pinned by its Javadoc — stable
+        // across JVMs/platforms, so the fixture is reproducible.
+        val rng = new java.util.Random(1000003L * r + 7919L * salt + 17L)
+        val arr = ('a' to 'z').toArray
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = rng.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        cand = new String(arr)
+        salt += 1
+      } while (out.exists(p => agree(p, cand) > MaxAgree))
+      out += cand
+      r += 1
+    }
+    out.toIndexedSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
@@ -88,28 +154,29 @@ object ScaleUp {
     def off(c: String): org.apache.spark.sql.Column =
       (col(c) + col("__r") * Stride).as(c)
 
-    // Per-replica text bijection: affine permutation of a-z
-    // (l -> a*l + b mod 26), (a, b) indexed by replica — 12 coprime
-    // multipliers x 26 offsets = 312 distinct maps; replica 0 = (1, 0)
-    // = identity. A plain rotation has only |alphabet| distinct maps
-    // and collides at replica 10 (measured: dup pairs x990 for x10).
+    // Per-replica text bijection — see textPerms: the 312-map affine
+    // family verbatim, extended past 312 by seeded bounded-agreement
+    // permutations (r13; a plain rotation has only |alphabet| distinct
+    // maps and collided at replica 10 — dup pairs x990 for x10).
     val alpha = ('a' to 'z').mkString
-    val copr = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(replicas <= copr.length * 26,
-      s"affine text bijection supports up to ${copr.length * 26} replicas")
-    // Name-pad ceiling: offset keys (key + r·Stride, source keys ≤ 9
-    // digits) must fit the 12-digit replica-name pad — lpad TRUNCATES
-    // beyond it (the silent digit-drop this guard exists to prevent).
+    // BINDING ceiling (r13, was the 312-map affine family): offset keys
+    // (key + r·Stride, source keys ≤ 9 digits) must fit the 12-digit
+    // replica-name pad — lpad TRUNCATES beyond it (the silent
+    // digit-drop this guard exists to prevent). 9 990 replicas ≈ sf999.
     require((replicas - 1).toLong * Stride + 999999999L < 1000000000000L,
       s"offset keys for $replicas replicas overflow the 12-digit name pad")
-    val perms = (0 until replicas).map { r =>
-      val a = copr((r / 26) % copr.length); val b = r % 26
-      (0 until 26).map(l => ('a' + (a * l + b) % 26).toChar).mkString
-    }
-    def rotated = perms.zipWithIndex.foldLeft(lit(null: String)) {
-      case (acc, (pm, r)) => when(col("__r") === r,
-        translate(col("text"), alpha, pm)).otherwise(acc)
-    }
+    val perms = textPerms(replicas)
+    // Broadcast (replica → map) lookup + one non-foldable translate:
+    // the pre-r13 form folded a when-branch PER REPLICA, which blows
+    // codegen past a few hundred maps; the join is O(1) plan size at
+    // any replica count and value-identical (same map per replica).
+    val permsDF = broadcast(
+      spark.createDataFrame(perms.zipWithIndex.map { case (pm, r) => (r.toLong, pm) })
+        .toDF("__r", "__perm"))
+    // SQL spelling: functions.translate pins literal match/replace
+    // strings; the Catalyst StringTranslate expression itself takes any
+    // column (it re-derives the char dict when the pattern row changes).
+    def rotated = expr(s"translate(text, '$alpha', __perm)")
 
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/__tmp_$name"
@@ -183,9 +250,9 @@ object ScaleUp {
     write("events", rep(Tables.events(spark, src)).select(
       off("event_id"), col("ts"), off("user_id"), col("event_type"),
       col("value"), col("props")))
-    write("documents", rep(Tables.documents(spark, src)).select(
-      off("doc_id"), rotated.as("text"), col("lang"), col("source"),
-      col("n_chars")))
+    write("documents", rep(Tables.documents(spark, src)).join(permsDF, "__r")
+      .select(off("doc_id"), rotated.as("text"), col("lang"), col("source"),
+        col("n_chars")))
     write("embeddings", rep(Tables.embeddings(spark, src))
       .withColumn("__shift", pmod(col("__r") * 7, size(col("embedding"))))
       .withColumn("__rot", concat(

@@ -38,6 +38,9 @@ class BenchContractSpec extends SparkSpec {
       spot.contains("graph.relpairs"))
     assert(!spot.contains("graph.rwcorpus") && !spot.contains("dedup.simhash") &&
       !spot.contains("graph.nbridx") && !spot.contains("graph.maxdeg"))
+    // dedup_semantic must not drag the text-shingle caches in (it is a
+    // sim.* consumer; the r13 spot measured 15 s of unread warmup here).
+    assert(!spot.contains("dedup.shingles") && !spot.contains("dedup.signatures"))
     // graph queries pull the maxdeg scalar memo; only the rw family
     // pulls the walk corpora.
     val g = neededEntries(spark, d, Some(Set("graph_degrees")))
