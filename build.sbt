@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (graph_pagerank 11.6 → 35.0 s); the small heap keeps GC frequent,
   // the cleaner live, and overflow on disk where re-reads are cheap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // SPARK_GRAFT_GC_LOG=<file>: unified GC logging for the forked JVM.
+  // Diagnostic for multi-minute whole-JVM stalls at scale checkpoints —
+  // a stall that shows in the log is GC; one that doesn't is the
+  // hypervisor (CPU steal), which no heap tuning will fix.
+  sys.env.get("SPARK_GRAFT_GC_LOG")
+    .map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -115,6 +115,18 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
       .config("spark.sql.files.openCostInBytes", 64L * 1024)
+      // Local-mode heartbeats are in-process, so the 120 s default
+      // timeout protects nothing — it's only a kill switch. The r13 sf30
+      // spot died from it: a ~3-minute whole-JVM stall (host CPU steal)
+      // starved the heartbeat thread, HeartbeatReceiver "removed" the
+      // only executor, BlockManager re-registration then spun on the
+      // CoarseGrainedScheduler endpoint (which doesn't exist under
+      // LocalSchedulerBackend), and 60 failed heartbeats later the
+      // executor killed the JVM (exit 56) mid-capture, shredding the
+      // live shuffle dirs. Generous values make a stall cost only its
+      // own wall time.
+      .config("spark.network.timeout", "900s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

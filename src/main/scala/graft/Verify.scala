@@ -23,6 +23,11 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes",
         graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
       .config("spark.sql.files.openCostInBytes", 64L * 1024)
+      // Stall-proofing (rationale in Bench): local-mode heartbeats are
+      // in-process; the default 120 s timeout only adds a kill switch
+      // that a host-steal stall can trip mid-sweep.
+      .config("spark.network.timeout", "900s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -146,6 +146,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Stall-proofing (rationale in Bench): sf100-class generation runs
+      // long enough to hit a host-steal stall; don't let the heartbeat
+      // kill switch shred a half-written fixture.
+      .config("spark.network.timeout", "900s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
