@@ -51,6 +51,14 @@ object Bench {
     * host ran ~20% slower than this reference state. */
   val CalRefSec: Double = 0.920
 
+  /** Calibration taint rule (r13): a capture whose last pre-capture
+    * probe ran more than `gate`× slower than [[CalRefSec]] is tainted —
+    * the host was contended in a way /proc/loadavg cannot see
+    * (hypervisor steal counts no runnable thread in this VM).
+    * gate <= 0 disables. */
+  def calTaintedAt(calSec: Double, gate: Double): Boolean =
+    gate > 0 && calSec / CalRefSec > gate
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,10 +157,31 @@ object Bench {
     }
     rmTree(warmDir)
     // Host calibration, bracketing the capture (after JVM warmup so the
-    // probe measures the host, not class loading).
-    val calBefore = calibrationProbe(spark)
+    // probe measures the host, not class loading). The probe doubles as
+    // a SECOND gate: /proc/loadavg counts only this VM's runnable
+    // threads, so hypervisor CPU steal is invisible to the load gate —
+    // the r13 sf30 spot passed the load gate at 2.1 and then measured a
+    // calibration ratio of 2.9 (the host was ~3× slow from outside
+    // contention). When the ratio exceeds SPARK_GRAFT_CAL_GATE (default
+    // 1.4 — quiet captures read 1.0-1.2; 0 disables), re-probe every
+    // 60 s up to SPARK_GRAFT_CAL_WAIT_MAX (default 1500 s); a capture
+    // that starts past the deadline ships calibration_tainted:true.
+    // The shipped calibration_before is the LAST probe — the state the
+    // measured section actually started under.
+    val calGate = sys.env.getOrElse("SPARK_GRAFT_CAL_GATE", "1.4").toDouble
+    val calWaitMax = sys.env.getOrElse("SPARK_GRAFT_CAL_WAIT_MAX", "1500").toInt
+    var calBefore = calibrationProbe(spark)
+    var calWaited = 0
+    while (calTaintedAt(calBefore, calGate) && calWaited < calWaitMax) {
+      System.err.println(f"[bench] calibration ${calBefore / CalRefSec}%.2f" +
+        f" > gate $calGate%.2f ? waiting (${calWaited}s/${calWaitMax}s)")
+      Thread.sleep(60000); calWaited += 60
+      calBefore = calibrationProbe(spark, reps = 3)
+    }
+    val calTainted = calTaintedAt(calBefore, calGate)
     System.err.println(f"[bench] calibration before: $calBefore%.3f s " +
-      f"(ref $CalRefSec%.3f, ratio ${calBefore / CalRefSec}%.2f)")
+      f"(ref $CalRefSec%.3f, ratio ${calBefore / CalRefSec}%.2f, " +
+      f"waited ${calWaited}s, tainted $calTainted)")
     // Local-iteration filter (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -316,6 +345,8 @@ object Bench {
         s""""load_tainted":$loadTainted,"cpus":$cpus,""" +
         s""""calibration_before":$calBefore,"calibration_after":$calAfter,""" +
         s""""calibration_ref":$CalRefSec,"calibration_ratio":$calRatio,""" +
+        s""""calibration_gate":$calGate,"calibration_gate_waited_sec":$calWaited,""" +
+        s""""calibration_tainted":$calTainted,""" +
         s""""queries_total":$queriesTotal,"sf":"$sfDir""""
     // stdout is the driver contract and long lines truncate there: its
     // capture keeps only a ~2.2 KB tail, so rounds 1-5 all recorded

@@ -16,6 +16,16 @@ class BenchContractSpec extends SparkSpec {
     intercept[Exception] { Bench.gateLoad("") }
   }
 
+  test("calibration taint rule: steal-slow host taints, quiet host passes") {
+    // The r13 sf30 case: load gate read 2.1 (passed) while calibration
+    // measured 2.65 s = 2.9× the reference — hypervisor steal that
+    // loadavg cannot see. The rule must taint it.
+    assert(Bench.calTaintedAt(2.653, 1.4))
+    assert(!Bench.calTaintedAt(0.96, 1.4))   // the committed r13 sf10 spot
+    assert(!Bench.calTaintedAt(1.212, 1.4))  // 1.32 ratio: slow-ish but inside
+    assert(!Bench.calTaintedAt(99.0, 0.0))   // gate 0 disables
+  }
+
   test("calibration probe: positive, and CalRefSec stays plausible for it") {
     // reps=1 keeps the test cheap; the probe must return real work time
     // (not optimized away to ~0) on the same jobs the reference pinned.
