@@ -61,17 +61,96 @@ object DFGraphAlgs {
   private def rounds(df: DataFrame, iters: Int): Int =
     if (planOnly(df)) math.min(iters, 2) else iters
 
+  /** Conf key: target bytes per partition for checkpointed BSP frames
+    * (see [[sizedCoalesce]]). 0 disables the coalesce. */
+  val MatTargetBytesConf = "spark.graft.bsp.matTargetBytes"
+
+  /** Default [[MatTargetBytesConf]]: measured at the sf0.1/sf1
+    * checkpoints — per-task fixed overhead (launch, codegen init, block
+    * fetch, shuffle-write setup) is ~100-200 ms in the BSP level joins,
+    * so a cached partition under a few MB is mostly overhead; above it
+    * the per-row join work dominates. 4 MB keeps a 30 MB sf0.1 edge
+    * checkpoint at 8 scan tasks (vs 64 inherited from the union lineage)
+    * and a 300 MB sf1 one at ~75 — the rule derives the count from the
+    * materialized size, so it is scale-adaptive, never a local constant. */
+  val MatTargetBytesDefault: Long = 4L << 20
+
+  /** SIZE-DERIVED partition count for a just-materialized checkpoint
+    * (guide §2.2 "fewer, larger partitions" applied to BSP state): a
+    * localCheckpoint pins the partitioning its lineage happened to have
+    * — a union of two 32-partition cache scans yields 64 partitions
+    * regardless of bytes, and every per-round scan of it then pays 64
+    * task launches for kilobyte-sized blocks (measured: ~10 × 64 tiny
+    * tasks ≈ 100 s of pure task overhead in one sf0.1 betweenness run).
+    * The materialized RDD's cached size is already known to the block
+    * manager (driver metadata — no job), so coalesce to
+    * ceil(bytes / target): big frames keep their parallelism, tiny ones
+    * stop paying per-task overhead. coalesce() is NARROW (no shuffle,
+    * deterministic grouping) and aggregation results are order-
+    * independent (exact decimal sums / min-merges), so outputs are
+    * bit-identical. Reliable checkpoints (cluster durability path) are
+    * not block-manager-cached and pass through untouched. */
+  private def sizedCoalesce(cp: DataFrame): DataFrame = {
+    val s = cp.sparkSession
+    val target = s.conf.getOption(MatTargetBytesConf).map(_.toLong)
+      .getOrElse(MatTargetBytesDefault)
+    if (target <= 0) return cp
+    cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val info = s.sparkContext.getRDDStorageInfo.find(_.id == lr.rdd.id)
+        info match {
+          case Some(i) if i.numCachedPartitions > 0 =>
+            val bytes = i.memSize + i.diskSize
+            val n = lr.rdd.getNumPartitions
+            val k = math.max(1L, math.min(n.toLong,
+              (bytes + target - 1) / target)).toInt
+            if (k < n) cp.coalesce(k) else cp
+          case _ => cp
+        }
+      case _ => cp
+    }
+  }
+
+  /** [[mat]] for callers outside the BSP loops (GraphPack's HITS
+    * rounds): eager localCheckpoint + [[sizedCoalesce]]. */
+  private[graft] def sizedCheckpoint(df: DataFrame): DataFrame =
+    sizedCoalesce(df.localCheckpoint(true))
+
+  /** Size-coalesced SCAN VIEW of a persisted cache that downstream code
+    * re-scans many times (the walk corpora probe the full neighbor
+    * index once per step): materialize the cache (one count — these
+    * frames are warmed anyway), read the materialized size from the
+    * InMemoryRelation stats (driver metadata), and coalesce the scan to
+    * ceil(bytes / [[MatTargetBytesConf]]) partitions. The cache itself
+    * is untouched (stats, storage, consumers elsewhere); only this
+    * view's scans launch fewer tasks. coalesce is narrow and
+    * deterministic — values identical. */
+  private[graft] def sizedScanView(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val target = s.conf.getOption(MatTargetBytesConf).map(_.toLong)
+      .getOrElse(MatTargetBytesDefault)
+    if (target <= 0) return df
+    df.count()
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = df.rdd.getNumPartitions
+    val k = (bytes + target - 1) / target
+    val kc = k.min(BigInt(n)).max(BigInt(1)).toInt
+    if (kc < n) df.coalesce(kc) else df
+  }
+
   /** Materialize a frame and truncate its logical lineage —
     * localCheckpoint by default, reliable checkpoint() when
     * [[ReliableCheckpointConf]] is set and a checkpoint dir exists;
-    * identity under [[PlanOnlyConf]]. */
+    * identity under [[PlanOnlyConf]]. Local checkpoints are then
+    * [[sizedCoalesce]]d so per-round scans don't pay task overhead
+    * proportional to the lineage's partition count. */
   private def mat(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (planOnly(df)) df
     else {
       val reliable = s.conf.getOption(ReliableCheckpointConf).contains("true") &&
         s.sparkContext.getCheckpointDir.isDefined
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(true) else sizedCoalesce(df.localCheckpoint(true))
     }
   }
 

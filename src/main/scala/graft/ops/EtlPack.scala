@@ -307,8 +307,42 @@ object EtlPack {
     }.toDF("id", "occupation")
   }
 
-  private def cleaned(s: SparkSession, scale: Int): DataFrame =
-    Etl.cleanSparql(Etl.flattenSparql(s, ensureFixture(scale)))
+  /** Landing chain stages, session-cached per scale (same discipline as
+    * GraphPack's shared frames): seven etl_sparql_* queries re-derive
+    * the identical flatten → clean → edges/nodes stages from the JSON
+    * landing, and the six-degrees experiment alone replays the chain
+    * three times inside one query (persons count, sample collect, edge
+    * build). The frames are a few MB at any fixture scale (the landing
+    * is sf-replicated motifs); caching trades that for one JSON parse
+    * per stage per session. Charged to Bench's shared-warmup stage via
+    * Warm entries, like every cross-query cache. */
+  private[ops] def flat(s: SparkSession, scale: Int): DataFrame =
+    DFCache.cached(s, s"etl.flat:$scale") {
+      Etl.flattenSparql(s, ensureFixture(scale))
+    }
+
+  private[ops] def cleaned(s: SparkSession, scale: Int): DataFrame =
+    DFCache.cached(s, s"etl.cleaned:$scale") {
+      Etl.cleanSparql(flat(s, scale))
+    }
+
+  private[ops] def cachedEdges(s: SparkSession, scale: Int): DataFrame =
+    DFCache.cached(s, s"etl.edges:$scale") {
+      Etl.edges(cleaned(s, scale))
+    }
+
+  private[ops] def cachedNodes(s: SparkSession, scale: Int): DataFrame =
+    DFCache.cached(s, s"etl.nodes:$scale") {
+      Etl.nodes(cleaned(s, scale), occupations(s, scale))
+    }
+
+  /** Warm hooks for Bench (see [[Warm]]): counting the edge frame
+    * materializes flat + cleaned + edges; the node frame rides the then-
+    * cached cleaned stage. */
+  private[ops] def warmEdges(s: SparkSession, dir: String): DataFrame =
+    cachedEdges(s, scaleFor(dir))
+  private[ops] def warmNodes(s: SparkSession, dir: String): DataFrame =
+    cachedNodes(s, scaleFor(dir))
 
   /** Sample divisor of the six-degrees experiment's person gate —
     * see [[PairSampleCap]]. */
@@ -327,28 +361,23 @@ object EtlPack {
   val queries: Map[String, Q] = Map(
     // S7 on the real landing shape: whole-document pages → one row per
     // binding with `.value` leaves + the xml:lang metadata leaf.
-    "etl_sparql_flatten" -> ((s, dir) =>
-      Etl.flattenSparql(s, ensureFixture(use(dir)))),
+    "etl_sparql_flatten" -> ((s, dir) => flat(s, use(dir))),
 
     // The full clean chain → the 7-column snake_case edges table
     // (transformer.py:251-269; FIXTURES.md §1.2).
-    "etl_sparql_edges" -> ((s, dir) => Etl.edges(cleaned(s, use(dir)))),
+    "etl_sparql_edges" -> ((s, dir) => cachedEdges(s, use(dir))),
 
     // Person∪object node split with keep-first dedup, occupation merge,
     // birth-year coercion, per-type dense pyg_id (transformer.py:139-173;
     // FIXTURES.md §1.3).
-    "etl_sparql_nodes" -> ((s, dir) => {
-      val sc = use(dir)
-      Etl.nodes(cleaned(s, sc), occupations(s, sc))
-    }),
+    "etl_sparql_nodes" -> ((s, dir) => cachedNodes(s, use(dir))),
 
     // The reference's edge-cost model over the §5 slice's own outputs
     // (bfs.py:15-90): blacklist → ∞, ln(in_degree+1) hub avoidance,
     // (|Δyear|−15)/5 generation-gap penalty on human-human edges.
     "etl_sparql_weights" -> ((s, dir) => {
       val sc = use(dir)
-      val cl = cleaned(s, sc)
-      Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s, sc)))
+      Etl.edgeWeights(cachedEdges(s, sc), cachedNodes(s, sc))
     }),
 
     // The reference's SIGNATURE query (§3.2 find_connection,
@@ -366,8 +395,7 @@ object EtlPack {
     // out, making the golden scale-independent.
     "etl_sparql_six_degrees" -> ((s, dir) => {
       val sc = use(dir)
-      val cl = cleaned(s, sc)
-      val w = Etl.edgeWeights(Etl.edges(cl), Etl.nodes(cl, occupations(s, sc)))
+      val w = Etl.edgeWeights(cachedEdges(s, sc), cachedNodes(s, sc))
       val e = w.select(
         expr("CAST(substr(person, 2) AS BIGINT)").as("src"),
         expr("CAST(substr(object, 2) AS BIGINT)").as("dst"),
@@ -394,9 +422,8 @@ object EtlPack {
     // hops, and the count within six degrees — the published claim.
     "etl_sparql_degrees_exp" -> ((s, dir) => {
       val sc = use(dir)
-      val cl = cleaned(s, sc)
-      val ed = Etl.edges(cl)
-      val persons = Etl.nodes(cl, occupations(s, sc))
+      val ed = cachedEdges(s, sc)
+      val persons = cachedNodes(s, sc)
         .filter(col("type") === "human")
         .select(expr("CAST(substr(id, 2) AS BIGINT)").as("hid"))
       // Self-sizing gate: one scalar count (driver metadata, never row
@@ -432,16 +459,15 @@ object EtlPack {
     // frame: the three edge-side counters (count, full-row distinct,
     // distinct endpoints) fold into a single aggregate over an exploded
     // endpoint frame, and the node-side pair into one two-level
-    // aggregate. No driver-side actions, no caches; measured at the
-    // scale-1000 fixture this is the difference between 3 and 6 replays
-    // of the chain.
+    // aggregate (measured at the scale-1000 fixture: the difference
+    // between 3 and 6 replays of the chain). Stage frames come from the
+    // session caches above, like every other etl_sparql_* query.
     "etl_sparql_reconcile" -> ((s, dir) => {
       val sc = use(dir)
-      val flat = Etl.flattenSparql(s, ensureFixture(sc))
-      val cl = Etl.cleanSparql(flat)
-      val ed = Etl.edges(cl)
-      val no = Etl.nodes(cl, occupations(s, sc))
-      val fc = flat.agg(count(lit(1)).as("n_bindings"))
+      val fl = flat(s, sc)
+      val ed = cachedEdges(s, sc)
+      val no = cachedNodes(s, sc)
+      val fc = fl.agg(count(lit(1)).as("n_bindings"))
       // to_json(struct(*)) as the full-row distinct key: countDistinct
       // over the COLUMNS would drop rows carrying any null label
       // (SQL's multi-arg DISTINCT semantics), which is not what

@@ -37,6 +37,10 @@ object Warm {
       ("graph.relpairs", () => GraphPack.relPairs(s, d), pfx("graph_", "ml_")),
       ("graph.edges",    () => GraphPack.edges(s, d), pfx("graph_")),
       ("graph.wedges",   () => GraphPack.weightedEdges(s, d), pfx("graph_")),
+      // lmdists BEFORE bfs: graph.bfs is now a derived slice of the
+      // landmark run (GraphPack.bfsDists) — warming it first would
+      // charge the whole landmark BSP build to the bfs entry.
+      ("graph.lmdists",  () => GraphPack.landmarkDists(s, d), pfx("graph_")),
       ("graph.bfs",      () => GraphPack.bfsDists(s, d), pfx("graph_")),
       ("graph.tripairs", () => GraphPack.triPairs(s, d), pfx("graph_")),
       ("graph.ssspPred", () => GraphPack.ssspState(s, d), pfx("graph_")),
@@ -45,7 +49,6 @@ object Warm {
       ("graph.rwcorpus", () => GraphPack.rwCorpus(s, d),
         only("graph_rw_corpus", "graph_rw_skipgram")),
       ("graph.n2vcorpus", () => GraphPack.node2vecCorpus(s, d), only("graph_node2vec")),
-      ("graph.lmdists",  () => GraphPack.landmarkDists(s, d), pfx("graph_")),
       ("ml.edges",       () => MLPack.edges(s, d), pfx("ml_")),
       ("ml.edgesA",      () => MLPack.edgesHalfA(s, d), pfx("ml_")),
       ("ml.edgesB",      () => MLPack.edgesHalfB(s, d), pfx("ml_")),
@@ -69,7 +72,12 @@ object Warm {
       ("dedup.signatures", () => DedupPack.signatures(s, d),
         q => q.startsWith("dedup_") && q != "dedup_semantic"),
       ("dedup.simhash",    () => DedupPack.simhashFingerprints(s, d),
-        pfx("dedup_simhash")))
+        pfx("dedup_simhash")),
+      // The SPARQL landing chain caches (EtlPack): counting the edge
+      // frame materializes flat + cleaned + edges; nodes rides the
+      // then-cached cleaned stage.
+      ("etl.chain",        () => EtlPack.warmEdges(s, d), pfx("etl_sparql_")),
+      ("etl.nodes",        () => EtlPack.warmNodes(s, d), pfx("etl_sparql_")))
   }
 
   /** Entry names [[sharedIntermediates]] would warm for a query set —

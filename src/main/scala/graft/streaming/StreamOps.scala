@@ -26,6 +26,61 @@ object StreamOps {
   def eventsSchema(s: SparkSession, dir: String): StructType =
     s.read.parquet(s"$dir/events.parquet").schema
 
+  /** Conf: explicit state/shuffle partition count for the run-to-
+    * completion streaming queries (production knob — a real 100 TB/day
+    * feed sets this to its provisioned parallelism). Unset → derived. */
+  val StatePartitionsConf = "spark.graft.stream.statePartitions"
+
+  /** Conf: target source bytes per state partition for the DERIVED
+    * count (default [[StatePartitionBytesDefault]]). */
+  val StatePartitionBytesConf = "spark.graft.stream.statePartitionBytes"
+
+  /** Every stateful streaming operator instantiates one state store per
+    * shuffle partition per store (a stream-stream join keeps FOUR), and
+    * each store pays per-micro-batch fixed cost (provider init, state
+    * scan, delta commit) regardless of rows. Measured at sf0.1:
+    * stream_interval_join spent ~150 s of task time across 128 store
+    * instances producing 0 output rows — 13.5 s wall at 32 partitions
+    * vs 4.2 s at 8 ON FEWER CORES. The derived count is
+    * ceil(sourceBytes / target), CLAMPED to the session's
+    * shuffle.partitions — it only ever lowers the count when the
+    * source is small relative to the session's parallelism, so a
+    * cluster session with thousands of partitions and a TB feed is
+    * untouched. */
+  val StatePartitionBytesDefault: Long = 1L << 20
+
+  /** Largest staged source size per session, registered by the stream
+    * builders ([[eventsStream]] et al.) and consumed by the run-to-
+    * completion helpers' partition sizing. Weak keys: a GC'd session
+    * drops its entry. */
+  private val sourceBytes =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+
+  private def registerSource(s: SparkSession, bytes: Long): Unit =
+    sourceBytes.merge(s, bytes,
+      (a, b) => java.lang.Long.valueOf(math.max(a, b)))
+
+  /** Scope `spark.sql.shuffle.partitions` to the sized state-partition
+    * count while a run-to-completion streaming query plans and runs
+    * (streaming queries capture the conf at start), then restore. */
+  private def withSizedStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val cur = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val k = s.conf.getOption(StatePartitionsConf).map(_.toInt).getOrElse {
+      val target = s.conf.getOption(StatePartitionBytesConf).map(_.toLong)
+        .getOrElse(StatePartitionBytesDefault)
+      val bytes = Option(sourceBytes.get(s)).map(_.longValue).getOrElse(0L)
+      if (bytes <= 0L || target <= 0L) cur
+      else math.min(cur.toLong, math.max(1L, (bytes + target - 1) / target)).toInt
+    }
+    if (k == cur) body
+    else {
+      s.conf.set("spark.sql.shuffle.partitions", k)
+      try body
+      finally s.conf.set("spark.sql.shuffle.partitions", cur)
+    }
+  }
+
   /** File-source stream over the events parquet. The file source needs a
     * directory of its own (the fixture dir holds every table), so the
     * events file is staged into a scratch dir via symlink — at real scale
@@ -34,8 +89,9 @@ object StreamOps {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_events_stream")
     tmp.toFile.deleteOnExit()
-    Files.createSymbolicLink(tmp.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
+    registerSource(s, src.toFile.length())
     s.readStream.schema(eventsSchema(s, dir)).parquet(tmp.toString)
   }
 
@@ -54,8 +110,9 @@ object StreamOps {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_docs_stream")
     tmp.toFile.deleteOnExit()
-    Files.createSymbolicLink(tmp.resolve("documents.parquet"),
-      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val src = Paths.get(s"$dir/documents.parquet").toAbsolutePath
+    Files.createSymbolicLink(tmp.resolve("documents.parquet"), src)
+    registerSource(s, src.toFile.length())
     s.readStream.schema(documentsSchema).parquet(tmp.toString)
   }
 
@@ -84,6 +141,7 @@ object StreamOps {
     val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
     Files.createSymbolicLink(tmp.resolve("events_a.parquet"), src)
     Files.createSymbolicLink(tmp.resolve("events_b.parquet"), src)
+    registerSource(s, 2L * src.toFile.length())
     s.readStream.schema(eventsSchema(s, dir)).parquet(tmp.toString)
   }
 
@@ -115,13 +173,15 @@ object StreamOps {
   /** Run an append-mode stream (stateless or dedup-only) to completion
     * into a memory sink. */
   def runToMemoryAppend(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withSizedStatePartitions(s) {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -160,13 +220,15 @@ object StreamOps {
     * aggregation allows append/complete but not update; append would
     * hold every session behind the watermark on a one-shot run. */
   def runToMemoryComplete(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withSizedStatePartitions(s) {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -394,7 +456,7 @@ object StreamOps {
     Files.createDirectories(snap)
     @volatile var cur: String = null
     var gen = 0
-    val q = stream.writeStream
+    def runQuery(): Unit = withSizedStatePartitions(s) { val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val delta = batch
           .withColumn("ts_us", OpsUtil.tsMicros(batch))
@@ -414,7 +476,9 @@ object StreamOps {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      q.awaitTermination()
+    }
+    runQuery()
     // Source staging is finished and superseded generations are dead —
     // reclaim them NOW (deleteOnExit cannot remove non-empty trees, so
     // relying on it leaked a snapshot generation per run). Only the
@@ -475,14 +539,16 @@ object StreamOps {
       s"${sys.props("java.io.tmpdir")}/graft_stream_sink/${scratchKey(name)}")
     deleteTree(root)
     Files.createDirectories(root)
-    val q = streamed.writeStream
-      .format("parquet")
-      .option("path", s"$root/data")
-      .option("checkpointLocation", s"$root/ck")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withSizedStatePartitions(s) {
+      val q = streamed.writeStream
+        .format("parquet")
+        .option("path", s"$root/data")
+        .option("checkpointLocation", s"$root/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$root/data")
   }
 
@@ -491,13 +557,15 @@ object StreamOps {
     * one-shot trigger, append mode would hold every window open behind
     * the watermark and emit nothing. */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withSizedStatePartitions(s) {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 }

@@ -61,7 +61,12 @@ class BenchContractSpec extends SparkSpec {
     // The unfiltered surface warms everything — full-bench behavior
     // unchanged.
     val all = neededEntries(spark, d, None)
-    assert(all.size === 28 && all.contains("graph.maxdeg"))
+    assert(all.size === 30 && all.contains("graph.maxdeg"))
+    // The r13 landing-chain caches scope to the etl_sparql_ family only.
+    val etl = neededEntries(spark, d, Some(Set("etl_sparql_degrees_exp")))
+    assert(etl.contains("etl.chain") && etl.contains("etl.nodes") &&
+      !etl.contains("graph.edges"))
+    assert(!g.contains("etl.chain"))
     // text_contamination shares the dedup shingle pass (cross-pack edge).
     assert(neededEntries(spark, d, Some(Set("text_contamination")))
       === Seq("dedup.shingles"))
