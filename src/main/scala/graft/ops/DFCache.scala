@@ -23,17 +23,45 @@ object DFCache {
   private val caches =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]()
 
-  /** Default: persist(). The InMemoryRelation carries ACCURATE size
-    * stats, which is what lets the static planner broadcast the small
-    * cached frames (centroids, norms, buckets) under the pairwise
-    * heavies — swapping every cache to a lineage-truncating
-    * localCheckpoint was measured 6× WORSE on sim_dedup_sweep /
-    * dedup_semantic at the sf1 checkpoint, because LogicalRDD reports
-    * the default (huge) size and the exact-cosine joins lose their
-    * broadcasts. Keep persist wherever consumers JOIN the cache. */
-  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  /** Default: persist(), returned as a SIZE-COALESCED scan view. The
+    * InMemoryRelation carries ACCURATE size stats, which is what lets
+    * the static planner broadcast the small cached frames (centroids,
+    * norms, buckets) under the pairwise heavies — swapping every cache
+    * to a lineage-truncating localCheckpoint was measured 6× WORSE on
+    * sim_dedup_sweep / dedup_semantic at the sf1 checkpoint, because
+    * LogicalRDD reports the default (huge) size and the exact-cosine
+    * joins lose their broadcasts. Keep persist wherever consumers JOIN
+    * the cache.
+    *
+    * The sized view (r13, guide §2.2): a cache's partition count is
+    * whatever its build lineage had — 32-64 partitions of kilobyte
+    * blocks at small SFs — and every consumer SCAN then pays one task
+    * launch per block (measured ~100-200 ms each under load; the graph
+    * caches are re-scanned 3-10× per query). sizedScanView materializes
+    * the cache once (its first access — Bench charges that to the warm
+    * pass as before) and coalesces the returned view to
+    * ceil(bytes / spark.graft.bsp.matTargetBytes) partitions. The
+    * Repartition node passes the child's stats through, so broadcast
+    * planning is unchanged; coalesce is narrow and deterministic, so
+    * values are identical. Caches deliberately carry NO key clustering
+    * (see the shared-cache rules in the verify skill), so no consumer
+    * loses a co-partitioning. */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cached(s, key, sized = true)(build)
+
+  /** [[cached]] with the sized view optional: pass `sized = false` for a
+    * cache whose BUILDER deliberately spreads it across all cores
+    * because consumers run heavy per-row compute in the scan stage
+    * itself (sim.comps' exact-decimal folds — PlanSpec pins that
+    * spread). For every other cache the per-task launch overhead of the
+    * inherited partitioning dominates any scan-stage compute. */
+  def cached(s: SparkSession, key: String, sized: Boolean)
+      (build: => DataFrame): DataFrame = {
     val m = cacheMap(s)
-    m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+    m.getOrElseUpdate(key, {
+      val p = build.persist(StorageLevel.MEMORY_AND_DISK)
+      if (sized) graft.graph.DFGraphAlgs.sizedScanView(p) else p
+    })
   }
 
   /** Lineage-truncating variant (lazy localCheckpoint) for caches whose

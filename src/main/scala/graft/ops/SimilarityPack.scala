@@ -170,7 +170,9 @@ object SimilarityPack {
     * consumers use exact decimal sums), so the spread cannot change any
     * oracle-checked result. */
   private[graft] def comps(s: SparkSession, d: String): DataFrame =
-    DFCache.cached(s, s"sim.comps:$d") {
+    // sized = false: the spread IS this cache's contract (heavy decimal
+    // folds run in its scan stage) — see the scaladoc; PlanSpec pins it.
+    DFCache.cached(s, s"sim.comps:$d", sized = false) {
       graft.api.Similarity.components(Tables.embeddings(s, d), "vec_id", "embedding")
         .repartition(s.sparkContext.defaultParallelism)
     }
