@@ -289,6 +289,15 @@ object DFGraphAlgs {
       knownMaxDeg: Option[Long] = None): DataFrame =
     pageRankLoop(mat(edges.select(col("src"), col("dst"))), iters, knownMaxDeg)
 
+  /** Loop-frame partition count, inherited from the mat'ed edge frame:
+    * sizedCoalesce already derived THAT from the materialized bytes, so
+    * reusing it keys the per-round co-partitioned joins to data volume
+    * instead of spark.sql.shuffle.partitions (32 waves of ~200 ms task
+    * overhead per round at small SFs; ~bytes/target partitions at any
+    * scale). planOnly (mat = identity) keeps the session default. */
+  private def loopParts(e: DataFrame): Option[Int] =
+    if (planOnly(e)) None else Some(math.max(1, e.rdd.getNumPartitions))
+
   /** [[pageRank]]'s loop body. `e` must be cheap to rescan — either
     * materialized or a narrow projection over a materialized frame (the
     * packed multi-view path passes the latter: re-running a when-chain +
@@ -327,22 +336,29 @@ object DFGraphAlgs {
     // over (src) would straddle the salt sub-keys the repartition just
     // split apart. deg semantics identical: every e row keeps its
     // source's out-edge count.
+    // kP: loop-frame partition count, size-derived — see loopParts.
+    val kP = loopParts(e)
     val contrib = (salt match {
       case Some((_, eS)) =>
-        eS.join(outdeg, "src")
+        val keyed = eS.join(outdeg, "src")
           .select(col("src"), col("dst"), col("deg"), col("__salt"))
-          .repartition(col("src"), col("__salt"))
+        kP.map(k => keyed.repartition(k, col("src"), col("__salt")))
+          .getOrElse(keyed.repartition(col("src"), col("__salt")))
           .sortWithinPartitions(col("src"), col("__salt"))
       case None =>
-        e.repartition(col("src")).sortWithinPartitions(col("src"))
+        kP.map(k => e.repartition(k, col("src")))
+          .getOrElse(e.repartition(col("src")))
+          .sortWithinPartitions(col("src"))
           .withColumn("deg", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     }).persist()
-    // distinct's final aggregation already leaves nodes hash-partitioned
-    // on id — sort within those partitions directly (a repartition(id)
-    // here is one more |V| exchange for the same layout).
-    val nodes = e.select(col("src").as("id"))
+    // nodes keeps an explicit sized hash partitioning on id so each
+    // round's msgs exchange and the final join co-partition at kP (the
+    // unsized form rode distinct's hash(id, shuffle.partitions) layout).
+    val nodesRaw = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = kP.map(k => nodesRaw.repartition(k, col("id")))
+      .getOrElse(nodesRaw)
       .sortWithinPartitions(col("id")).persist()
     var rank = nodes.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
@@ -460,20 +476,26 @@ object DFGraphAlgs {
     // Sorted-on-key caches — see pageRank: one fill-time sort saves
     // iters × full-cache re-sorts in the rounds' sort-merge joins; the
     // unsalted fill is the one-exchange window form (see pageRank).
+    // Sized loop-frame partitioning — see pageRank/loopParts.
+    val kP = loopParts(e)
     val contrib = (salt match {
       case Some((_, eS)) =>
-        eS.join(outdeg, Seq("rel", "src"))
+        val keyed = eS.join(outdeg, Seq("rel", "src"))
           .select(col("rel"), col("src"), col("dst"), col("deg"), col("__salt"))
-          .repartition(col("rel"), col("src"), col("__salt"))
+        kP.map(k => keyed.repartition(k, col("rel"), col("src"), col("__salt")))
+          .getOrElse(keyed.repartition(col("rel"), col("src"), col("__salt")))
           .sortWithinPartitions(col("rel"), col("src"), col("__salt"))
       case None =>
-        e.repartition(col("rel"), col("src"))
+        kP.map(k => e.repartition(k, col("rel"), col("src")))
+          .getOrElse(e.repartition(col("rel"), col("src")))
           .sortWithinPartitions(col("rel"), col("src"))
           .withColumn("deg", count(lit(1)).over(org.apache.spark.sql
             .expressions.Window.partitionBy(col("rel"), col("src"))))
     }).persist()
-    val nodes = e.select(col("rel"), col("src").as("id"))
+    val nodesRaw = e.select(col("rel"), col("src").as("id"))
       .union(e.select(col("rel"), col("dst").as("id"))).distinct()
+    val nodes = kP.map(k => nodesRaw.repartition(k, col("rel"), col("id")))
+      .getOrElse(nodesRaw)
       .sortWithinPartitions(col("rel"), col("id")).persist()
     // Linear recurrence — one lazy plan, single job (see pageRank).
     var rank = nodes.select(col("rel"), col("id"), lit(1.0).as("rank"))
