@@ -724,10 +724,16 @@ object AnalyticsPack {
     // (28,15) would overflow on price²; 28 integer digits will not),
     // so r is bit-identical across engines.
     "ana_correlation" -> ((s, d) => {
+      // spread: the nine decimal moment products are scan-fused and a
+      // single-row-group lineitem file cannot split — profiled 2.1 s on
+      // ONE core at sf0.1; the ~10 MB round-robin exchange buys the
+      // aggregation full width (Tables.spread contract: heavy per-row
+      // work only). Decimal sums are order-independent — bit-identical.
       graft.api.Analytics.correlationMatrix(
-          Tables.lineitem(s, d).select(col("l_quantity").as("quantity"),
-            col("l_extendedprice").as("extendedprice"),
-            col("l_discount").as("discount")),
+          Tables.spread(Tables.lineitem(s, d)
+            .select(col("l_quantity").as("quantity"),
+              col("l_extendedprice").as("extendedprice"),
+              col("l_discount").as("discount"))),
           Seq("quantity", "extendedprice", "discount"))
         .orderBy(col("x"), col("y"))
     }),

@@ -208,7 +208,11 @@ object TextPack {
     // band: doc/bigram counts + the score range, i.e. the perplexity
     // cutoffs a production mixture builder would persist.
     "text_ppl_buckets" -> ((s, d) => {
-      graft.api.Text.pplBuckets(Tables.documents(s, d), "doc_id", "text")
+      // spread: the bigram tokenize/explode feeding the first exchange is
+      // scan-fused, and a single-row-group corpus file cannot split — the
+      // same rule (and the same underlying scorer) as text_bigram_lm_score.
+      graft.api.Text.pplBuckets(Tables.spread(Tables.documents(s, d)),
+        "doc_id", "text")
     }),
 
     // Fingerprint-based exact-ordered-dup audit (groups sharing a
