@@ -75,6 +75,44 @@ object DFGraphAlgs {
     * materialized size, so it is scale-adaptive, never a local constant. */
   val MatTargetBytesDefault: Long = 4L << 20
 
+  /** Conf key: minimum bytes per partition under the PARALLELISM FLOOR
+    * of [[sizedCoalesce]]/[[sizedScanView]] (see below). 0 disables the
+    * floor (pure bytes/target sizing). */
+  val MatMinBytesConf = "spark.graft.bsp.matMinBytes"
+
+  /** Default [[MatMinBytesConf]]: 64 KB — a partition that small is
+    * per-task overhead even on a loaded host, so the floor never
+    * resurrects the kilobyte-block waves the byte sizing removed. */
+  val MatMinBytesDefault: Long = 64L << 10
+
+  /** Partition count for `bytes` of checkpointed/cached data scanned by
+    * downstream stages: ceil(bytes / target) for throughput, FLOORED at
+    * min(cores, ceil(bytes / minBytes)) so a frame big enough to carry
+    * real per-row work still spreads across the machine. The floor fixes
+    * a measured regression of the pure bytes/target rule (r13): BSP
+    * relaxation joins BROADCAST the small state, so the whole round's
+    * compute fuses into the checkpoint's scan stage — an 11 MB sf0.1
+    * edge checkpoint coalesced to 3-5 partitions ran its rounds at
+    * 3-5-way parallelism on 32 cores (graph_betweenness terms join:
+    * 1.8 s wall for 7.6 s of task time on 5 tasks). With the floor the
+    * same frame keeps 32 × ≥64 KB partitions; a truly tiny frame
+    * (< cores × minBytes) still coalesces to a handful of tasks, and
+    * big frames are untouched (bytes/target already ≥ cores). */
+  private def sizedParts(s: org.apache.spark.sql.SparkSession,
+      bytes: BigInt, n: Int): Int = {
+    val target = s.conf.getOption(MatTargetBytesConf).map(_.toLong)
+      .getOrElse(MatTargetBytesDefault)
+    if (target <= 0 || bytes <= 0) return n
+    val minBytes = s.conf.getOption(MatMinBytesConf).map(_.toLong)
+      .getOrElse(MatMinBytesDefault)
+    val byThroughput = (bytes + target - 1) / target
+    val floor =
+      if (minBytes <= 0) BigInt(0)
+      else BigInt(s.sparkContext.defaultParallelism)
+        .min((bytes + minBytes - 1) / minBytes)
+    byThroughput.max(floor).min(BigInt(n)).max(BigInt(1)).toInt
+  }
+
   /** SIZE-DERIVED partition count for a just-materialized checkpoint
     * (guide §2.2 "fewer, larger partitions" applied to BSP state): a
     * localCheckpoint pins the partitioning its lineage happened to have
@@ -102,8 +140,7 @@ object DFGraphAlgs {
           case Some(i) if i.numCachedPartitions > 0 =>
             val bytes = i.memSize + i.diskSize
             val n = lr.rdd.getNumPartitions
-            val k = math.max(1L, math.min(n.toLong,
-              (bytes + target - 1) / target)).toInt
+            val k = sizedParts(s, BigInt(bytes), n)
             if (k < n) cp.coalesce(k) else cp
           case _ => cp
         }
@@ -133,8 +170,7 @@ object DFGraphAlgs {
     df.count()
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = df.rdd.getNumPartitions
-    val k = (bytes + target - 1) / target
-    val kc = k.min(BigInt(n)).max(BigInt(1)).toInt
+    val kc = sizedParts(s, bytes, n)
     if (kc < n) df.coalesce(kc) else df
   }
 
@@ -649,8 +685,26 @@ object DFGraphAlgs {
     *
     * Returns the per-source dependency frame (s0, id, dist, delta) —
     * betweenness is the caller's Σ_s δ(s, v) over v ≠ s. Rounds clamp
-    * under [[PlanOnlyConf]] like every loop here. */
-  def betweennessDeltas(edges: DataFrame, sources: Seq[Long], iters: Int): DataFrame = {
+    * under [[PlanOnlyConf]] like every loop here.
+    *
+    * `knownDists` (r13, guide §2.4 — remove work): a precomputed
+    * multi-source BFS frame (s0, id, dist) over the SAME sources, edges
+    * and ≥ `iters` unweighted rounds (GraphPack passes its warmed
+    * landmark run). The forward σ-counting BFS then needs no discovery
+    * state of its own: level-k membership is exactly {(s0,id) :
+    * dist = k} (a vertex is first reached at round k iff its hop
+    * distance is k), so the per-round anti-join against a growing
+    * `seen` union becomes a semi-join against a filter of the given
+    * frame, σ sums run over the identical predecessor rows
+    * (bit-identical decimals), and the forward recurrence turns LINEAR
+    * (each level references only the level below). With the chain
+    * linear, level frames are lazy persists instead of eager per-round
+    * checkpoints and the whole forward+backward DAG executes as ONE
+    * job (profiled at sf0.1: the eager form was latency-bound — ~40
+    * dependent stages of 100-900 ms wall for 87 s of task time, 2.7 s
+    * of ideal 32-core work). */
+  def betweennessDeltas(edges: DataFrame, sources: Seq[Long], iters: Int,
+      knownDists: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // The checkpointed edge list re-exchanges per level join (2·levels
@@ -668,7 +722,13 @@ object DFGraphAlgs {
     // the level frames and no round ever re-checkpoints earlier levels
     // (the growing-state loops above rewrite O(rounds × state); here
     // checkpoint volume is O(state) total).
-    var levs = Vector(mat(sources.toDF("s0").select(col("s0"),
+    val released = scala.collection.mutable.Buffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame =
+      knownDists match {
+        case Some(_) => val p = df.persist(); released += p; p
+        case None    => mat(df)
+      }
+    var levs = Vector(keep(sources.toDF("s0").select(col("s0"),
       col("s0").as("id"), lit(1L).cast("decimal(38,0)").as("sigma"))))
     val n = rounds(levs.head, iters)
     // Running discovered-vertex union, replaced (not re-derived) each
@@ -677,36 +737,70 @@ object DFGraphAlgs {
     // O(state) probe input per round and a constant number of stage
     // inputs, where the re-union form's plan width grew with k.
     // Superseded unions are released once the next one is materialized
-    // by the level checkpoint that consumes it.
-    val released = scala.collection.mutable.Buffer.empty[DataFrame]
-    var seen = levs.head.select(col("s0"), col("id")).persist()
+    // by the level checkpoint that consumes it. (Discovery state exists
+    // only on the self-discovering path — with knownDists the level
+    // membership is a filter of the given frame and `seen` never
+    // exists.)
+    var seen: DataFrame =
+      if (knownDists.isEmpty) levs.head.select(col("s0"), col("id")).persist()
+      else null
     for (k <- 1 to n) {
       val prev = levs(k - 1)
         .select(col("s0"), col("id").as("pid"), col("sigma").as("psig"))
       val cand = e.join(prev, e("src") === prev("pid"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(sum(col("psig")).cast("decimal(38,0)").as("sigma"))
-      val lev = mat(cand.join(seen, Seq("s0", "id"), "left_anti"))
+      val lev = knownDists match {
+        case Some(dists) =>
+          // First-discovered-at-round-k ⟺ hop distance k: semi-join
+          // the candidate sums with the known level membership — the
+          // same row set, the same decimal sums, no growing state.
+          keep(cand.join(
+            dists.filter(col("dist") === lit(k.toDouble))
+              .select(col("s0"), col("id")),
+            Seq("s0", "id"), "left_semi"))
+        case None =>
+          mat(cand.join(seen, Seq("s0", "id"), "left_anti"))
+      }
       levs = levs :+ lev
-      if (k < n) {
+      if (knownDists.isEmpty && k < n) {
         val grown = seen.unionByName(lev.select(col("s0"), col("id"))).persist()
         released += seen
         seen = grown
       }
     }
-    released += seen
+    if (seen != null) released += seen
+    // The backward sweep references each level frame TWICE (as the
+    // upper level's v-side and as the base of its own δ join), so the
+    // levels it reads must be plan-truncated or the analyzed tree blows
+    // up combinatorially. The self-discovering path checkpointed each
+    // level eagerly (6 jobs); the knownDists path materializes ALL
+    // levels in ONE job — a union of the lazy linear forward chain,
+    // checkpointed once — and hands the sweep per-level filter slices
+    // of that LogicalRDD (measured at sf0.1: lazy levels fed straight
+    // into the sweep re-planned the deep trees and ran 17.9 s; the
+    // union checkpoint keeps the forward pass one job AND the sweep's
+    // inputs one-node plans).
+    val levSlices: Int => DataFrame = knownDists match {
+      case Some(_) =>
+        val all = mat(levs.zipWithIndex.map { case (l, k) =>
+          l.withColumn("__lvl", lit(k)) }.reduce(_ unionByName _))
+        released.foreach(_.unpersist(false)); released.clear()
+        k => all.filter(col("__lvl") === k).drop("__lvl")
+      case None => k => levs(k)
+    }
     // Backward sweep, one level per step from the deepest. Each level
     // frame references the one above it exactly ONCE, so the plan depth
     // is linear — lazy persist (not checkpoint) is enough: the final
     // action computes every level once and reuses the cached blocks.
-    var del = levs(n).select(col("s0"), col("id"), col("sigma"),
+    var del = levSlices(n).select(col("s0"), col("id"), col("sigma"),
       lit(0.0).as("delta")).persist()
     released += del
     var acc = del.withColumn("dist", lit(n))
     for (k <- (n - 1) to 0 by -1) {
       val wside = del.select(col("s0").as("ws0"), col("id").as("wid"),
         col("sigma").as("sw"), col("delta").as("dw"))
-      val vside = levs(k)
+      val vside = levSlices(k)
         .select(col("s0").as("vs0"), col("id").as("vid"), col("sigma").as("sv"))
       val terms = e.join(wside, e("dst") === wside("wid"))
         .join(vside, e("src") === col("vid") && col("vs0") === col("ws0"))
@@ -714,7 +808,7 @@ object DFGraphAlgs {
         .agg(sum(((col("sv").cast("double") / col("sw").cast("double")) *
             (lit(1.0) + col("dw"))).cast("decimal(28,15)"))
           .cast("double").as("dsum"))
-      del = levs(k).select(col("s0"), col("id"), col("sigma"))
+      del = levSlices(k).select(col("s0"), col("id"), col("sigma"))
         .join(terms, Seq("s0", "id"), "left")
         .select(col("s0"), col("id"), col("sigma"),
           coalesce(col("dsum"), lit(0.0)).as("delta"))

@@ -21,7 +21,13 @@ object ProfileQuery {
     val name = args.headOption.getOrElse(sys.error("usage: ProfileQuery <query> [sfDir]"))
     val sfDir = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B knob: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies arbitrary conf
+    // pairs to the profiled session (e.g. spark.graft.* sizing rules), so
+    // candidate-fix measurements don't need a recompile per variant.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(";")
+      .filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim) }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -31,7 +37,7 @@ object ProfileQuery {
         graft.tables.Tables.scanSplitBytes(sfDir, cpus.toInt))
       .config("spark.sql.files.openCostInBytes", 64L * 1024)
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
-      .getOrCreate()
+    ) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class Row(id: Int, nameLine: String, wallMs: Long, taskMs: Long,

@@ -314,6 +314,33 @@ class GraphSpec extends SparkSpec {
     assert(dia(1L) == 1.0 && dia(2L) == 1.0 && dia(3L) == 1.0 && dia(4L) == 1.0)
   }
 
+  test("betweennessDeltas(knownDists) is row-identical to self-discovery") {
+    import spark.implicits._
+    // The r13 optimization: level membership supplied by a precomputed
+    // multi-source BFS instead of the growing seen/anti-join state. The
+    // returned (s0, id, dist, delta) rows must be IDENTICAL — same σ
+    // ratios, same exact-decimal δ sums — on a graph with multiple
+    // shortest paths (the diamond) and a deep path.
+    def rows(edges: Seq[(Long, Long)], sources: Seq[Long]) = {
+      val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+      val self = DFGraphAlgs.betweennessDeltas(sym, sources, 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      val dists = DFGraphAlgs.multiSourceShortestPaths(
+        sym.withColumn("w", lit(1.0)), sources, 6)
+      val given = DFGraphAlgs.betweennessDeltas(sym, sources, 6,
+        knownDists = Some(dists))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      (self, given)
+    }
+    val (pSelf, pGiven) = rows(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L), 1L to 5L)
+    assert(pSelf == pGiven)
+    val (dSelf, dGiven) = rows(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L),
+      Seq(1L, 2L, 3L, 4L))
+    assert(dSelf == dGiven)
+  }
+
   test("connectedComponents labels the two micro components by min id") {
     val comps = DFGraphAlgs.connectedComponents(edgeDF, 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
