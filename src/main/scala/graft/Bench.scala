@@ -59,6 +59,31 @@ object Bench {
   def calTaintedAt(calSec: Double, gate: Double): Boolean =
     gate > 0 && calSec / CalRefSec > gate
 
+  /** 3-decimal JSON rendering for the budgeted stdout line — every byte
+    * of that line competes with per-query entries for the driver's
+    * ~2000-char tail window (full-precision doubles stay in the file
+    * artifact). */
+  def j3(v: Double): String = {
+    val r = math.rint(v * 1000) / 1000
+    if (r == math.floor(r) && math.abs(r) < 1e15) s"${r.toLong}.0" else r.toString
+  }
+
+  /** Byte-budgeted JSON map: entries are appended IN THE GIVEN ORDER
+    * until the next one would push the rendered map past `budget` chars
+    * (then stops — the kept set is a strict prefix, so callers passing
+    * descending-seconds order ship "the slowest N that fit"). */
+  def budgetMap(entries: Seq[(String, Double)], budget: Int): String = {
+    val sb = new StringBuilder("{")
+    var done = false
+    entries.foreach { case (k, v) =>
+      if (!done) {
+        val ent = (if (sb.length > 1) "," else "") + "\"" + k + "\":" + j3(v)
+        if (sb.length + ent.length + 1 <= budget) sb.append(ent) else done = true
+      }
+    }
+    sb.append("}").toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -199,6 +224,27 @@ object Bench {
     val sharedSec = (System.nanoTime() - tShared0) / 1e9
     sharedTimes.foreach { case (n, t) =>
       System.err.println(f"[bench] (warm) $n%-26s $t%8.2f s") }
+    // MID calibration probe (r13 verdict #1): the warmup is the longest
+    // unbracketed span in the run — r13's official capture carried a
+    // 316 s warmup (3× the same commit's 8-core warmup) that the before/
+    // after probes could not see because both ran OUTSIDE it. Probe
+    // again between the warm pass and the timed loop: a host that got
+    // busy during warmup taints the capture (same gate/wait rules as
+    // the opening probe; reps=3 — the JVM is fully JIT-warm here, so a
+    // quiet host reads BELOW the fresh-JVM reference and the gate can
+    // only trip on real contention).
+    var calMid = calibrationProbe(spark, reps = 3)
+    var calMidWaited = 0
+    while (calTaintedAt(calMid, calGate) && calMidWaited < calWaitMax) {
+      System.err.println(f"[bench] mid calibration ${calMid / CalRefSec}%.2f" +
+        f" > gate $calGate%.2f — waiting (${calMidWaited}s/${calWaitMax}s)")
+      Thread.sleep(60000); calMidWaited += 60
+      calMid = calibrationProbe(spark, reps = 3)
+    }
+    val calMidTainted = calTaintedAt(calMid, calGate)
+    System.err.println(f"[bench] calibration mid: $calMid%.3f s " +
+      f"(ratio ${calMid / CalRefSec}%.2f, waited ${calMidWaited}s, " +
+      f"tainted $calMidTainted)")
     def loadAvg(): String = loadLine().split(" ").take(3).mkString(" ")
     // A failed query returns NEGATIVE elapsed time so it can never be
     // mistaken for a fast run — a swallowed exception recorded as 0.01 s
@@ -335,7 +381,7 @@ object Bench {
       good.size >= 2 && good.min > 0.0 && good.max / good.min > 3.0
     }
     val scalar =
-      s""""metric":"total","value":$total,"unit":"sec","shared_warmup":$sharedSec,""" +
+      s""""metric":"total","value":${j3(total)},"unit":"sec","shared_warmup":${j3(sharedSec)},""" +
         s""""passes":$passes,"failed":$failedJson,"max_over_min_gt3":$skewed,""" +
         s""""skew_unresolved":$skewUnresolved,"skew_max":$skewMax,""" +
         s""""repair_passes":$repairPasses,"valid":$benchValid,""" +
@@ -343,18 +389,30 @@ object Bench {
         s""""load_gate":$loadGate,"load_gate_waited_sec":$gateWaited,""" +
         s""""load_avg_at_gate":$loadAtGate,"load_line_at_gate":"$loadLineAtGate",""" +
         s""""load_tainted":$loadTainted,"cpus":$cpus,""" +
-        s""""calibration_before":$calBefore,"calibration_after":$calAfter,""" +
-        s""""calibration_ref":$CalRefSec,"calibration_ratio":$calRatio,""" +
-        s""""calibration_gate":$calGate,"calibration_gate_waited_sec":$calWaited,""" +
-        s""""calibration_tainted":$calTainted,""" +
-        s""""queries_total":$queriesTotal,"sf":"$sfDir""""
+        s""""calibration_before":${j3(calBefore)},"calibration_mid":${j3(calMid)},""" +
+        s""""calibration_after":${j3(calAfter)},""" +
+        s""""calibration_ref":$CalRefSec,"calibration_ratio":${j3(calRatio)},""" +
+        s""""calibration_gate":$calGate,"calibration_gate_waited_sec":${calWaited + calMidWaited},""" +
+        s""""calibration_tainted":${calTainted || calMidTainted},""" +
+        s""""queries_total":${j3(queriesTotal)},"sf":"$sfDir""""
     // stdout is the driver contract and long lines truncate there: its
-    // capture keeps only a ~2.2 KB tail, so rounds 1-5 all recorded
-    // "parsed": null from a line carrying the 124-entry per-query map.
-    // stdout now carries ONLY the scalar fields (~300 bytes); per-query
-    // detail (map, per-pass runs, warmup entries) lives solely in the
+    // capture keeps only a ~2000-char tail (measured across every
+    // committed BENCH_r* artifact), so rounds 1-5 all recorded
+    // "parsed": null from a line carrying the full per-query map, and
+    // rounds 6-13 shipped a scalar-only line the driver could parse but
+    // not attribute (r13 verdict #1: PERF per_query was empty and a 316 s
+    // warmup anomaly was unattributable). Middle ground: the line now
+    // carries BUDGETED top-slowest prefixes of the per-query and
+    // per-warm-entry maps — descending by seconds, as many entries as fit
+    // in a fixed byte budget that keeps the whole line inside the
+    // driver's tail window. The full maps still live in the
     // SPARK_GRAFT_BENCH_OUT file artifact.
-    println(s"{$scalar}")
+    val lineMax = 1820 // ≤ driver tail (2000) minus the trailing sbt line
+    val warmTop = budgetMap(sharedTimes.sortBy(-_._2), 300)
+    val okResults = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val fixed = s"""{$scalar,"n_queries":${results.size},"warm":$warmTop,"queries":}"""
+    val queriesTop = budgetMap(okResults, math.max(2, lineMax - fixed.length))
+    println(s"""{$scalar,"n_queries":${results.size},"warm":$warmTop,"queries":$queriesTop}""")
     // Full per-query sample vectors (initial passes + repair passes, in
     // order) so the repair history is auditable alongside the pass runs.
     val samplesJson = samples.toSeq.sortBy(_._1).map { case (k, vs) =>

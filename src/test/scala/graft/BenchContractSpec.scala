@@ -34,6 +34,23 @@ class BenchContractSpec extends SparkSpec {
     assert(Bench.CalRefSec > 0.0)
   }
 
+  test("budgeted stdout maps: strict slowest-first prefix inside the byte budget") {
+    // r13 verdict #1: the driver keeps only a ~2000-char stdout tail, so
+    // the line's per-query map must be a byte-budgeted prefix — slowest
+    // entries first, never a truncated (unparseable) JSON object.
+    val m = Seq("slow" -> 12.3456, "mid" -> 1.0, "fast" -> 0.004)
+    assert(Bench.budgetMap(m, 1000) === """{"slow":12.346,"mid":1.0,"fast":0.004}""")
+    // Budget cuts after the first entry; the kept set is a PREFIX (the
+    // shorter "mid" entry that would fit is NOT back-filled).
+    assert(Bench.budgetMap(m, 20) === """{"slow":12.346}""")
+    assert(Bench.budgetMap(m, 2) === "{}")
+    assert(Bench.budgetMap(Nil, 100) === "{}")
+    // Rendering: 3-decimal rounding, integral values keep a ".0".
+    assert(Bench.j3(316.461518034) === "316.462")
+    assert(Bench.j3(2.0) === "2.0")
+    assert(Bench.j3(0.0004) === "0.0")
+  }
+
   test("scoped warmup: spot query sets warm only the caches they consume") {
     import graft.ops.Warm.neededEntries
     val d = sf()
