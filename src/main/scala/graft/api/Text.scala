@@ -487,10 +487,17 @@ object Text {
     * over corpus-sized data at any scale. Unscoreable docs (<2 tokens)
     * carry no LM evidence and are not ranked. */
   def pplBuckets(corpus: DataFrame, id: String, text: String,
+      nBands: Int = 3, buckets: Int = 1024): DataFrame =
+    pplBucketsOf(bigramLmScores(corpus, id, text), nBands, buckets)
+
+  /** [[pplBuckets]] over a PRECOMPUTED [[bigramLmScores]] frame
+    * (doc_id, n_bigrams, lm_score) — callers holding a shared/cached
+    * score frame skip the corpus scorer rebuild (the ranker references
+    * the frame three times: stats, per-bucket rank, histogram). */
+  def pplBucketsOf(scores: DataFrame,
       nBands: Int = 3, buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBands >= 2, s"nBands must be >= 2: $nBands")
-    val scores = bigramLmScores(corpus, id, text)
     val stats = scores.agg(min(col("lm_score")).as("mn"),
       max(col("lm_score")).as("mx"), count(lit(1)).as("n"))
     // bkt 0 holds the HIGHEST scores so bucket order follows rank order;

@@ -66,6 +66,19 @@ object TextPack {
     * delimiter is a parameter, the keep-first plan is the shape. */
   private val ParaTokens = 8
 
+  /** Per-doc bigram-LM scores, session-cached (r14): text_bigram_lm_score
+    * and text_ppl_buckets both rank the SAME (doc_id, n_bigrams,
+    * lm_score) frame, and the build is the pack's most expensive chain
+    * (corpus tokenize → posexplode → per-doc lead window → two model
+    * aggregations → score join). One build per session, charged to
+    * Bench's shared-warmup stage via a Warm entry like every cross-query
+    * cache; the frame is |docs| rows at any scale. */
+  private[ops] def lmScores(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"text.lmscores:$d") {
+      graft.api.Text.bigramLmScores(
+        Tables.spread(Tables.documents(s, d)), "doc_id", "text")
+    }
+
   val queries: Map[String, Q] = Map(
     // Token counting + basic stats per doc: whitespace tokenizer, a
     // BPE-ish pre-tokenizer regex (word / number / punctuation runs with
@@ -196,7 +209,7 @@ object TextPack {
     // exact decimals (order-independent) — the same one-corpus-pass
     // discipline as the rest of the pack.
     "text_bigram_lm_score" -> ((s, d) => {
-      graft.api.Text.bigramLmScores(Tables.spread(Tables.documents(s, d)), "doc_id", "text")
+      lmScores(s, d)
         .orderBy(col("lm_score").asc, col("doc_id").asc)
         .limit(20)
     }),
@@ -208,11 +221,12 @@ object TextPack {
     // band: doc/bigram counts + the score range, i.e. the perplexity
     // cutoffs a production mixture builder would persist.
     "text_ppl_buckets" -> ((s, d) => {
-      // spread: the bigram tokenize/explode feeding the first exchange is
-      // scan-fused, and a single-row-group corpus file cannot split — the
-      // same rule (and the same underlying scorer) as text_bigram_lm_score.
-      graft.api.Text.pplBuckets(Tables.spread(Tables.documents(s, d)),
-        "doc_id", "text")
+      // Rank over the SAME session-cached per-doc scores as
+      // text_bigram_lm_score (see lmScores) — the two-phase rank then
+      // reads a |docs|-row cache instead of re-running the corpus
+      // tokenize + bigram-model build a second (and third: the ranker
+      // references the score frame three times) time.
+      graft.api.Text.pplBucketsOf(lmScores(s, d))
     }),
 
     // Fingerprint-based exact-ordered-dup audit (groups sharing a

@@ -77,7 +77,11 @@ object Warm {
       // frame materializes flat + cleaned + edges; nodes rides the
       // then-cached cleaned stage.
       ("etl.chain",        () => EtlPack.warmEdges(s, d), pfx("etl_sparql_")),
-      ("etl.nodes",        () => EtlPack.warmNodes(s, d), pfx("etl_sparql_")))
+      ("etl.nodes",        () => EtlPack.warmNodes(s, d), pfx("etl_sparql_")),
+      // Per-doc bigram-LM scores (r14): text_bigram_lm_score and
+      // text_ppl_buckets rank the same scored frame.
+      ("text.lmscores",    () => TextPack.lmScores(s, d),
+        only("text_bigram_lm_score", "text_ppl_buckets")))
   }
 
   /** Entry names [[sharedIntermediates]] would warm for a query set —

@@ -78,7 +78,10 @@ class BenchContractSpec extends SparkSpec {
     // The unfiltered surface warms everything — full-bench behavior
     // unchanged.
     val all = neededEntries(spark, d, None)
-    assert(all.size === 30 && all.contains("graph.maxdeg"))
+    assert(all.size === 31 && all.contains("graph.maxdeg"))
+    // The r14 LM-score cache scopes to its two consumers only.
+    val lm = neededEntries(spark, d, Some(Set("text_ppl_buckets")))
+    assert(lm === Seq("text.lmscores"))
     // The r13 landing-chain caches scope to the etl_sparql_ family only.
     val etl = neededEntries(spark, d, Some(Set("etl_sparql_degrees_exp")))
     assert(etl.contains("etl.chain") && etl.contains("etl.nodes") &&
