@@ -190,6 +190,50 @@ object DFGraphAlgs {
     }
   }
 
+  /** FIXED-POINT EARLY EXIT for the monotone loops (guide §2.4 — remove
+    * work): every loop below computes state_{k+1} = f(state_k) with f
+    * deterministic and independent of the round index, so
+    * state_{k+1} = state_k implies every later round is the identity and
+    * the returned frame equals the full-`iters` run EXACTLY (the oracle
+    * unrolls all rounds; a converged prefix reaches the same fixed
+    * point — bit-identical, re-proven by the full oracle battery).
+    * Mechanics: each round's update carries a `__chg` boolean (did this
+    * row's state change?), the flag rides the round checkpoint, and this
+    * probe is one bounded scan of the just-materialized blocks (limit-1
+    * short-circuit, tens of ms) that decides whether the remaining
+    * rounds — a full relaxation join + aggregation + checkpoint EACH —
+    * still need to run. Fixed-round iteration counts are sized for the
+    * worst graph the contract admits (diameter bounds); real fixtures
+    * converge earlier, and at 100 TB each saved round is a full shuffle
+    * over the edge list. Never consulted under plan-only (no actions);
+    * the PageRank family is excluded (damped ranks never reach an exact
+    * fixed point). */
+  /** [[mat]] + a FREE fixed-point flag for the early-exit loops: the
+    * round update carries a boolean `__chg` column and the checkpoint
+    * action itself collects max(__chg) via observe() — CollectMetrics
+    * is a pass-through plan node and Dataset.localCheckpoint/checkpoint
+    * run under withAction (verified against the Spark 4.1 bytecode), so
+    * the metric is posted by the materialization job the loop already
+    * pays. NO extra probe job per round (the first cut ran a
+    * filter+limit(1) job per round — measured ~0.1 s × rounds of pure
+    * overhead on loops that never converge at fixture scale). Returns
+    * (checkpointed frame WITHOUT the flag, did any row change). */
+  private def matChanged(df: DataFrame): (DataFrame, Boolean) = {
+    if (planOnly(df)) (df.drop("__chg"), true)
+    else {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = mat(df.observe(obs, max(col("__chg").cast("int")).as("chg")))
+      val v = obs.get.getOrElse("chg", null)
+      (cp.drop("__chg"), v != null && v.asInstanceOf[Number].intValue == 1)
+    }
+  }
+
+  /** Rounds the LAST early-exit loop on this JVM actually executed —
+    * test-only telemetry (GraphSpec pins that a converged loop stops
+    * early AND returns the full-iters result); never read by query
+    * code. */
+  private[graft] val lastRoundsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Vertex-state row count below which per-round state/message frames are
     * broadcast into the edge joins instead of shuffled. localCheckpoint
     * truncates lineage to a bare RDD scan, which loses the size stats AQE
@@ -640,7 +684,9 @@ object DFGraphAlgs {
       when(col("id") === source, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
     val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     val small = !planOnly(dist) && dist.count() <= bcastLimit(dist)
-    for (_ <- 1 to rounds(dist, iters)) {
+    var changing = true
+    lastRoundsRun.set(0)
+    for (_ <- 1 to rounds(dist, iters) if changing) {
       val frontier =
         if (small || salt.isEmpty)
           e.join(maybeBcast(dist, small), e("src") === dist("id"))
@@ -656,8 +702,16 @@ object DFGraphAlgs {
         }
       val relaxed = frontier
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
-      dist = mat(dist.join(maybeBcast(relaxed, small), Seq("id"), "left")
-        .select(col("id"), least(col("dist"), col("reach")).as("dist")))
+      // __chg: this round strictly improved the row (first reach or a
+      // shorter path) — no row with __chg anywhere ⟹ fixed point.
+      val (upd, chg) = matChanged(
+        dist.join(maybeBcast(relaxed, small), Seq("id"), "left")
+          .select(col("id"), least(col("dist"), col("reach")).as("dist"),
+            coalesce(col("reach") < col("dist"),
+              col("dist").isNull && col("reach").isNotNull).as("__chg")))
+      lastRoundsRun.incrementAndGet()
+      changing = chg
+      dist = upd
     }
     dist
   }
@@ -843,7 +897,9 @@ object DFGraphAlgs {
     var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
     val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
-    for (_ <- 1 to rounds(dist, iters)) {
+    var changing = true
+    lastRoundsRun.set(0)
+    for (_ <- 1 to rounds(dist, iters) if changing) {
       // State grows round over round (up to sources × reached) — re-check
       // the measured size each round before choosing broadcast.
       val small = !planOnly(dist) && dist.count() <= bcastLimit(dist)
@@ -859,8 +915,17 @@ object DFGraphAlgs {
       val relaxed = frontier
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("reach"))
-      dist = mat(dist.join(relaxed, Seq("s0", "id"), "full")
-        .select(col("s0"), col("id"), least(col("dist"), col("reach")).as("dist")))
+      // __chg: a newly reached (s0, id) (full-join right side) or a
+      // strictly shorter path — see stillChanging. Rows never leave the
+      // state, so "no row changed" ⟹ the multiset is the fixed point.
+      val (upd, chg) = matChanged(
+        dist.join(relaxed, Seq("s0", "id"), "full")
+          .select(col("s0"), col("id"), least(col("dist"), col("reach")).as("dist"),
+            coalesce(col("reach") < col("dist"),
+              col("dist").isNull && col("reach").isNotNull).as("__chg")))
+      lastRoundsRun.incrementAndGet()
+      changing = chg
+      dist = upd
     }
     dist
   }
@@ -884,7 +949,9 @@ object DFGraphAlgs {
       lit(null).cast("long").as("pred")))
     val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     val small = !planOnly(st) && st.count() <= bcastLimit(st)
-    for (_ <- 1 to rounds(st, iters)) {
+    var changing = true
+    lastRoundsRun.set(0)
+    for (_ <- 1 to rounds(st, iters) if changing) {
       // Lexicographic min over (nd, pred) as a struct-min hash aggregate:
       // same deterministic tie-break as a (nd, pred) sort-window, but with
       // map-side partial aggregation and no per-partition sort.
@@ -905,10 +972,18 @@ object DFGraphAlgs {
         .groupBy(col("id")).agg(min(col("c")).as("c"))
         .select(col("id"), col("c.nd").as("nd"), col("c.cand_pred").as("cand_pred"))
       val better = col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))
-      st = mat(st.join(maybeBcast(cand, small), Seq("id"), "left")
-        .select(col("id"),
-          when(better, col("nd")).otherwise(col("dist")).as("dist"),
-          when(better, col("cand_pred")).otherwise(col("pred")).as("pred")))
+      // __chg: the strict-improvement predicate itself (an equal-dist
+      // rediscovery never replaces the incumbent, so `better` false
+      // everywhere ⟹ dist AND pred both at their fixed point).
+      val (upd, chg) = matChanged(
+        st.join(maybeBcast(cand, small), Seq("id"), "left")
+          .select(col("id"),
+            when(better, col("nd")).otherwise(col("dist")).as("dist"),
+            when(better, col("cand_pred")).otherwise(col("pred")).as("pred"),
+            coalesce(better, lit(false)).as("__chg")))
+      lastRoundsRun.incrementAndGet()
+      changing = chg
+      st = upd
     }
     st
   }
@@ -927,7 +1002,9 @@ object DFGraphAlgs {
     var comp = mat(nodes.select(col("id"), col("id").as("comp")))
     val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     val small = !planOnly(comp) && comp.count() <= bcastLimit(comp)
-    for (_ <- 1 to rounds(comp, iters)) {
+    var changing = true
+    lastRoundsRun.set(0)
+    for (_ <- 1 to rounds(comp, iters) if changing) {
       val frontier =
         if (small || salt.isEmpty)
           e.join(maybeBcast(comp, small), e("src") === comp("id"))
@@ -939,8 +1016,14 @@ object DFGraphAlgs {
         }
       val better = frontier
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
-      comp = mat(comp.join(maybeBcast(better, small), Seq("id"), "left")
-        .select(col("id"), least(col("comp"), col("ncomp")).as("comp")))
+      // __chg: a strictly smaller neighbor label — see stillChanging.
+      val (upd, chg) = matChanged(
+        comp.join(maybeBcast(better, small), Seq("id"), "left")
+          .select(col("id"), least(col("comp"), col("ncomp")).as("comp"),
+            coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg")))
+      lastRoundsRun.incrementAndGet()
+      changing = chg
+      comp = upd
     }
     comp
   }
@@ -973,7 +1056,9 @@ object DFGraphAlgs {
     val nodes = e.select(col("src").as("id")).distinct()
     var lbl = mat(nodes.select(col("id"), col("id").as("lbl")))
     val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
-    for (_ <- 1 to rounds(lbl, iters)) {
+    var changing = true
+    lastRoundsRun.set(0)
+    for (_ <- 1 to rounds(lbl, iters) if changing) {
       // argmax by (count desc, label asc) as a struct-max hash aggregate:
       // map-side combinable, no per-vertex sort window.
       val frontier =
@@ -992,8 +1077,17 @@ object DFGraphAlgs {
           struct(col("n"), (-col("lbl")).as("neg")).as("c"))
         .groupBy(col("id")).agg(max(col("c")).as("c"))
         .select(col("id"), (-col("c.neg")).as("nlbl"))
-      lbl = mat(lbl.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl")))
+      // __chg: the most-frequent neighbor label differs from the current
+      // one. LPA may oscillate forever (then every round runs, as
+      // before); a pointwise-identical round is still a true fixed point
+      // of the deterministic update — see stillChanging.
+      val (upd, chg) = matChanged(
+        lbl.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"),
+            coalesce(col("nlbl") =!= col("lbl"), lit(false)).as("__chg")))
+      lastRoundsRun.incrementAndGet()
+      changing = chg
+      lbl = upd
     }
     lbl
   }
@@ -1009,13 +1103,32 @@ object DFGraphAlgs {
     * list, nothing global. */
   def kcore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     var e = mat(edges.select(col("src"), col("dst")))
-    for (_ <- 1 to iters) {
+    // Fixed-point early exit (see [[matChanged]]): the state here is the
+    // edge list itself and rounds only REMOVE rows, so a row count
+    // unchanged from the previous round ⟺ no vertex was peeled ⟹ every
+    // later round is the identity. The count is collected by observe()
+    // on the round's own checkpoint job — no probe job, no upfront
+    // count (a loop already converged at round 1 pays one confirming
+    // round, same as the flag-carrying loops).
+    var prevN = -1L
+    var changing = true
+    lastRoundsRun.set(0)
+    for (_ <- 1 to rounds(e, iters) if changing) {
       // Undirected degree = out-degree on the symmetric list.
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select(col("src").as("v"))
-      e = mat(e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+      val next = e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")))
+        .select(col("src"), col("dst"))
+      if (planOnly(e)) e = mat(next)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        e = mat(next.observe(obs, count(lit(1)).as("n")))
+        val n = obs.get("n").asInstanceOf[Number].longValue
+        changing = n != prevN
+        prevN = n
+      }
+      lastRoundsRun.incrementAndGet()
     }
     e
   }

@@ -22,6 +22,49 @@ class GraphSpec extends SparkSpec {
     fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
   }
 
+  test("fixed-point early exit: converged loops stop early and return the full-iters result") {
+    // Path 1-2-3-4 (diameter 3): every monotone loop reaches its fixed
+    // point within ≤ 4 rounds, so a 40-round request must (a) return the
+    // frame the full 40-round unrolling would — the recurrences are
+    // deterministic, a fixed point is absorbing — and (b) actually stop:
+    // lastRoundsRun counts executed rounds (convergence round + the one
+    // confirming no-change round).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val sym = path.union(path.select($"dst".as("src"), $"src".as("dst")))
+      .withColumn("w", lit(1.0))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).toSet
+
+    val cc4 = m(DFGraphAlgs.connectedComponents(sym, 4))
+    val cc40 = m(DFGraphAlgs.connectedComponents(sym, 40))
+    assert(cc40 === cc4)
+    assert(DFGraphAlgs.lastRoundsRun.get() <= 5,
+      s"CC ran ${DFGraphAlgs.lastRoundsRun.get()} of 40 rounds")
+
+    val sp6 = m(DFGraphAlgs.shortestPaths(sym, 1L, 6))
+    val sp40 = m(DFGraphAlgs.shortestPaths(sym, 1L, 40))
+    assert(sp40 === sp6)
+    assert(DFGraphAlgs.lastRoundsRun.get() <= 5)
+
+    val ms = m(DFGraphAlgs.multiSourceShortestPaths(sym, Seq(1L, 4L), 40))
+    assert(ms === m(DFGraphAlgs.multiSourceShortestPaths(sym, Seq(1L, 4L), 6)))
+    assert(DFGraphAlgs.lastRoundsRun.get() <= 5)
+
+    val pp = m(DFGraphAlgs.shortestPathsWithPred(sym, 1L, 40))
+    assert(pp === m(DFGraphAlgs.shortestPathsWithPred(sym, 1L, 6)))
+    assert(DFGraphAlgs.lastRoundsRun.get() <= 5)
+
+    val lp = m(DFGraphAlgs.labelPropagation(sym, 40))
+    assert(lp === m(DFGraphAlgs.labelPropagation(sym, 6)))
+    assert(DFGraphAlgs.lastRoundsRun.get() <= 7)
+
+    // kcore: k=2 peels the whole path (cascade 1,4 → then 2,3 → empty);
+    // the empty fixed point must stop the loop.
+    val core = DFGraphAlgs.kcore(sym, 2, 40)
+    assert(core.count() === 0L)
+    assert(DFGraphAlgs.lastRoundsRun.get() <= 4)
+  }
+
   test("triangleCount: hand-golden + agreement with GraphX TriangleCount") {
     // Canonical x<y edges: triangle 1-2-3, pendant 3-4, island 5-6, plus
     // a second triangle 2-3-4 sharing edge (2,3).
