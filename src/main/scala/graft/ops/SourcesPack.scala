@@ -320,10 +320,20 @@ object SourcesPack {
         round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
       val st = o.agg(min(col("ck")).as("mn1"), max(col("ck")).as("mx1"),
         min(col("pc")).as("mn2"), max(col("pc")).as("mx2"))
-      val b = o.crossJoin(broadcast(st))
-        .select(col("ck"), col("pc"),
-          graft.api.Layout.rangeBucket(col("ck"), col("mn1"), col("mx1"), 256).as("b1"),
-          graft.api.Layout.rangeBucket(col("pc"), col("mn2"), col("mx2"), 256).as("b2"))
+      // ONE stats pass + ONE persisted bucket frame (r14, guide §2.4/§5):
+      // the old shape recomputed o (and the stats crossJoin) separately
+      // for each layout write, the rectangle probe, and the totals row —
+      // six passes over orders per run; now the min/max row is collected
+      // once, inlined as literals (same values the crossJoin delivered),
+      // and both writes + the totals aggregate read the cached bucket
+      // frame. Identical buckets, identical files, identical scoreboard.
+      val sr0 = st.head()
+      val b = o.select(col("ck"), col("pc"),
+          graft.api.Layout.rangeBucket(col("ck"),
+            lit(sr0.getLong(0)), lit(sr0.getLong(1)), 256).as("b1"),
+          graft.api.Layout.rangeBucket(col("pc"),
+            lit(sr0.getLong(2)), lit(sr0.getLong(3)), 256).as("b2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // DETERMINISTIC layout writes (r11 verdict): repartitionByRange's
       // boundaries come from per-run SAMPLING, so consecutive runs wrote
       // different files and the oracle could read a different generation
@@ -350,9 +360,8 @@ object SourcesPack {
         .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/s")
       // The query rectangle: middle quarter of ck × middle quarter of pc,
       // integer-derived from the global min/max (oracle replays it from
-      // the base table).
-      val sr = st.head()
-      val (mn1, mx1, mn2, mx2) = (sr.getLong(0), sr.getLong(1), sr.getLong(2), sr.getLong(3))
+      // the base table; same stats row as the bucket build above).
+      val (mn1, mx1, mn2, mx2) = (sr0.getLong(0), sr0.getLong(1), sr0.getLong(2), sr0.getLong(3))
       val (lo1, hi1) = (mn1 + (mx1 - mn1) / 4, mn1 + (mx1 - mn1) / 2)
       val (lo2, hi2) = (mn2 + (mx2 - mn2) / 4, mn2 + (mx2 - mn2) / 2)
       def hit(zones: DataFrame, tag: String): DataFrame = zones
@@ -361,10 +370,13 @@ object SourcesPack {
         .agg(count(lit(1)).as(s"rg_hit_$tag"), sum(col("n")).as(s"rows_scanned_$tag"))
       val hz = hit(footerZones(s, s"$base/z"), "z")
       val hs = hit(footerZones(s, s"$base/s"), "s")
-      val tot = o.agg(count(lit(1)).as("total_rows"),
+      // Totals from the cached bucket frame (same ck/pc rows as o).
+      val tot = b.agg(count(lit(1)).as("total_rows"),
         sum((col("ck").between(lo1, hi1) && col("pc").between(lo2, hi2))
           .cast("long")).as("rows_matched"))
-      hz.crossJoin(broadcast(hs)).crossJoin(broadcast(tot))
+      // Materialize the 1-row scoreboard eagerly so the bucket cache can
+      // be released before the frame is consumed (als pattern).
+      val out = hz.crossJoin(broadcast(hs)).crossJoin(broadcast(tot))
         .select(col("rg_hit_z"), col("rows_scanned_z"),
           col("rg_hit_s"), col("rows_scanned_s"),
           col("rows_matched"), col("total_rows"),
@@ -372,6 +384,9 @@ object SourcesPack {
             / col("total_rows"), 6).as("skip_ratio_z"),
           round(lit(1.0) - col("rows_scanned_s").cast("double")
             / col("total_rows"), 6).as("skip_ratio_s"))
+        .localCheckpoint()
+      b.unpersist(false)
+      out
     }),
 
     // Hive-style partitioned layout + DYNAMIC partition pruning: the
