@@ -51,8 +51,22 @@ object Tables {
     * cluster analogs are a small-file source or a skewed split). For
     * cheap projections/aggregations, never spread — the scan-fused
     * form is strictly better. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    // SCAN-STARVATION GATE (r13 verdict: unconditional spread is fixture
+    // tuning — at 100 TB the exchange would round-robin the whole table
+    // for parallelism the scan already has). The starved case this knob
+    // exists for is a FEW-FILE source (the local fixtures are one
+    // single-row-group file per table, so every fused stage runs 1-2
+    // wide no matter how many byte-range splits the scan planner cuts —
+    // a file only yields rows at row-group boundaries). A source with at
+    // least one file per core cannot be starved that way: every file
+    // carries ≥ 1 row group, so the scan fans out to ≥ cores non-empty
+    // tasks and the spread is pure shuffle cost — skip it. File count is
+    // driver metadata (no job).
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (nFiles >= cores) df else df.repartition(cores)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")

@@ -14,6 +14,27 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("Tables.spread skips the round-robin exchange when the scan already fans out") {
+    // r13 verdict #3: unconditional spread is a §6 anti-pattern at scale —
+    // a many-file source (the 100 TB shape) must NOT pay a full-table
+    // round-robin shuffle for parallelism its scan already has; the
+    // single-file fixture shape (scan starved at row-group granularity)
+    // must keep the spread.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    val base = spark.range(0, 1000).selectExpr("id", "id % 7 AS k")
+    base.repartition(8).write.mode("overwrite").parquet(s"$dir/many")
+    base.coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    val many = spark.read.parquet(s"$dir/many")
+    val one = spark.read.parquet(s"$dir/one")
+    assert(many.inputFiles.length >= spark.sparkContext.defaultParallelism)
+    // ≥ one file per core: spread is the identity (no exchange added).
+    assert(graft.tables.Tables.spread(many) eq many)
+    // Starved single-file scan: the round-robin exchange stays.
+    val planOne = graft.tables.Tables.spread(one)
+      .queryExecution.optimizedPlan.toString
+    assert(planOne.contains("Repartition"), planOne)
+  }
+
   test("hub_top10_customers broadcasts the customer dimension") {
     val p = planOf(RelationalPack.queries("hub_top10_customers")(spark, sf()))
     assert(p.contains("BroadcastHashJoin"))
