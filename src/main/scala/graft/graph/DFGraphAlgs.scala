@@ -645,52 +645,35 @@ object DFGraphAlgs {
       lit(0.15).cast("double").as("part")))
     var rank = mat(seeds.select(col("seed"), col("seed").as("id"),
       lit(1.0).cast("double").as("rank")))
+    // EAGER per-round discipline on BOTH paths (r14 note, guide §1.1:
+    // measure first — an A/B of the "one lazy plan" form of this loop,
+    // which the betweenness knownDists rework proved out for its level
+    // joins, measured graph_ppr 9.0 s vs 7.5 s eager at sf0.1/32 cores
+    // on a calibration-equal host: PPR state is DENSE per round — every
+    // (seed, reached-id) row — so each lazy round stacked two wide
+    // exchanges whose AQE re-planning and un-coalesced state carried
+    // more cost than the 2 driver-blocking jobs per round the eager
+    // form pays; the checkpoint also sizedCoalesces each round's state).
     for (_ <- 1 to rounds(rank, iters)) {
-      val joined = salt match {
-        case None =>
-          // UNSALTED path (r14, guide §2.4/§5 — the r13 verdict's
-          // "collapse rounds into one lazy linear plan"): rank is a
-          // LINEAR recurrence here (each round reads the previous rank
-          // exactly once), so no per-round checkpoint or sizing count is
-          // needed — the whole loop stays ONE lazy plan with a single
-          // action at the end. The old eager form paid 2 driver-blocking
-          // jobs per round (state count + localCheckpoint) just to pick
-          // broadcast-vs-shuffle; in the lazy plan every round's state
-          // arrives through an exchange whose exact size AQE reads at
-          // runtime, so the same small-state broadcast decision happens
-          // per round WITHOUT an action (the betweenness knownDists
-          // rework proved this shape: AQE replans each level join as a
-          // broadcast with a local shuffle read of the big side).
-          // Decimal message sums keep the result bit-identical either
-          // way.
-          contrib.join(rank, contrib("src") === rank("id"))
-        case Some((ns, _)) =>
-          // SALTED path (a hub exceeds the out-degree budget): the
-          // broadcast-vs-fanout choice needs the measured per-round
-          // state size, so this branch keeps the eager per-round
-          // discipline (count + checkpoint) — hub graphs are exactly
-          // where an unbounded lazy state would mis-plan.
-          val small = !planOnly(rank) && rank.count() <= bcastLimit(rank)
-          if (small) contrib.join(broadcast(rank), contrib("src") === rank("id"))
-          else {
-            val rk = fanOutState(rank, ns)
-            contrib.join(rk,
-              contrib("src") === rk("id") && contrib("__salt") === rk("__sl"))
-          }
-      }
+      val small = !planOnly(rank) && rank.count() <= bcastLimit(rank)
+      val joined =
+        if (small || salt.isEmpty)
+          contrib.join(maybeBcast(rank, small), contrib("src") === rank("id"))
+        else {
+          val (ns, _) = salt.get
+          val rk = fanOutState(rank, ns)
+          contrib.join(rk,
+            contrib("src") === rk("id") && contrib("__salt") === rk("__sl"))
+        }
       val msgs = joined
         .select(col("seed"), col("dst").as("id"),
           (col("rank") / col("deg")).as("m"))
         .groupBy(col("seed"), col("id")).agg(rsum(col("m")).as("msum"))
-      val next = msgs.select(col("seed"), col("id"),
+      rank = mat(msgs.select(col("seed"), col("id"),
           (lit(0.85) * col("msum")).as("part"))
         .union(restart)
-        .groupBy(col("seed"), col("id")).agg(rsum(col("part")).as("rank"))
-      rank = if (salt.isEmpty) next else mat(next)
+        .groupBy(col("seed"), col("id")).agg(rsum(col("part")).as("rank")))
     }
-    // One action for the whole unsalted recurrence (the salted path's
-    // rounds are already materialized; its mat here is a no-op copy).
-    rank = if (salt.isEmpty) mat(rank) else rank
     contrib.unpersist(false)
     rank
   }
