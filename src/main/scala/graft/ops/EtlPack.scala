@@ -499,7 +499,7 @@ object EtlPack {
        |         generate_subscripts(results.bindings, 1) AS pos,
        |         unnest(results.bindings) AS b
        |  FROM read_json('${landingDir(scale)}/page_*.json', filename=true)
-       |), flat AS (
+       |), flat AS MATERIALIZED (
        |  SELECT CAST(page AS BIGINT) * 100000 + pos AS ord,
        |    b.personLabel."xml:lang" AS personLang,
        |    $flatCols
@@ -545,7 +545,7 @@ object EtlPack {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY person, relationshipLabel, "object" ORDER BY ord) AS rn
        |    FROM filt) WHERE rn = 1
-       |), canon AS (
+       |), canon AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY least(person, "object"), greatest(person, "object"),
@@ -569,7 +569,7 @@ object EtlPack {
        |  SELECT 'Q' || (i + $Stride * r) AS id,
        |         CASE i % 3 WHEN 1 THEN 'writer' WHEN 2 THEN 'engineer' END AS occupation
        |  FROM range(0, $scale) s(r), range(1, 31) t(i)
-       |), nod AS (
+       |), nod AS MATERIALIZED (
        |  SELECT f.id, f.name, f.description,
        |         TRY_CAST(f.birth_year_raw AS INTEGER) AS birth_year,
        |         f.country, f.birth_place, f.type, o.occupation,
@@ -587,7 +587,7 @@ object EtlPack {
        |    "object" FROM canon),
        |ind AS (SELECT "object" AS d, COUNT(*) AS in_deg
        |  FROM edg GROUP BY "object"),
-       |wts AS (SELECT e.person, e."object", e.relationship_label, i.in_deg,
+       |wts AS MATERIALIZED (SELECT e.person, e."object", e.relationship_label, i.in_deg,
        |  CASE WHEN e.relationship_label = 'influenced_by'
        |       THEN CAST('infinity' AS DOUBLE)
        |       ELSE round(ln(i.in_deg + 1) +
@@ -649,7 +649,7 @@ object EtlPack {
       s"""${weightsChainSql(scale)},
          |dirw AS (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
          |    CAST(substr("object", 2) AS BIGINT) AS dst, weight AS w FROM wts),
-         |wedges AS (SELECT src, dst, w FROM dirw
+         |wedges AS MATERIALIZED (SELECT src, dst, w FROM dirw
          |  UNION ALL SELECT dst, src, w FROM dirw),
          |vx AS (SELECT DISTINCT id FROM (
          |  SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges)),
@@ -674,13 +674,13 @@ object EtlPack {
            |    GROUP BY p.s0, e.dst) r ON r.s0 = d.s0 AND r.id = d.id)""".stripMargin
       }.mkString(",\n")
       s"""${chainSql(scale)},
-         |und AS (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
+         |und AS MATERIALIZED (SELECT CAST(substr(person, 2) AS BIGINT) AS src,
          |    CAST(substr("object", 2) AS BIGINT) AS dst FROM canon
          |  UNION ALL SELECT CAST(substr("object", 2) AS BIGINT),
          |    CAST(substr(person, 2) AS BIGINT) FROM canon),
          |hum AS (SELECT CAST(substr(id, 2) AS BIGINT) AS hid
          |  FROM nod WHERE type = 'human'),
-         |samp AS (SELECT hid FROM hum
+         |samp AS MATERIALIZED (SELECT hid FROM hum
          |  WHERE (((hid % 1000003) * 427799) % 1000003)
          |        % GREATEST(1, (SELECT COUNT(*) FROM hum) // $PairSampleCap) = 0),
          |vx2 AS (SELECT DISTINCT src AS id FROM und),
