@@ -71,6 +71,18 @@ object DedupPack {
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS j)
        |  GROUP BY doc_id, j)""".stripMargin
 
+  /** LSH band-join candidate pairs (session-cached, r14):
+    * dedup_minhash_lsh, dedup_containment and dedup_cluster_canonical
+    * all start from the SAME lshCandidates(lshBands(signatures)) frame —
+    * each was rebuilding the band aggregation and its self-join from the
+    * signature cache per pass. The frame is the near-dup candidate set:
+    * small by construction at any scale (pairs sharing a band bucket). */
+  private[ops] def lshCands(s: SparkSession, d: String): DataFrame =
+    DFCache.cached(s, s"dedup.cands:$d") {
+      graft.api.Dedup.lshCandidates(
+        graft.api.Dedup.lshBands(signatures(s, d), BandSize))
+    }
+
   /** 32-bit simhash per doc (session-cached; integer bit math only —
     * DuckDB CAST(double AS BIGINT) rounds where Spark truncates, so
     * doubles never touch the bit pipeline). */
@@ -107,9 +119,8 @@ object DedupPack {
     // with exact shingle Jaccard >= 0.8, report estimate vs exact.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sig = signatures(s, d)
-      // Order-independent band bucket: Σ (j%4+1)·mh over the band's rows.
-      val bands = graft.api.Dedup.lshBands(sig, BandSize)
-      val cand = graft.api.Dedup.lshCandidates(bands)
+      // Session-cached band-join candidates — see lshCands.
+      val cand = lshCands(s, d)
       // Signature-match estimate: fraction of the 16 minhashes that agree.
       // (cand's pair columns renamed ci/cj — both cand and sig carry a
       // column named j otherwise.)
@@ -181,8 +192,7 @@ object DedupPack {
     // all-pairs); both scores are reported for every candidate with
     // containment ≥ 0.9 so the gap is visible.
     "dedup_containment" -> ((s, d) => {
-      val cand = graft.api.Dedup.lshCandidates(
-        graft.api.Dedup.lshBands(signatures(s, d), BandSize))
+      val cand = lshCands(s, d)   // session-cached — see lshCands
       val ds = shingleRows(s, d)
       val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
@@ -212,8 +222,7 @@ object DedupPack {
     // percent of any real corpus. The oracle unrolls the identical
     // recurrence.
     "dedup_cluster_canonical" -> ((s, d) => {
-      val cand = graft.api.Dedup.lshCandidates(
-        graft.api.Dedup.lshBands(signatures(s, d), BandSize))
+      val cand = lshCands(s, d)   // session-cached — see lshCands
       val pairs = graft.api.Dedup.jaccardOf(shingleRows(s, d), cand)
         .filter(col("jaccard") >= 0.8)
         .select(col("i"), col("j"))

@@ -71,6 +71,11 @@ object Warm {
           q == "text_contamination"),
       ("dedup.signatures", () => DedupPack.signatures(s, d),
         q => q.startsWith("dedup_") && q != "dedup_semantic"),
+      // LSH band-join candidate pairs (r14): three queries verify the
+      // same candidate set — see DedupPack.lshCands.
+      ("dedup.cands",      () => DedupPack.lshCands(s, d),
+        only("dedup_minhash_lsh", "dedup_containment",
+          "dedup_cluster_canonical")),
       ("dedup.simhash",    () => DedupPack.simhashFingerprints(s, d),
         pfx("dedup_simhash")),
       // The SPARQL landing chain caches (EtlPack): counting the edge

@@ -78,10 +78,16 @@ class BenchContractSpec extends SparkSpec {
     // The unfiltered surface warms everything — full-bench behavior
     // unchanged.
     val all = neededEntries(spark, d, None)
-    assert(all.size === 31 && all.contains("graph.maxdeg"))
+    assert(all.size === 32 && all.contains("graph.maxdeg"))
     // The r14 LM-score cache scopes to its two consumers only.
     val lm = neededEntries(spark, d, Some(Set("text_ppl_buckets")))
     assert(lm === Seq("text.lmscores"))
+    // The r14 LSH-candidate cache scopes to its three verifying
+    // consumers; the signature digest query must not pull it.
+    val lsh = neededEntries(spark, d, Some(Set("dedup_containment")))
+    assert(lsh.contains("dedup.cands"))
+    assert(!neededEntries(spark, d, Some(Set("dedup_minhash_signatures")))
+      .contains("dedup.cands"))
     // The r13 landing-chain caches scope to the etl_sparql_ family only.
     val etl = neededEntries(spark, d, Some(Set("etl_sparql_degrees_exp")))
     assert(etl.contains("etl.chain") && etl.contains("etl.nodes") &&
