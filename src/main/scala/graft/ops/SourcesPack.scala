@@ -211,12 +211,29 @@ object SourcesPack {
           s.sessionState.conf.warehousePath + "/" + t)
         loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       }
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
-      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+      // The two bucketed sinks are independent jobs writing disjoint
+      // tables — run them CONCURRENTLY (guide §2.6: actions are only
+      // sequential because the driver calls them sequentially; each
+      // write uses 8 bucket tasks, so overlapped they fill the machine
+      // the tail of one write would leave idle).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = Seq(
+        scala.concurrent.Future {
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+            .write.mode(SaveMode.Overwrite).format("parquet")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+        },
+        scala.concurrent.Future {
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+            .write.mode(SaveMode.Overwrite).format("parquet")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+        })
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
       s.table(ordT)
         .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"))
