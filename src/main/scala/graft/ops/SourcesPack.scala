@@ -364,17 +364,36 @@ object SourcesPack {
       // one file and widen its stats box). The within-file sort carries
       // (ck, pc) tie-breaks so the row SEQUENCE — hence any row-group
       // split — is deterministic too.
-      b.select(col("ck"), col("pc"),
-          graft.api.Layout.zValue(col("b1"), col("b2")).as("zv"))
-        .withColumn("pb", shiftright(col("zv"), 10))
-        .repartition(64, col("pb"))
-        .sortWithinPartitions(col("pb"), col("zv"), col("ck"), col("pc"))
-        .select(col("ck"), col("pc"), col("pb"))
-        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/z")
-      b.select(col("ck"), col("pc"), shiftright(col("b1"), 2).as("pb"))
-        .repartition(64, col("pb"))
-        .sortWithinPartitions(col("pb"), col("ck"), col("pc"))
-        .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/s")
+      // Fill the bucket cache with one explicit pass, then run the two
+      // layout writes CONCURRENTLY (guide §2.6 — they read the same
+      // cached frame and write disjoint directories; overlapped, each
+      // write's repartition/sort/encode back-fills the other's tail).
+      // The fill comes first so the writes don't race to compute the
+      // cache's partitions twice.
+      b.count()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = Seq(
+        scala.concurrent.Future {
+          b.select(col("ck"), col("pc"),
+              graft.api.Layout.zValue(col("b1"), col("b2")).as("zv"))
+            .withColumn("pb", shiftright(col("zv"), 10))
+            .repartition(64, col("pb"))
+            .sortWithinPartitions(col("pb"), col("zv"), col("ck"), col("pc"))
+            .select(col("ck"), col("pc"), col("pb"))
+            .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/z")
+        },
+        scala.concurrent.Future {
+          b.select(col("ck"), col("pc"), shiftright(col("b1"), 2).as("pb"))
+            .repartition(64, col("pb"))
+            .sortWithinPartitions(col("pb"), col("ck"), col("pc"))
+            .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(s"$base/s")
+        })
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
       // The query rectangle: middle quarter of ck × middle quarter of pc,
       // integer-derived from the global min/max (oracle replays it from
       // the base table; same stats row as the bucket build above).
