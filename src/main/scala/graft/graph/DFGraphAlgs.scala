@@ -221,9 +221,25 @@ object DFGraphAlgs {
   private def matChanged(df: DataFrame): (DataFrame, Boolean) = {
     if (planOnly(df)) (df.drop("__chg"), true)
     else {
-      val obs = org.apache.spark.sql.Observation()
-      val cp = mat(df.observe(obs, max(col("__chg").cast("int")).as("chg")))
-      val v = obs.get.getOrElse("chg", null)
+      // NAMED observe, not the Observation helper: Observation() touches
+      // the session's ObservationManager, a non-Serializable lazy field
+      // of classic.SparkSession — once instantiated, ANY later closure
+      // that (transitively) captures the session fails task
+      // serialization. ml_train_eval hit exactly that: its logistic
+      // model's training summary holds the session, the predict UDF
+      // captures the model, and the first bench after the Observation-
+      // based early exit landed failed with "Task not serializable:
+      // ObservationManager" — only when a BSP query had run first. The
+      // named form adds the same pass-through CollectMetrics node and
+      // the metric is read back listener-free from the executed plan
+      // (QueryExecution.observedMetrics — public API), so no session
+      // state is ever created. GraphSpec pins the session's
+      // serializability after an early-exit loop.
+      val observed = df.observe("__graft_chg",
+        max(col("__chg").cast("int")).as("chg"))
+      val cp = mat(observed)
+      val v = observed.queryExecution.observedMetrics.get("__graft_chg")
+        .map(_.getAs[Any]("chg")).orNull
       (cp.drop("__chg"), v != null && v.asInstanceOf[Number].intValue == 1)
     }
   }
@@ -1131,9 +1147,12 @@ object DFGraphAlgs {
         .select(col("src"), col("dst"))
       if (planOnly(e)) e = mat(next)
       else {
-        val obs = org.apache.spark.sql.Observation()
-        e = mat(next.observe(obs, count(lit(1)).as("n")))
-        val n = obs.get("n").asInstanceOf[Number].longValue
+        // Named observe, not Observation() — see matChanged (the helper
+        // instantiates the session's non-serializable ObservationManager).
+        val observed = next.observe("__graft_n", count(lit(1)).as("n"))
+        e = mat(observed)
+        val n = observed.queryExecution.observedMetrics("__graft_n")
+          .getAs[Any]("n").asInstanceOf[Number].longValue
         changing = n != prevN
         prevN = n
       }

@@ -65,6 +65,28 @@ class GraphSpec extends SparkSpec {
     assert(DFGraphAlgs.lastRoundsRun.get() <= 4)
   }
 
+  test("early-exit probes leave the SparkSession task-serializable") {
+    // Regression pin: the first cut of the convergence probe used the
+    // Observation() helper, which lazily instantiates the session's
+    // ObservationManager — a non-Serializable field of
+    // classic.SparkSession. Any LATER task closure that transitively
+    // captures the session (ml_train_eval's logistic model carries its
+    // training summary, which holds the session; the predict UDF
+    // captures the model) then fails with "Task not serializable" — the
+    // full r14 bench lost ml_train_eval to exactly this after a BSP
+    // query had run first. The named-observe form reads the metric from
+    // the executed plan and must create no session state: serializing
+    // the session after an early-exit loop has run must still succeed.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sym = path.union(path.select($"dst".as("src"), $"src".as("dst")))
+      .withColumn("w", lit(1.0))
+    DFGraphAlgs.connectedComponents(sym, 8).collect()
+    DFGraphAlgs.kcore(sym, 2, 8).count()
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(spark)
+    assert(bos.size() > 0)
+  }
+
   test("triangleCount: hand-golden + agreement with GraphX TriangleCount") {
     // Canonical x<y edges: triangle 1-2-3, pendant 3-4, island 5-6, plus
     // a second triangle 2-3-4 sharing edge (2,3).
