@@ -217,9 +217,15 @@ object DFGraphAlgs {
     * pays. NO extra probe job per round (the first cut ran a
     * filter+limit(1) job per round — measured ~0.1 s × rounds of pure
     * overhead on loops that never converge at fixture scale). Returns
-    * (checkpointed frame WITHOUT the flag, did any row change). */
-  private def matChanged(df: DataFrame): (DataFrame, Boolean) = {
-    if (planOnly(df)) (df.drop("__chg"), true)
+    * (checkpointed frame WITHOUT the flag, did any row change, row
+    * count). The count rides the same free metric row (r14): the
+    * growing-state loops re-check state size each round before choosing
+    * broadcast, and `count()` on the just-checkpointed frame — cheap
+    * but still one driver-blocking job per round — is the exact number
+    * the checkpoint action already saw. −1 under plan-only (no action;
+    * the broadcast probe is skipped there anyway). */
+  private def matChanged(df: DataFrame): (DataFrame, Boolean, Long) = {
+    if (planOnly(df)) (df.drop("__chg"), true, -1L)
     else {
       // NAMED observe, not the Observation helper: Observation() touches
       // the session's ObservationManager, a non-Serializable lazy field
@@ -236,11 +242,30 @@ object DFGraphAlgs {
       // state is ever created. GraphSpec pins the session's
       // serializability after an early-exit loop.
       val observed = df.observe("__graft_chg",
-        max(col("__chg").cast("int")).as("chg"))
+        max(col("__chg").cast("int")).as("chg"), count(lit(1)).as("n"))
       val cp = mat(observed)
-      val v = observed.queryExecution.observedMetrics.get("__graft_chg")
-        .map(_.getAs[Any]("chg")).orNull
-      (cp.drop("__chg"), v != null && v.asInstanceOf[Number].intValue == 1)
+      val row = observed.queryExecution.observedMetrics.get("__graft_chg")
+      val v = row.map(_.getAs[Any]("chg")).orNull
+      val n = row.map(_.getAs[Any]("n").asInstanceOf[Number].longValue)
+        .getOrElse(-1L)
+      (cp.drop("__chg"), v != null && v.asInstanceOf[Number].intValue == 1, n)
+    }
+  }
+
+  /** [[mat]] + a free row count collected by the checkpoint action
+    * itself (named observe, read from the executed plan — see
+    * [[matChanged]] for why not Observation()). For loop states with no
+    * convergence flag (PPR's dense rank rows) whose next round still
+    * needs the size for its broadcast decision. −1 under plan-only. */
+  private def matCounted(df: DataFrame): (DataFrame, Long) = {
+    if (planOnly(df)) (df, -1L)
+    else {
+      val observed = df.observe("__graft_cnt", count(lit(1)).as("n"))
+      val cp = mat(observed)
+      val n = observed.queryExecution.observedMetrics.get("__graft_cnt")
+        .map(_.getAs[Any]("n").asInstanceOf[Number].longValue)
+        .getOrElse(-1L)
+      (cp, n)
     }
   }
 
@@ -659,8 +684,10 @@ object DFGraphAlgs {
     // round's re-aggregation via the union (no shuffle contribution).
     val restart = mat(seeds.select(col("seed"), col("seed").as("id"),
       lit(0.15).cast("double").as("part")))
-    var rank = mat(seeds.select(col("seed"), col("seed").as("id"),
-      lit(1.0).cast("double").as("rank")))
+    // State size rides each round's checkpoint metric (see matCounted);
+    // only the seed frame pays an explicit count, once.
+    var (rank, nState) = matCounted(seeds.select(col("seed"),
+      col("seed").as("id"), lit(1.0).cast("double").as("rank")))
     // EAGER per-round discipline on BOTH paths (r14 note, guide §1.1:
     // measure first — an A/B of the "one lazy plan" form of this loop,
     // which the betweenness knownDists rework proved out for its level
@@ -671,7 +698,7 @@ object DFGraphAlgs {
     // more cost than the 2 driver-blocking jobs per round the eager
     // form pays; the checkpoint also sizedCoalesces each round's state).
     for (_ <- 1 to rounds(rank, iters)) {
-      val small = !planOnly(rank) && rank.count() <= bcastLimit(rank)
+      val small = !planOnly(rank) && nState >= 0 && nState <= bcastLimit(rank)
       val joined =
         if (small || salt.isEmpty)
           contrib.join(maybeBcast(rank, small), contrib("src") === rank("id"))
@@ -685,10 +712,12 @@ object DFGraphAlgs {
         .select(col("seed"), col("dst").as("id"),
           (col("rank") / col("deg")).as("m"))
         .groupBy(col("seed"), col("id")).agg(rsum(col("m")).as("msum"))
-      rank = mat(msgs.select(col("seed"), col("id"),
+      val (r2, n2) = matCounted(msgs.select(col("seed"), col("id"),
           (lit(0.85) * col("msum")).as("part"))
         .union(restart)
         .groupBy(col("seed"), col("id")).agg(rsum(col("part")).as("rank")))
+      rank = r2
+      nState = n2
     }
     contrib.unpersist(false)
     rank
@@ -729,7 +758,7 @@ object DFGraphAlgs {
         .groupBy(col("dst").as("id")).agg(min(col("dist") + col("w")).as("reach"))
       // __chg: this round strictly improved the row (first reach or a
       // shorter path) — no row with __chg anywhere ⟹ fixed point.
-      val (upd, chg) = matChanged(
+      val (upd, chg, _) = matChanged(
         dist.join(maybeBcast(relaxed, small), Seq("id"), "left")
           .select(col("id"), least(col("dist"), col("reach")).as("dist"),
             coalesce(col("reach") < col("dist"),
@@ -921,13 +950,17 @@ object DFGraphAlgs {
       coalesce(col("w"), lit(1.0)).as("w")))
     var dist = mat(sources.toDF("s0")
       .select(col("s0"), col("s0").as("id"), lit(0.0).as("dist")))
+    // State size, carried between rounds by the checkpoint's own metric
+    // row (see matChanged) — the initial state is one row per source, a
+    // driver-side fact. Saves one count() job per round.
+    var nState = sources.size.toLong
     val salt = saltPlan(e, knownMaxDeg = knownMaxDeg)
     var changing = true
     lastRoundsRun.set(0)
     for (_ <- 1 to rounds(dist, iters) if changing) {
       // State grows round over round (up to sources × reached) — re-check
-      // the measured size each round before choosing broadcast.
-      val small = !planOnly(dist) && dist.count() <= bcastLimit(dist)
+      // the carried size each round before choosing broadcast.
+      val small = !planOnly(dist) && nState <= bcastLimit(dist)
       val frontier =
         if (small || salt.isEmpty)
           e.join(maybeBcast(dist, small), e("src") === dist("id"))
@@ -943,7 +976,7 @@ object DFGraphAlgs {
       // __chg: a newly reached (s0, id) (full-join right side) or a
       // strictly shorter path — see stillChanging. Rows never leave the
       // state, so "no row changed" ⟹ the multiset is the fixed point.
-      val (upd, chg) = matChanged(
+      val (upd, chg, n) = matChanged(
         dist.join(relaxed, Seq("s0", "id"), "full")
           .select(col("s0"), col("id"), least(col("dist"), col("reach")).as("dist"),
             coalesce(col("reach") < col("dist"),
@@ -951,6 +984,7 @@ object DFGraphAlgs {
       lastRoundsRun.incrementAndGet()
       changing = chg
       dist = upd
+      if (n >= 0) nState = n
     }
     dist
   }
@@ -1000,7 +1034,7 @@ object DFGraphAlgs {
       // __chg: the strict-improvement predicate itself (an equal-dist
       // rediscovery never replaces the incumbent, so `better` false
       // everywhere ⟹ dist AND pred both at their fixed point).
-      val (upd, chg) = matChanged(
+      val (upd, chg, _) = matChanged(
         st.join(maybeBcast(cand, small), Seq("id"), "left")
           .select(col("id"),
             when(better, col("nd")).otherwise(col("dist")).as("dist"),
@@ -1042,7 +1076,7 @@ object DFGraphAlgs {
       val better = frontier
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
       // __chg: a strictly smaller neighbor label — see stillChanging.
-      val (upd, chg) = matChanged(
+      val (upd, chg, _) = matChanged(
         comp.join(maybeBcast(better, small), Seq("id"), "left")
           .select(col("id"), least(col("comp"), col("ncomp")).as("comp"),
             coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg")))
@@ -1106,7 +1140,7 @@ object DFGraphAlgs {
       // one. LPA may oscillate forever (then every round runs, as
       // before); a pointwise-identical round is still a true fixed point
       // of the deterministic update — see stillChanging.
-      val (upd, chg) = matChanged(
+      val (upd, chg, _) = matChanged(
         lbl.join(best, Seq("id"), "left")
           .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"),
             coalesce(col("nlbl") =!= col("lbl"), lit(false)).as("__chg")))
