@@ -839,6 +839,28 @@ object DFGraphAlgs {
     var levs = Vector(keep(sources.toDF("s0").select(col("s0"),
       col("s0").as("id"), lit(1L).cast("decimal(38,0)").as("sigma"))))
     val n = rounds(levs.head, iters)
+    // EXACT per-level sizes from the given distances (r14): one tiny
+    // aggregate over the warmed cache (≤ iters+1 rows to the driver).
+    // Level frames and membership filters are slices of the known
+    // distance partition, so their row counts are knowable BEFORE any
+    // level computes — the same measured-size broadcast discipline as
+    // the BSP loops (localCheckpoint/persist lineage hides sizes from
+    // the planner's estimates; AQE only converts to broadcast at
+    // runtime AFTER the edge side's exchange map output is written,
+    // ~10 MB × 2 joins × levels at sf0.1). A level within the
+    // broadcast limit gets an explicit hint: the level joins then plan
+    // as BroadcastHashJoin over the edge checkpoint scan directly — no
+    // edge exchange at all. Levels past the limit (the 1B-vertex
+    // shape) stay unhinted and AQE decides as before; plan-only skips
+    // the probe (no actions) and keeps the unhinted shape.
+    val lvlSized = knownDists.isDefined && !planOnly(e)
+    val lvlSizes: Map[Int, Long] =
+      if (!lvlSized) Map.empty
+      else knownDists.get.groupBy(col("dist")).count().collect()
+        .map(r => r.getDouble(0).toInt -> r.getLong(1)).toMap
+    def lvlBcast(df: DataFrame, k: Int): DataFrame =
+      if (lvlSized && lvlSizes.getOrElse(k, 0L) <= bcastLimit(df)) broadcast(df)
+      else df
     // Running discovered-vertex union, replaced (not re-derived) each
     // round: the anti-join probe at round k reads ONE cached frame of
     // |seen_k| rows instead of a k-way union over every level frame —
@@ -855,7 +877,7 @@ object DFGraphAlgs {
     for (k <- 1 to n) {
       val prev = levs(k - 1)
         .select(col("s0"), col("id").as("pid"), col("sigma").as("psig"))
-      val cand = e.join(prev, e("src") === prev("pid"))
+      def cand = e.join(prev, e("src") === prev("pid"))
         .groupBy(col("s0"), col("dst").as("id"))
         .agg(sum(col("psig")).cast("decimal(38,0)").as("sigma"))
       val lev = knownDists match {
@@ -863,10 +885,29 @@ object DFGraphAlgs {
           // First-discovered-at-round-k ⟺ hop distance k: semi-join
           // the candidate sums with the known level membership — the
           // same row set, the same decimal sums, no growing state.
-          keep(cand.join(
-            dists.filter(col("dist") === lit(k.toDouble))
-              .select(col("s0"), col("id")),
-            Seq("s0", "id"), "left_semi"))
+          // When the level fits the broadcast limit, the membership
+          // semi-join moves BELOW the σ aggregation (r14): the
+          // aggregation then only folds candidate rows whose head is
+          // actually at level k — the discarded groups (edges from
+          // level k−1 into already-seen vertices, most of the
+          // candidate volume on a dense graph) never pay the exact-
+          // decimal partial sum or its exchange. Whole groups are kept
+          // or discarded identically either side of the aggregation
+          // (the semi key IS the group key), so surviving sums fold
+          // the same rows — bit-identical.
+          val memK = dists.filter(col("dist") === lit(k.toDouble))
+            .select(col("s0").as("ms0"), col("id").as("mid"))
+          if (lvlSized && lvlSizes.getOrElse(k, 0L) <= bcastLimit(e))
+            keep(e.join(lvlBcast(prev, k - 1), e("src") === prev("pid"))
+              .join(broadcast(memK),
+                col("s0") === col("ms0") && e("dst") === col("mid"),
+                "left_semi")
+              .groupBy(col("s0"), col("dst").as("id"))
+              .agg(sum(col("psig")).cast("decimal(38,0)").as("sigma")))
+          else
+            keep(cand.join(memK,
+              col("s0") === col("ms0") && col("id") === col("mid"),
+              "left_semi"))
         case None =>
           mat(cand.join(seen, Seq("s0", "id"), "left_anti"))
       }
@@ -910,14 +951,20 @@ object DFGraphAlgs {
         col("sigma").as("sw"), col("delta").as("dw"))
       val vside = levSlices(k)
         .select(col("s0").as("vs0"), col("id").as("vid"), col("sigma").as("sv"))
-      val terms = e.join(wside, e("dst") === wside("wid"))
-        .join(vside, e("src") === col("vid") && col("vs0") === col("ws0"))
+      // Level sides hinted by their known exact sizes (see lvlBcast):
+      // both joins then build hash relations over the level frames and
+      // stream the edge checkpoint once per level with NO edge
+      // exchange. terms output is ≤ the level-k row count (one group
+      // per level-k vertex with successors), so it gets the same hint —
+      // the δ-merge left join below then probes it broadcast too.
+      val terms = e.join(lvlBcast(wside, k + 1), e("dst") === wside("wid"))
+        .join(lvlBcast(vside, k), e("src") === col("vid") && col("vs0") === col("ws0"))
         .groupBy(col("vs0").as("s0"), col("vid").as("id"))
         .agg(sum(((col("sv").cast("double") / col("sw").cast("double")) *
             (lit(1.0) + col("dw"))).cast("decimal(28,15)"))
           .cast("double").as("dsum"))
       del = levSlices(k).select(col("s0"), col("id"), col("sigma"))
-        .join(terms, Seq("s0", "id"), "left")
+        .join(lvlBcast(terms, k), Seq("s0", "id"), "left")
         .select(col("s0"), col("id"), col("sigma"),
           coalesce(col("dsum"), lit(0.0)).as("delta"))
         .persist()
