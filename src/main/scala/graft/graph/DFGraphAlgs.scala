@@ -407,8 +407,72 @@ object DFGraphAlgs {
     * the loop remains ONE lazy plan; measured ~2× over the checkpointed
     * inputs at sf0.1, and the shuffle-count argument scales. */
   def pageRank(edges: DataFrame, iters: Int,
-      knownMaxDeg: Option[Long] = None): DataFrame =
-    pageRankLoop(mat(edges.select(col("src"), col("dst"))), iters, knownMaxDeg)
+      knownMaxDeg: Option[Long] = None,
+      prebuiltContrib: Option[DataFrame] = None): DataFrame =
+    usableContrib(edges, knownMaxDeg, prebuiltContrib) match {
+      case Some(pc) => pageRankPrebuilt(pc, iters)
+      case None =>
+        pageRankLoop(mat(edges.select(col("src"), col("dst"))), iters, knownMaxDeg)
+    }
+
+  /** A caller-supplied [[contribFrame]] is usable iff the hub probe is
+    * decidable DRIVER-SIDE as "salting off" (a memoized max out-degree
+    * bound within the salt budget): the prebuilt frame carries the
+    * unsalted fill's partitioning, and the salted path must keep
+    * building its own (src, __salt)-keyed frame. Plan-only runs ignore
+    * it (the inspectable shape stays the self-building loop's). */
+  private def usableContrib(edges: DataFrame, knownMaxDeg: Option[Long],
+      prebuilt: Option[DataFrame]): Option[DataFrame] =
+    prebuilt.filter(_ => !planOnly(edges) &&
+      knownMaxDeg.exists(_ <= saltTarget(edges)))
+
+  /** The unsalted loops' per-round join input — (src, dst, deg), hash-
+    * partitioned and SORTED on src at the size-derived loop count (the
+    * exact fill [[pageRankLoop]] and [[personalizedPageRank]] build
+    * internally; see the fill comments there) — exposed so the query
+    * layer can session-cache ONE fill for the whole pagerank/ppr
+    * family: each of those queries otherwise pays its own |E| exchange
+    * + sort + window per run for an identical frame. The caller
+    * persists it (DFCache) and passes it back through the
+    * `prebuiltContrib` hooks, which consume it only when
+    * [[usableContrib]] proves the salted path off. */
+  private[graft] def contribFrame(edges: DataFrame): DataFrame = {
+    val e = mat(edges.select(col("src"), col("dst")))
+    val kP = loopParts(e)
+    kP.map(k => e.repartition(k, col("src")))
+      .getOrElse(e.repartition(col("src")))
+      .sortWithinPartitions(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+  }
+
+  /** [[pageRankLoop]]'s unsalted body over a caller-persisted
+    * [[contribFrame]]: same rounds, same decimal message sums, same
+    * co-partitioned joins — the loop frames key to the PREBUILT frame's
+    * partition count (its fill derived it from the same size rule), and
+    * nodes derive from the contribution rows themselves (identical row
+    * set: the deg window keeps every edge row), so the edge list is
+    * never re-checkpointed or re-exchanged per query. */
+  private def pageRankPrebuilt(contrib: DataFrame, iters: Int): DataFrame = {
+    val k = math.max(1, contrib.rdd.getNumPartitions)
+    val nodes = contrib.select(col("src").as("id"))
+      .union(contrib.select(col("dst").as("id"))).distinct()
+      .repartition(k, col("id"))
+      .sortWithinPartitions(col("id")).persist()
+    var rank = nodes.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val joined = contrib.join(rank, contrib("src") === rank("id"))
+      val msgs = joined
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("m"))
+        .groupBy(col("id")).agg(rsum(col("m")).as("msum"))
+      rank = nodes.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+    }
+    val out = mat(rank)
+    nodes.unpersist(false)
+    out
+  }
 
   /** Loop-frame partition count, inherited from the mat'ed edge frame:
     * sizedCoalesce already derived THAT from the materialized bytes, so
@@ -658,28 +722,38 @@ object DFGraphAlgs {
     * round on (seed, id).
     * Input: edges (src, dst), seeds (seed). Returns (seed, id, rank). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
-      knownMaxDeg: Option[Long] = None): DataFrame = {
-    val e = mat(edges.select(col("src"), col("dst")))
-    // Hub salting for the shuffle path (big seed sets); probe over the
-    // persisted out-degree frame — see pageRank.
-    lazy val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val salt = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
-      target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
-    // Sorted-on-key cache — free for the broadcast-state path (hash
-    // join ignores ordering; one fill-time sort) and saves per-round
-    // re-sorts on the big-seed-set shuffle path — see pageRank. The
-    // unsalted fill is the one-exchange window form (see pageRank).
-    val contrib = (salt match {
-      case Some((_, eS)) =>
-        eS.join(outdeg, "src")
-          .select(col("src"), col("dst"), col("deg"), col("__salt"))
-          .repartition(col("src"), col("__salt"))
-          .sortWithinPartitions(col("src"), col("__salt"))
-      case None =>
-        e.repartition(col("src")).sortWithinPartitions(col("src"))
-          .withColumn("deg", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-    }).persist()
+      knownMaxDeg: Option[Long] = None,
+      prebuiltContrib: Option[DataFrame] = None): DataFrame = {
+    // With a usable prebuilt contribution frame (see usableContrib) the
+    // edge list is never touched: no per-query checkpoint, no fill —
+    // the session-cached frame is the per-round join input directly.
+    val (contrib, salt, ownContrib) =
+      usableContrib(edges, knownMaxDeg, prebuiltContrib) match {
+        case Some(pc) => (pc, None, false)
+        case None =>
+          val e = mat(edges.select(col("src"), col("dst")))
+          // Hub salting for the shuffle path (big seed sets); probe over
+          // the persisted out-degree frame — see pageRank.
+          lazy val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          val s = saltPlanFromDeg(outdeg, "deg", Seq("src"), e,
+            target => knownMaxDeg.getOrElse(maxDegOf(outdeg)) > target)
+          // Sorted-on-key cache — free for the broadcast-state path (hash
+          // join ignores ordering; one fill-time sort) and saves per-round
+          // re-sorts on the big-seed-set shuffle path — see pageRank. The
+          // unsalted fill is the one-exchange window form (see pageRank).
+          val c = (s match {
+            case Some((_, eS)) =>
+              eS.join(outdeg, "src")
+                .select(col("src"), col("dst"), col("deg"), col("__salt"))
+                .repartition(col("src"), col("__salt"))
+                .sortWithinPartitions(col("src"), col("__salt"))
+            case None =>
+              e.repartition(col("src")).sortWithinPartitions(col("src"))
+                .withColumn("deg", count(lit(1)).over(
+                  org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+          }).persist()
+          (c, s, true)
+      }
     // The restart rows: (seed, seed, 0.15) — tiny, broadcast into every
     // round's re-aggregation via the union (no shuffle contribution).
     val restart = mat(seeds.select(col("seed"), col("seed").as("id"),
@@ -719,7 +793,7 @@ object DFGraphAlgs {
       rank = r2
       nState = n2
     }
-    contrib.unpersist(false)
+    if (ownContrib) contrib.unpersist(false)
     rank
   }
 

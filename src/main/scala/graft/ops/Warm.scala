@@ -36,6 +36,10 @@ object Warm {
     Seq(
       ("graph.relpairs", () => GraphPack.relPairs(s, d), pfx("graph_", "ml_")),
       ("graph.edges",    () => GraphPack.edges(s, d), pfx("graph_")),
+      // Shared PageRank/PPR contribution frame (r14): consumed only by
+      // the two unsalted-loop queries — see GraphPack.prContrib.
+      ("graph.contrib",  () => GraphPack.prContrib(s, d),
+        only("graph_pagerank", "graph_ppr")),
       ("graph.wedges",   () => GraphPack.weightedEdges(s, d), pfx("graph_")),
       // lmdists BEFORE bfs: graph.bfs is now a derived slice of the
       // landmark run (GraphPack.bfsDists) — warming it first would

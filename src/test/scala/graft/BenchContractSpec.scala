@@ -78,7 +78,12 @@ class BenchContractSpec extends SparkSpec {
     // The unfiltered surface warms everything — full-bench behavior
     // unchanged.
     val all = neededEntries(spark, d, None)
-    assert(all.size === 32 && all.contains("graph.maxdeg"))
+    assert(all.size === 33 && all.contains("graph.maxdeg"))
+    // The r14 shared contribution frame scopes to the two unsalted-loop
+    // consumers; other graph queries must not pull its |E|-sized fill.
+    val pr = neededEntries(spark, d, Some(Set("graph_pagerank")))
+    assert(pr.contains("graph.contrib"))
+    assert(!g.contains("graph.contrib"))
     // The r14 LM-score cache scopes to its two consumers only.
     val lm = neededEntries(spark, d, Some(Set("text_ppl_buckets")))
     assert(lm === Seq("text.lmscores"))
